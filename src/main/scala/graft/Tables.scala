@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet corpus (TESTDATA.md).
+  *
+  * All engine code takes a `sfDir` (scale-factor directory) so the same
+  * program runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) —
+  * and, on a real cluster, against a 100 TB lake path. Reads are plain
+  * `spark.read.parquet` so Catalyst's vectorized reader, predicate
+  * pushdown and column pruning all engage; nothing is cached here
+  * (callers decide lifetime).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as a
+    * raw long and truncate to microseconds with integer division —
+    * exactly what DuckDB's reader does, so oracle comparisons stay
+    * bit-identical. (A double division here would lose precision:
+    * epoch-nanos ≈ 1.7e18 > 2^53.) */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Minute-grain densification + nearest-two-point linear interpolation —
+  * the reference's one genuinely procedural computation, re-expressed
+  * declaratively (SURVEY.md §2.9).
+  *
+  * Semantics replicated from /root/reference/dags/etl/fact_gold_price.py:
+  *  - grid: every minute `time_id` between the per-date min and max
+  *    observed minute (full-rebuild variant,
+  *    dags/archived/rebuild_all_time_interpolation.py:73-96);
+  *  - per (source_id, side_id, date_id) group — NULL keys form their own
+  *    group exactly like pandas dropna=False (fact_gold_price.py:310);
+  *  - a minute already covered by the group is not generated (anti-join,
+  *    fact_gold_price.py:312-315);
+  *  - for each missing minute m, take the two nearest actual points by
+  *    |rounded_time_id − m| measured on the RAW HHmmss encoding (the
+  *    reference's quirk: the 59→00 minute boundary is 4100 units wide,
+  *    fact_gold_price.py:330-333) — nearest-by-distance, NOT bracketing,
+  *    so head/tail gaps extrapolate;
+  *  - linear: p1 + (m − t1)·(p2 − p1)/(t2 − t1); equal times → p1
+  *    (fact_gold_price.py:336-340);
+  *  - groups with < 2 actual points generate nothing
+  *    (fact_gold_price.py:321).
+  *
+  * Two deliberate determinism refinements over the reference (which
+  * inherits unspecified ordering from Postgres when several ticks share
+  * a minute, SURVEY.md §7.4):
+  *  - actual points are pre-aggregated to one point per minute using an
+  *    exact decimal mean (order-independent);
+  *  - distance ties (equidistant minutes either side of m) break toward
+  *    the EARLIER minute, matching numpy argsort's stable order on the
+  *    time-sorted array.
+  *
+  * Scale notes: everything shuffles on the group key (source, side,
+  * date) or on date_id only; per-group state is bounded by 1440 minutes
+  * per day regardless of total data size, so the plan survives a 100 TB
+  * fact — there is no per-driver collection and no unbounded skew (a
+  * hot source/date still caps at 1440 grid rows × its tick count).
+  */
+object Interpolate {
+
+  private val keys = Seq("source_id", "side_id", "date_id")
+
+  /** HHmmss minute encoding → minute-of-day. */
+  private def minuteOfDay(t: org.apache.spark.sql.Column) =
+    floor(t / 10000) * 60 + floor((t % 10000) / 100)
+
+  /** minute-of-day → HHmmss minute encoding. */
+  private def toTimeId(mod: org.apache.spark.sql.Column) =
+    (floor(mod / 60) * 10000 + (mod % 60) * 100).cast("int")
+
+  /** Full densified table from a T1-shaped input
+    * (source_id, side_id, date_id, time_id, rounded_time_id, price,
+    * is_interpolated=false): actual rows unioned with generated rows.
+    */
+  def densify(factRows: DataFrame): DataFrame = {
+    val spark = factRows.sparkSession
+    import spark.implicits._
+
+    // One exact point per (group, minute): decimal mean of that minute's
+    // ticks (deterministic — see scaladoc).
+    val actuals = factRows
+      .groupBy((keys :+ "rounded_time_id").map(col): _*)
+      .agg(
+        (sum($"price".cast("decimal(18,2)")).cast("double") / count($"price"))
+          .as("aprice"))
+
+    // T2: per-date minute grid spanning [min, max] observed minute.
+    // Tiny output (≤1440 rows/date) regardless of input size.
+    val grid = factRows
+      .groupBy($"date_id")
+      .agg(min($"rounded_time_id").as("t_min"), max($"rounded_time_id").as("t_max"))
+      .select(
+        $"date_id",
+        explode(sequence(minuteOfDay($"t_min"), minuteOfDay($"t_max"))).as("mod"))
+      .select($"date_id", toTimeId($"mod").as("rounded_time_id"))
+
+    // J8 grid fan-out: every group × its date's minutes. Groups is a
+    // distinct projection (small); join is on date_id.
+    val groups = factRows.select(keys.map(col): _*).distinct()
+    val expected = groups.join(grid, Seq("date_id"))
+
+    // J6 anti-join: minutes the group already covers are not generated.
+    val missing = expected.join(
+      factRows.select((keys :+ "rounded_time_id").map(col): _*).distinct(),
+      keys :+ "rounded_time_id",
+      "left_anti")
+
+    // Groups eligible for interpolation: ≥ 2 actual ticks
+    // (fact_gold_price.py:321 counts rows, not distinct minutes).
+    val eligible = factRows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_ticks"))
+      .filter($"n_ticks" >= 2)
+      .select(keys.map(col): _*)
+
+    // Candidates: each missing minute × the group's actual points,
+    // ranked by (|Δt|, t) — nearest-2 with stable tie-break.
+    val cand = missing
+      .join(eligible, keys)
+      .withColumnRenamed("rounded_time_id", "m")
+      .join(
+        actuals.withColumnRenamed("rounded_time_id", "t"),
+        keys)
+    val byDist = Window
+      .partitionBy((keys :+ "m").map(col): _*)
+      .orderBy(abs($"t" - $"m").asc, $"t".asc)
+    val near2 = cand
+      .withColumn("rn", row_number().over(byDist))
+      .filter($"rn" <= 2)
+
+    val interpolated = near2
+      .groupBy((keys :+ "m").map(col): _*)
+      .agg(
+        max(when($"rn" === 1, $"t")).as("t1"),
+        max(when($"rn" === 1, $"aprice")).as("p1"),
+        max(when($"rn" === 2, $"t")).as("t2"),
+        max(when($"rn" === 2, $"aprice")).as("p2"))
+      .select(
+        col("source_id"), col("side_id"), col("date_id"),
+        $"m".as("time_id"), $"m".as("rounded_time_id"),
+        when($"t2".isNull || $"t2" === $"t1", $"p1")
+          .otherwise($"p1" + ($"m" - $"t1") * ($"p2" - $"p1") / ($"t2" - $"t1"))
+          .as("price"),
+        lit(true).as("is_interpolated"))
+
+    val actualsOut = factRows.select(
+      $"source_id", $"side_id", $"date_id", $"time_id", $"rounded_time_id",
+      $"price", $"is_interpolated")
+
+    actualsOut.unionByName(interpolated)
+  }
+
+  // --------------------------------------------------------------------
+  // Typed kernel: the literal numpy nearest-2 scan, for differential
+  // testing against the declarative plan and as the SURVEY §2.11
+  // UDTF-shaped formulation (groupByKey → flatMapGroups).
+  // --------------------------------------------------------------------
+
+  case class FactPoint(
+      source_id: Option[Int], side_id: Option[Int], date_id: Int,
+      time_id: Int, rounded_time_id: Int, price: Double,
+      is_interpolated: Boolean)
+
+  /** Same contract as [[densify]] but with the per-group interpolation
+    * done imperatively inside flatMapGroups, mirroring
+    * fact_gold_price.py:307-351 line for line. Per-group memory is
+    * bounded by the day's tick count — the same bound the reference
+    * relies on ("chunk by date", rebuild_all_time_interpolation.py:67).
+    */
+  def densifyTyped(factRows: DataFrame, gridByDate: Map[Int, Seq[Int]]): DataFrame = {
+    val spark = factRows.sparkSession
+    import spark.implicits._
+    val bGrid = spark.sparkContext.broadcast(gridByDate)
+
+    val pts = factRows.as[FactPoint]
+    val generated = pts
+      .groupByKey(p => (p.source_id, p.side_id, p.date_id))
+      .flatMapGroups { (key: (Option[Int], Option[Int], Int), it: Iterator[FactPoint]) =>
+        val (src, side, dateId) = key
+        val rows = it.toArray
+        val existing = rows.map(_.rounded_time_id).toSet
+        val grid = bGrid.value.getOrElse(dateId, Seq.empty)
+        val missing = grid.filterNot(existing.contains)
+        if (missing.isEmpty || rows.length < 2) Iterator.empty
+        else {
+          // exact per-minute mean, time-sorted — matches densify()
+          val actuals = rows
+            .groupBy(_.rounded_time_id).toArray
+            .map { case (t, rs) =>
+              val s = rs.map(r => BigDecimal(r.price).setScale(2)).sum
+              (t, (s / rs.length).toDouble)
+            }
+            .sortBy(_._1)
+          if (actuals.length < 1) Iterator.empty
+          else missing.iterator.map { m =>
+            val byDist = actuals.zipWithIndex
+              .sortBy { case ((t, _), i) => (math.abs(t.toLong - m), i) }
+            val (t1, p1) = byDist(0)._1
+            val price =
+              if (byDist.length < 2) p1
+              else {
+                val (t2, p2) = byDist(1)._1
+                if (t2 == t1) p1
+                else p1 + (m - t1) * (p2 - p1) / (t2 - t1)
+              }
+            FactPoint(src, side, dateId, m, m, price, is_interpolated = true)
+          }
+        }
+      }
+    pts.toDF.unionByName(generated.toDF)
+  }
+
+  /** Per-date [min,max] minute grids, computed distributed then collected
+    * (one tiny row per date) for the typed kernel's broadcast. */
+  def gridByDate(factRows: DataFrame): Map[Int, Seq[Int]] = {
+    val spark = factRows.sparkSession
+    import spark.implicits._
+    factRows
+      .groupBy($"date_id")
+      .agg(min($"rounded_time_id").as("lo"), max($"rounded_time_id").as("hi"))
+      .as[(Int, Int, Int)]
+      .collect()
+      .map { case (d, lo, hi) =>
+        def mod(t: Int) = t / 10000 * 60 + t % 10000 / 100
+        def tid(m: Int) = m / 60 * 10000 + m % 60 * 100
+        d -> (mod(lo) to mod(hi)).map(tid)
+      }
+      .toMap
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge semantics on immutable storage (SURVEY.md §2.1 S5/S8).
+  *
+  * The reference gets idempotent re-processing from Postgres
+  * `INSERT … ON CONFLICT (id) DO UPDATE` executed one row at a time
+  * (/root/reference/dags/etl/fact_gold_price.py:169-196). On a file
+  * lake there is no row-level upsert, so the engine expresses merge as
+  * a set operation: union the target with the incoming batch, then keep
+  * exactly one row per key with a deterministic priority. On a real
+  * table format this maps 1:1 to MERGE INTO; at 100 TB the write side
+  * is bounded by pairing it with dynamic partition overwrite on the
+  * fact's date_id partitions so only touched dates rewrite.
+  */
+object Merge {
+
+  /** Latest-wins upsert: one output row per `key`; rows from `incoming`
+    * beat rows from `existing`; within a side, higher `version` wins.
+    * (S5, ON CONFLICT(id) DO UPDATE — fact_gold_price.py:171-179.)
+    */
+  def upsertLatestWins(
+      existing: DataFrame, incoming: DataFrame,
+      key: String, version: String): DataFrame = {
+    val unioned = existing.withColumn("_prio", lit(0))
+      .unionByName(incoming.withColumn("_prio", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_prio").desc, col(version).desc)
+    unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_prio", "_rn")
+  }
+
+  /** Column-merging upsert keyed by name: keep existing non-null column
+    * values, fill from incoming otherwise; insert unmatched incoming
+    * rows (S8, ON CONFLICT(name) DO UPDATE SET color =
+    * COALESCE(sources.color, EXCLUDED.color) —
+    * populate_sources_dag.py:142-152). Expressed as a full outer join +
+    * COALESCE, the set-based equivalent.
+    */
+  def upsertCoalesceColumns(
+      existing: DataFrame, incoming: DataFrame,
+      key: String, mergeCols: Seq[String]): DataFrame = {
+    val e = existing.select(col(key) +: mergeCols.map(c => col(c).as(s"_e_$c")): _*)
+    val i = incoming.select(col(key) +: mergeCols.map(c => col(c).as(s"_i_$c")): _*)
+    e.join(i, Seq(key), "full_outer")
+      .select(col(key) +: mergeCols.map(c =>
+        coalesce(col(s"_e_$c"), col(s"_i_$c")).as(c)): _*)
+  }
+}

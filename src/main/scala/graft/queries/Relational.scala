@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.ops.GoldModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator coverage (SURVEY.md §2.1–§2.8) on the
+  * TPC-H-ish corpus. Each query is the Spark-first expression of a
+  * reference operator family; the oracle string is the same semantics
+  * in DuckDB SQL. All float aggregation goes through graft.functions
+  * .Exact so results are bit-identical at any parallelism.
+  */
+object Relational {
+  private val Dec = DecimalType(18, 2)
+
+  val all: Map[String, Q] = Map(
+
+    // A2/A4-style multi-aggregate full-table pass (pricing summary) —
+    // partial+final hash agg, the canonical Catalyst plan.
+    "a2_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(Dec)))
+              .cast("double").as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // J1/J3 star join: fact ⋈ mid dims ⋈ broadcast dims, grouped rollup.
+    // nation/region are explicitly broadcast (tiny); customer/orders
+    // joins shuffle on their keys and AQE handles the rest.
+    "j1_star_join_revenue" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"),
+            year(col("o_orderdate")).as("order_year"))
+          .agg(
+            sum(col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(Dec)))
+              .cast("double").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"), col("order_year"))
+      },
+      """SELECT r_name, n_name,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name, order_year
+        |ORDER BY r_name, n_name, order_year""".stripMargin),
+
+    // S4 + A1: distinct-source discovery ordered by first appearance
+    // (populate_sources_dag.py:41-45).
+    "s4_source_discovery" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("first_id"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("first_id")),
+      """SELECT event_type, MIN(event_id) AS first_id, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY first_id""".stripMargin),
+
+    // A4 stats block: one-pass multi-aggregate incl. conditional counts,
+    // 4× exact COUNT(DISTINCT) and moment-exact sample stddev
+    // (fact_gold_price.py:394-413).
+    "a4_stats_block" -> Q(
+      (s, dir) => {
+        val f = GoldModel.fact(Tables.events(s, dir))
+        f.agg(
+            count(lit(1)).as("total_count"),
+            count(when(col("side_id").isNull, 1)).as("null_side_count"),
+            countDistinct(col("source_id")).as("unique_sources"),
+            countDistinct(col("side_id")).as("unique_sides"),
+            countDistinct(col("date_id")).as("unique_dates"),
+            countDistinct(col("time_id")).as("unique_times"),
+            min(col("price")).as("min_price"),
+            max(col("price")).as("max_price"),
+            davg(col("price")).as("avg_price"),
+            dsum(col("price")).as("_sx"),
+            dsumsq(col("price")).as("_sx2"))
+          .withColumn("stddev_price",
+            stddevSampExact(col("_sx"), col("_sx2"), col("total_count")))
+          .drop("_sx", "_sx2")
+      },
+      s"""WITH $FactCte
+        |SELECT total_count, null_side_count, unique_sources, unique_sides,
+        |  unique_dates, unique_times, min_price, max_price, avg_price,
+        |  CASE WHEN total_count > 1
+        |       THEN sqrt((_sx2 - _sx * _sx / total_count) / (total_count - 1)) END AS stddev_price
+        |FROM (
+        |  SELECT COUNT(*) AS total_count,
+        |    COUNT(CASE WHEN side_id IS NULL THEN 1 END) AS null_side_count,
+        |    COUNT(DISTINCT source_id) AS unique_sources,
+        |    COUNT(DISTINCT side_id) AS unique_sides,
+        |    COUNT(DISTINCT date_id) AS unique_dates,
+        |    COUNT(DISTINCT time_id) AS unique_times,
+        |    MIN(price) AS min_price,
+        |    MAX(price) AS max_price,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(price) AS avg_price,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS _sx,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2)) * CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS _sx2
+        |  FROM fact
+        |) t""".stripMargin),
+
+    // O4 top-1: ORDER BY … LIMIT 1 — Catalyst plans TakeOrderedAndProject
+    // (no full sort), the distributed top-k.
+    "o4_top1" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("value").desc, col("event_id").asc)
+          .limit(1),
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 1""".stripMargin),
+
+    // J7 scalar-subquery predicate (fact_gold_price.py:408-412) —
+    // exercised through genuine SQL text so Catalyst plans the subquery.
+    "j7_scalar_subquery" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // P12 id-exclusion: != on a nullable key silently drops NULLs —
+    // reference quirk preserved (fact_gold_price_temp.py:252-254).
+    "p12_id_exclusion" -> Q(
+      (s, dir) =>
+        GoldModel.fact(Tables.events(s, dir))
+          .filter(col("side_id") =!= 1)
+          .groupBy(col("side_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("side_id")),
+      s"""WITH $FactCte
+        |SELECT side_id, COUNT(*) AS n FROM fact
+        |WHERE side_id != 1 GROUP BY side_id ORDER BY side_id""".stripMargin),
+
+    // P10 lenient coercion: failed casts become NULL (pandas
+    // to_numeric(errors='coerce'), fact_gold_price.py:85-99) = try_cast.
+    "p10_lenient_cast" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            expr("try_cast(replace(replace(props, '{\"k\": ', ''), '}', '') AS INT)").as("k_value"),
+            expr("try_cast(event_type AS INT)").as("bad_cast"))
+          .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k_value,
+        |  TRY_CAST(event_type AS INT) AS bad_cast
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // P11 sanity-range DQ gate (dim_date_etl_dag.py:117).
+    "p11_sanity_range" -> Q(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .agg(
+            count(when(to_date(col("o_orderdate")) < lit("1900-01-01").cast("date") ||
+              to_date(col("o_orderdate")) > lit("2100-12-31").cast("date"), 1))
+              .as("out_of_range"),
+            count(lit(1)).as("total_rows")),
+      """SELECT COUNT(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1900-01-01'
+        |                    OR CAST(o_orderdate AS DATE) > DATE '2100-12-31' THEN 1 END) AS out_of_range,
+        |       COUNT(*) AS total_rows
+        |FROM orders""".stripMargin),
+
+    // S1+P1+P2+P3: the filtered hourly extract — projection with no-ELSE
+    // CASE, Tehran key derivation, closed-hour BETWEEN predicate. The
+    // window is a parameter (reproducibility, SURVEY §7.4); here a fixed
+    // representative hour.
+    "s1_hourly_extract" -> Q(
+      (s, dir) => {
+        val local = GoldModel.tehran(col("ts"))
+        Tables.events(s, dir)
+          .filter(local.between(
+            lit("2024-01-15 00:00:00").cast("timestamp"),
+            lit("2024-01-16 00:00:00").cast("timestamp")))
+          .select(
+            col("event_id").as("id"),
+            col("user_id").cast("int").as("source_id"),
+            GoldModel.sideId(col("event_type")).as("side_id"),
+            col("value").as("price"),
+            GoldModel.dateId(local).as("date_id"),
+            GoldModel.timeId(local).as("time_id"))
+          .orderBy(col("id"))
+      },
+      s"""WITH $FactCte, loc AS (
+        |  SELECT event_id AS id,
+        |         (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tehran' AS ts_local
+        |  FROM events
+        |)
+        |SELECT f.id, f.source_id, f.side_id, f.price, f.date_id, f.time_id
+        |FROM fact f JOIN loc USING (id)
+        |WHERE loc.ts_local BETWEEN TIMESTAMP '2024-01-15 00:00:00'
+        |                       AND TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY f.id""".stripMargin),
+
+    // F1–F14 scalar-function surface in one projection: md5 color hash,
+    // lpad/concat, date_trunc/date_format, datediff, extract, floor/mod.
+    "f_scalar_kitchen" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id").cast("int").as("id"))
+          .agg(min(col("ts")).as("first_ts"))
+          .select(
+            col("id"),
+            concat(lit("src_"), col("id").cast("string")).as("name"),
+            GoldModel.colorOf(concat(lit("src_"), col("id").cast("string"))).as("color"),
+            lpad(col("id").cast("string"), 4, "0").as("padded_id"),
+            date_format(date_trunc("hour", col("first_ts")), "yyyy-MM-dd HH:mm:ss").as("first_hour"),
+            datediff(lit("2024-02-01").cast("date"), to_date(col("first_ts"))).as("day_lag"),
+            year(col("first_ts")).as("y"),
+            month(col("first_ts")).as("m"),
+            weekofyear(col("first_ts")).as("w"),
+            (col("id") % 7).as("id_mod7"),
+            floor(col("id") / 4).as("id_div4"))
+          .orderBy(col("id")),
+      """SELECT id,
+        |  'src_' || CAST(id AS VARCHAR) AS name,
+        |  concat('#', substr(md5('src_' || CAST(id AS VARCHAR)), 1, 6)) AS color,
+        |  lpad(CAST(id AS VARCHAR), 4, '0') AS padded_id,
+        |  strftime(date_trunc('hour', first_ts), '%Y-%m-%d %H:%M:%S') AS first_hour,
+        |  CAST(date_diff('day', CAST(first_ts AS DATE), DATE '2024-02-01') AS INT) AS day_lag,
+        |  CAST(EXTRACT(YEAR FROM first_ts) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM first_ts) AS INT) AS m,
+        |  CAST(EXTRACT(WEEK FROM first_ts) AS INT) AS w,
+        |  id % 7 AS id_mod7,
+        |  CAST(FLOOR(CAST(id AS DOUBLE) / 4) AS BIGINT) AS id_div4
+        |FROM (SELECT CAST(user_id AS INT) AS id, MIN(ts) AS first_ts
+        |      FROM events GROUP BY 1)
+        |ORDER BY id""".stripMargin)
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** A registered engine query: the Spark implementation plus (when the
+    * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle
+    * statement over the same parquet tables. Column names/aliases MUST
+    * match between the two — the driver sorts columns by name before
+    * hashing values. */
+  type QueryFn = (SparkSession, String) => DataFrame
+  final case class Q(fn: QueryFn, oracle: Option[String])
+
+  object Q {
+    def apply(fn: QueryFn, oracle: String): Q = Q(fn, Some(oracle))
+  }
+
+  /** Shared DuckDB oracle fragment: the events→fact star mapping
+    * (mirrors graft.ops.GoldModel.fact — keep the two in lockstep).
+    * Tehran wall-clock keying like the reference
+    * (/root/reference/dags/etl/fact_gold_price.py:61-66). */
+  val FactCte: String =
+    """fact AS (
+      |  SELECT event_id AS id,
+      |         CAST(user_id AS INT) AS source_id,
+      |         CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+      |                         WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END AS side_id,
+      |         value AS price,
+      |         CAST(strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tehran', '%Y%m%d') AS INT) AS date_id,
+      |         CAST(strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tehran', '%H%M%S') AS INT) AS time_id
+      |  FROM events
+      |)""".stripMargin
+
+  /** FactCte + rounded_time_id + is_interpolated=false (T1 shape). */
+  val FactDensifyCte: String =
+    FactCte + """,
+      |factd AS (
+      |  SELECT *, time_id - (time_id % 100) AS rounded_time_id,
+      |         FALSE AS is_interpolated
+      |  FROM fact
+      |)""".stripMargin
+
+  /** Shared DuckDB oracle fragment: the derived sources dimension
+    * (mirrors graft.ops.GoldModel.sourcesDim). */
+  val SourcesCte: String =
+    """sources AS (
+      |  SELECT id, name, concat('#', substr(md5(name), 1, 6)) AS color,
+      |         first_id,
+      |         CASE WHEN id % 7 = 3 THEN TIMESTAMP '2024-02-01 00:00:00' END AS deleted_at
+      |  FROM (
+      |    SELECT CAST(user_id AS INT) AS id,
+      |           'src_' || CAST(CAST(user_id AS INT) AS VARCHAR) AS name,
+      |           MIN(event_id) AS first_id
+      |    FROM events GROUP BY 1, 2
+      |  )
+      |)""".stripMargin
+}
