@@ -45,6 +45,13 @@ object Interpolate {
 
   private val keys = Seq("source_id", "side_id", "date_id")
 
+  /** Null-safe conjunction over key columns: the reference's pandas
+    * dropna=False grouping means a NULL side_id is a real group, so
+    * every self-join on the group key must use <=> — plain = would
+    * silently drop NULL-key groups from the interpolation output. */
+  private def keyEq(l: String, r: String, cols: Seq[String]) =
+    cols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+
   /** HHmmss minute encoding → minute-of-day. */
   private def minuteOfDay(t: org.apache.spark.sql.Column) =
     floor(t / 10000) * 60 + floor((t % 10000) / 100)
@@ -85,10 +92,11 @@ object Interpolate {
     val expected = groups.join(grid, Seq("date_id"))
 
     // J6 anti-join: minutes the group already covers are not generated.
-    val missing = expected.join(
-      factRows.select((keys :+ "rounded_time_id").map(col): _*).distinct(),
-      keys :+ "rounded_time_id",
-      "left_anti")
+    val covered = factRows
+      .select((keys :+ "rounded_time_id").map(col): _*).distinct()
+    val missing = expected.as("e")
+      .join(covered.as("c"),
+        keyEq("e", "c", keys :+ "rounded_time_id"), "left_anti")
 
     // Groups eligible for interpolation: ≥ 2 actual ticks
     // (fact_gold_price.py:321 counts rows, not distinct minutes).
@@ -100,12 +108,14 @@ object Interpolate {
 
     // Candidates: each missing minute × the group's actual points,
     // ranked by (|Δt|, t) — nearest-2 with stable tie-break.
-    val cand = missing
-      .join(eligible, keys)
+    val cand = missing.as("m")
+      .join(eligible.as("g"), keyEq("m", "g", keys), "left_semi")
       .withColumnRenamed("rounded_time_id", "m")
-      .join(
-        actuals.withColumnRenamed("rounded_time_id", "t"),
-        keys)
+      .as("mm")
+      .join(actuals.withColumnRenamed("rounded_time_id", "t").as("a"),
+        keyEq("mm", "a", keys))
+      .select(keys.map(c => col(s"mm.$c")) ++
+        Seq(col("m"), col("t"), col("aprice")): _*)
     val byDist = Window
       .partitionBy((keys :+ "m").map(col): _*)
       .orderBy(abs($"t" - $"m").asc, $"t".asc)
@@ -157,7 +167,11 @@ object Interpolate {
     import spark.implicits._
     val bGrid = spark.sparkContext.broadcast(gridByDate)
 
-    val pts = factRows.as[FactPoint]
+    // canonical 7-column projection (same contract as densify(), which
+    // also drops any pass-through columns like the tick id)
+    val pts = factRows.select(
+      $"source_id", $"side_id", $"date_id", $"time_id", $"rounded_time_id",
+      $"price", $"is_interpolated").as[FactPoint]
     val generated = pts
       .groupByKey(p => (p.source_id, p.side_id, p.date_id))
       .flatMapGroups { (key: (Option[Int], Option[Int], Int), it: Iterator[FactPoint]) =>
@@ -172,8 +186,14 @@ object Interpolate {
           val actuals = rows
             .groupBy(_.rounded_time_id).toArray
             .map { case (t, rs) =>
-              val s = rs.map(r => BigDecimal(r.price).setScale(2)).sum
-              (t, (s / rs.length).toDouble)
+              // HALF_UP to match the declarative path's decimal(18,2)
+              // cast (and avoid ArithmeticException on >2dp doubles)
+              val s = rs.map(r =>
+                BigDecimal(r.price).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+              // double division AFTER the exact decimal sum — the same
+              // operation order as the declarative plan, so results are
+              // bit-identical between the two formulations
+              (t, s.toDouble / rs.length)
             }
             .sortBy(_._1)
           if (actuals.length < 1) Iterator.empty
