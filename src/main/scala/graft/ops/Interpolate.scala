@@ -106,35 +106,70 @@ object Interpolate {
       .filter($"n_ticks" >= 2)
       .select(keys.map(col): _*)
 
-    // Candidates: each missing minute × the group's actual points,
-    // ranked by (|Δt|, t) — nearest-2 with stable tie-break.
-    val cand = missing.as("m")
-      .join(eligible.as("g"), keyEq("m", "g", keys), "left_semi")
-      .withColumnRenamed("rounded_time_id", "m")
-      .as("mm")
-      .join(actuals.withColumnRenamed("rounded_time_id", "t").as("a"),
-        keyEq("mm", "a", keys))
-      .select(keys.map(c => col(s"mm.$c")) ++
-        Seq(col("m"), col("t"), col("aprice")): _*)
-    val byDist = Window
-      .partitionBy((keys :+ "m").map(col): _*)
-      .orderBy(abs($"t" - $"m").asc, $"t".asc)
-    val near2 = cand
-      .withColumn("rn", row_number().over(byDist))
-      .filter($"rn" <= 2)
+    // Nearest-2 selection, linear formulation. The naive plan joins every
+    // missing minute against every actual point of its group (O(gap ×
+    // points) rows per group-day — quadratic, and the dominant cost on a
+    // dense fact). But the two nearest points of a missing minute m can
+    // only be drawn from {prev2, prev1, next1, next2}: the two closest
+    // actual minutes on each side — anything further on the same side is
+    // dominated. So: interleave missing slots with the group's actual
+    // points on one time-sorted window, carry each side's nearest two via
+    // last/first(ignoreNulls) chains, then pick the best 2 of ≤4
+    // candidates by (|Δt|, t) — the same stable tie-break as numpy
+    // argsort on the time-sorted array (SURVEY §7.4). One shuffle on the
+    // group key, O(n log n) per group, no quadratic intermediate.
+    val points = actuals
+      .withColumnRenamed("rounded_time_id", "pos")
+      .withColumn("pt", struct($"pos".as("t"), $"aprice".as("p")))
+      .withColumn("prevpt",
+        lag($"pt", 1).over(Window.partitionBy(keys.map(col): _*).orderBy($"pos")))
+      .withColumn("nextpt",
+        lead($"pt", 1).over(Window.partitionBy(keys.map(col): _*).orderBy($"pos")))
+      .withColumn("is_slot", lit(false))
+      .drop("aprice")
 
-    val interpolated = near2
-      .groupBy((keys :+ "m").map(col): _*)
-      .agg(
-        max(when($"rn" === 1, $"t")).as("t1"),
-        max(when($"rn" === 1, $"aprice")).as("p1"),
-        max(when($"rn" === 2, $"t")).as("t2"),
-        max(when($"rn" === 2, $"aprice")).as("p2"))
+    val slots = missing.as("m")
+      .join(eligible.as("g"), keyEq("m", "g", keys), "left_semi")
+      .withColumnRenamed("rounded_time_id", "pos")
+      .withColumn("pt", lit(null).cast(points.schema("pt").dataType))
+      .withColumn("prevpt", lit(null).cast(points.schema("pt").dataType))
+      .withColumn("nextpt", lit(null).cast(points.schema("pt").dataType))
+      .withColumn("is_slot", lit(true))
+
+    val byTime = Window.partitionBy(keys.map(col): _*).orderBy($"pos")
+    val before = byTime.rowsBetween(Window.unboundedPreceding, 0)
+    val after = byTime.rowsBetween(0, Window.unboundedFollowing)
+
+    // slot rows carry NULL pt/prevpt/nextpt, so ignoreNulls skips them:
+    // prev1 = nearest actual before the slot, prev2 = its predecessor
+    // (propagated through the lag chain), symmetrically next1/next2.
+    val enriched = points.unionByName(slots)
+      .withColumn("prev1", last($"pt", ignoreNulls = true).over(before))
+      .withColumn("prev2", last($"prevpt", ignoreNulls = true).over(before))
+      .withColumn("next1", first($"pt", ignoreNulls = true).over(after))
+      .withColumn("next2", first($"nextpt", ignoreNulls = true).over(after))
+
+    def candOf(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull,
+        struct(abs(c.getField("t") - $"pos").as("d"),
+          c.getField("t").as("t"), c.getField("p").as("p")))
+
+    // struct sort is lexicographic on (d, t): nearest first, distance
+    // ties break toward the earlier minute.
+    val interpolated = enriched
+      .filter($"is_slot")
+      .withColumn("cands", array_sort(filter(
+        array(candOf($"prev2"), candOf($"prev1"),
+          candOf($"next1"), candOf($"next2")),
+        c => c.isNotNull)))
+      .withColumn("n1", $"cands".getItem(0))
+      .withColumn("n2", when(size($"cands") >= 2, $"cands".getItem(1)))
       .select(
         col("source_id"), col("side_id"), col("date_id"),
-        $"m".as("time_id"), $"m".as("rounded_time_id"),
-        when($"t2".isNull || $"t2" === $"t1", $"p1")
-          .otherwise($"p1" + ($"m" - $"t1") * ($"p2" - $"p1") / ($"t2" - $"t1"))
+        $"pos".as("time_id"), $"pos".as("rounded_time_id"),
+        when($"n2".isNull || $"n2.t" === $"n1.t", $"n1.p")
+          .otherwise($"n1.p" +
+            ($"pos" - $"n1.t") * ($"n2.p" - $"n1.p") / ($"n2.t" - $"n1.t"))
           .as("price"),
         lit(true).as("is_interpolated"))
 

@@ -58,19 +58,24 @@ object Report {
       .agg(count(col("time_id")).as("minute_count"))
 
     // share-of-day duration: ROUND(cnt/total, 2)·24 split into HH:MM
-    // (cheap_expensive_chart.py:74-78), with explicit int casts so the
-    // string form is 'HH:MM' in every engine.
+    // (cheap_expensive_chart.py:74-78). Computed in pure integer
+    // arithmetic — round-half-up(a/b) = (2a+b) div 2b — so the result is
+    // bit-identical in any engine (a double `round` here differs between
+    // engines on ties):
+    //   p2     = round(100·cnt/total)          — the percentage, 2dp
+    //   hours  = p2·24/100 = p2·6/25           — floor = hour hand
+    //   minute = round((p2·6 mod 25)·60/25)    — = (24·rem + 5) div 10
     val total = sum(col("minute_count")).over(Window.partitionBy())
-    val hoursFrac = round(col("minute_count") / total, 2) * 24
     counted
-      .withColumn("_hf", hoursFrac)
+      .withColumn("_total", total)
+      .withColumn("_p2", expr("(200 * minute_count + _total) div (2 * _total)"))
+      .withColumn("_h", expr("(_p2 * 6) div 25"))
+      .withColumn("_m", expr("((_p2 * 6) % 25 * 24 + 5) div 10"))
       .select(
         col("source"), col("color"), col("minute_count"),
         concat(
-          lpad(floor(col("_hf")).cast("int").cast("string"), 2, "0"),
-          lit(":"),
-          lpad(round((col("_hf") - floor(col("_hf"))) * 60, 0).cast("int")
-            .cast("string"), 2, "0")).as("duration"))
+          lpad(col("_h").cast("string"), 2, "0"), lit(":"),
+          lpad(col("_m").cast("string"), 2, "0")).as("duration"))
       .orderBy(col("minute_count").desc, col("source").asc)
   }
 }
