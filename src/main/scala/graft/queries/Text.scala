@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table (SURVEY.md
+  * §7.5): analysis (stats/quality, language-ID, fingerprints) and
+  * deduplication (exact, MinHash+LSH, SimHash). Everything is built from
+  * codegen'd built-ins + higher-order array functions — no UDFs — and
+  * every hash is an engine-portable construction (md5, polynomial
+  * rolling hash in exact int64 arithmetic) so each query has a full
+  * DuckDB value oracle.
+  *
+  * Scale design: per-document work is a pure map stage (no shuffle);
+  * dedup pair generation never goes quadratic — candidates come from
+  * hash-bucket self-joins (LSH bands / simhash bands), so the shuffle
+  * key is the band key and skew is bounded by bucket size, not corpus
+  * size. At 100 TB the same plans hold with the band join as the only
+  * exchange.
+  */
+object Text {
+
+  /** The corpus under dedup test: documents + deterministically injected
+    * exact duplicates (doc_id+100000, every 50th) and near duplicates
+    * (doc_id+200000, every 25th, a short tail appended). Injection makes
+    * the dedup queries self-verifying at any scale factor. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz near dup marker zz")).as("text")))
+  }
+
+  private val CorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz near dup marker zz'
+      |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  /** 3-token shingles of a single-space-tokenized text, distinct.
+    * Spark-side SQL fragment; `t` must be the token array column. */
+  private val ShingleExpr =
+    "array_distinct(transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3))))"
+
+  private val ShingleDuck =
+    "list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Alphabetical tie-break, all-zero → 'und'. */
+  private val Markers = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "los", "y", "las", "una", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+
+  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+
+  /** 30-bit SimHash over token polynomial hashes, exact int64 arithmetic.
+    * polyhash(w) = fold (acc*31 + codepoint) mod 1e9+7 over characters;
+    * bit j of the simhash is the sign of Σ_tokens (±1 by bit j of the
+    * token hash). */
+  private val PolyHashExpr =
+    "transform(t, w -> aggregate(sequence(1, length(w)), 0L, (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % 1000000007))"
+
+  private val SimhashExpr =
+    "aggregate(sequence(0, 29), 0L, (acc, j) -> acc + IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, j), 0L))"
+
+  private val PolyHashDuck =
+    "list_transform(t, w -> list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))"
+
+  private val SimhashDuck =
+    "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 30), j -> CASE WHEN list_reduce([CAST(0 AS BIGINT)] || list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), (a, x) -> a + x)"
+
+  val all: Map[String, Q] = Map(
+
+    // ---- analysis ---------------------------------------------------
+
+    // Quality scoring + token counting: length/stopword/type-token
+    // ratios and a BPE-ish regex subtoken count, one codegen'd map pass.
+    "x_text_stats" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .selectExpr(
+            "doc_id", "lang", "source",
+            "length(text) AS n_chars_calc",
+            "size(t) AS n_tokens",
+            "size(array_distinct(t)) AS n_distinct_tokens",
+            "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS n_subtokens",
+            s"size(filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / size(t) AS stop_ratio",
+            "size(array_distinct(t)) / size(t) AS type_token_ratio",
+            "(length(text) - (size(t) - 1)) / size(t) AS avg_token_len")
+          .withColumn("quality_score",
+            expr("round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)")),
+      s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, lang, source,
+         |  CAST(length(text) AS INT) AS n_chars_calc,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subtokens,
+         |  len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t) AS stop_ratio,
+         |  len(list_distinct(t)) / len(t) AS type_token_ratio,
+         |  (length(text) - (len(t) - 1)) / len(t) AS avg_token_len,
+         |  round((len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t)) * 0.3
+         |    + (len(list_distinct(t)) / len(t)) * 0.4
+         |    + least(len(t) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |FROM d""".stripMargin),
+
+    // Language-ID heuristic: per-language marker-stopword scores,
+    // argmax with alphabetical tie-break, rolled into a (declared ×
+    // predicted) confusion matrix.
+    "x_lang_id" -> Q(
+      (s, dir) => {
+        val scored = Markers.foldLeft(
+          Tables.documents(s, dir).withColumn("t", split(col("text"), " "))) {
+          case (df, (l, ws)) =>
+            df.withColumn(s"s_$l",
+              expr(s"size(filter(t, w -> w IN (${inList(ws)})))"))
+        }
+        scored
+          .withColumn("g", greatest(Markers.map(m => col(s"s_${m._1}")): _*))
+          .withColumn("predicted_lang",
+            expr("""CASE WHEN g = 0 THEN 'und'
+                   |     WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+                   |     WHEN s_es = g THEN 'es' ELSE 'fr' END""".stripMargin))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      }, {
+        val scores = Markers.map { case (l, ws) =>
+          s"len(list_filter(t, w -> w IN (${inList(ws)}))) AS s_$l"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+           |sc AS (SELECT lang, $scores FROM d),
+           |p AS (SELECT lang,
+           |        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           |             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |             ELSE 'fr' END AS predicted_lang
+           |      FROM sc)
+           |SELECT lang, predicted_lang, COUNT(*) AS n
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // Document fingerprinting: whole-text md5, minimum shingle hash
+    // (1-permutation MinHash), and a token-level polynomial rolling hash
+    // — three independent, order-sensitive content signatures.
+    "x_fingerprint" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("sh", expr(ShingleExpr))
+          .withColumn("hs", expr(PolyHashExpr))
+          .selectExpr(
+            "doc_id",
+            "md5(lower(text)) AS fp_md5",
+            "array_min(transform(sh, x -> md5(x))) AS fp_shingle_min",
+            "aggregate(hs, 0L, (acc, h) -> (acc * 131 + h) % 1000000007) AS fp_rolling"),
+      s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+         |e AS (SELECT doc_id, text, $ShingleDuck AS sh, $PolyHashDuck AS hs FROM d)
+         |SELECT doc_id,
+         |  md5(lower(text)) AS fp_md5,
+         |  list_min(list_transform(sh, x -> md5(x))) AS fp_shingle_min,
+         |  list_reduce([CAST(0 AS BIGINT)] || hs, (acc, h) -> (acc * 131 + h) % 1000000007) AS fp_rolling
+         |FROM e""".stripMargin),
+
+    // ---- deduplication ---------------------------------------------
+
+    // Exact dedup: hash-groupBy on normalized text, canonical = min id.
+    "x_dedup_exact" -> Q(
+      (s, dir) =>
+        corpus(s, dir)
+          .groupBy(md5(lower(col("text"))).as("content_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .orderBy(col("canonical_id")),
+      s"""WITH $CorpusCte
+         |SELECT md5(lower(text)) AS content_hash,
+         |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY canonical_id""".stripMargin),
+
+    // MinHash + LSH near-dedup: 8 md5-seeded minhashes over 3-gram
+    // shingles, 4 bands × 2 rows, band-bucket self-join for candidates,
+    // exact Jaccard verification ≥ 0.5. The only shuffle is on the band
+    // key — no quadratic pair generation.
+    "x_dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        val sh = corpus(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("sh", expr(ShingleExpr))
+          .select("doc_id", "sh")
+        val bands = sh
+          .withColumn("mh", expr(
+            "transform(sequence(0, 7), k -> array_min(transform(sh, s -> md5(concat(cast(k AS string), ':', s)))))"))
+          .withColumn("bkey", explode(expr(
+            "transform(sequence(0, 3), b -> md5(concat(cast(b AS string), '|', element_at(mh, 2*b+1), element_at(mh, 2*b+2))))")))
+          .select("doc_id", "bkey")
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        pairs
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .withColumn("jaccard", expr(
+            "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+          .filter(col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      s"""WITH $CorpusCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
+         |mh AS (SELECT doc_id, sh,
+         |         list_transform(range(0, 8), k ->
+         |           list_min(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS mh
+         |       FROM sh),
+         |bands AS (SELECT doc_id,
+         |            unnest(list_transform(range(0, 4), b ->
+         |              md5(CAST(b AS VARCHAR) || '|' || mh[2*b+1] || mh[2*b+2]))) AS bkey
+         |          FROM mh),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bands a JOIN bands b
+         |            ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT p.a_id, p.b_id,
+         |       len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |FROM pairs p
+         |JOIN sh sa ON sa.doc_id = p.a_id
+         |JOIN sh sb ON sb.doc_id = p.b_id
+         |WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // SimHash near-dedup: 30-bit simhash from token polynomial hashes,
+    // 3 bands × 10 bits for candidates, Hamming-distance verification.
+    "x_dedup_simhash" -> Q(
+      (s, dir) => {
+        val sim = corpus(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("hs", expr(PolyHashExpr))
+          .withColumn("simhash", expr(SimhashExpr))
+          .select("doc_id", "simhash")
+        val bands = sim
+          .withColumn("bkey", explode(expr(
+            "transform(sequence(0, 2), b -> concat(cast(b AS string), ':', cast(shiftright(simhash, 10*b) & 1023 AS string)))")))
+          .select("doc_id", "bkey")
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        pairs
+          .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+          .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+          .withColumn("hamming", expr("cast(bit_count(ha ^ hb) AS int)"))
+          .filter(col("hamming") <= 8)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      s"""WITH $CorpusCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |h AS (SELECT doc_id, $PolyHashDuck AS hs FROM d),
+         |s AS (SELECT doc_id, $SimhashDuck AS simhash FROM h),
+         |bands AS (SELECT doc_id,
+         |            unnest(list_transform(range(0, 3), b ->
+         |              CAST(b AS VARCHAR) || ':' || CAST((simhash >> (10*b)) & 1023 AS VARCHAR))) AS bkey
+         |          FROM s),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bands a JOIN bands b
+         |            ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT p.a_id, p.b_id, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+         |FROM pairs p
+         |JOIN s sa ON sa.doc_id = p.a_id
+         |JOIN s sb ON sb.doc_id = p.b_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+         |ORDER BY a_id, b_id""".stripMargin)
+  )
+}
