@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hash kernels.
+  *
+  * The same constructions are expressible with higher-order built-ins
+  * (`aggregate`/`transform` over the token array — see the DuckDB oracle
+  * SQL in graft.queries.Text, which stays in that form), but Spark
+  * evaluates higher-order lambdas interpreted, one closure dispatch per
+  * token × bit. These expressions keep the per-document loop in compiled
+  * JVM code and participate in whole-stage codegen through a static
+  * call, which is the preference order the engine follows everywhere:
+  * built-in > native Expression > UDF.
+  *
+  * Semantics (shared with the oracle formulation):
+  *   polyhash_m(w)  = fold over code points: (acc·m + cp) mod (10⁹+7)
+  *   simhash60(ts)  = bits 0..29: sign-votes over polyhash₃₁ bits,
+  *                    bits 30..59: sign-votes over polyhash₁₃₁ bits
+  */
+object TextHash {
+  final val Mod = 1000000007L
+
+  /** Polynomial rolling hash of one token over Unicode code points —
+    * matches `aggregate(sequence(1,length(w)), 0L, (acc,i) ->
+    * (acc*m + ascii(substr(w,i,1))) % 1000000007)`: Spark substr/length
+    * operate on code points and ascii() yields the leading code point. */
+  def polyHash(w: UTF8String, mult: Long): Long = {
+    if (w == null) return 0L
+    val s = w.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def polyHashArray(tokens: ArrayData, mult: Long): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = polyHash(tokens.getUTF8String(i), mult)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit simhash in one pass over the token array. */
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i)
+      val h1 = polyHash(w, 31L)
+      val h2 = polyHash(w, 131L)
+      var j = 0
+      while (j < 30) {
+        votes(j) += (if (((h1 >> j) & 1L) == 1L) 1 else -1)
+        votes(30 + j) += (if (((h2 >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Column API: per-token polynomial hashes of a tokens array. */
+  def polyHashes(tokens: Column, mult: Int): Column =
+    bridge.column(PolyHashArrayExpr(bridge.expression(tokens), mult))
+
+  /** Column API: 60-bit simhash of a tokens array. */
+  def simhash(tokens: Column): Column =
+    bridge.column(SimHash60Expr(bridge.expression(tokens)))
+}
+
+case class PolyHashArrayExpr(child: Expression, mult: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.polyHashArray(input.asInstanceOf[ArrayData], mult.toLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHashArray($c, ${mult}L)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashArrayExpr =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash_array"
+}
+
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash60"
+}

@@ -138,7 +138,16 @@ object Interpolate {
 
     val byTime = Window.partitionBy(keys.map(col): _*).orderBy($"pos")
     val before = byTime.rowsBetween(Window.unboundedPreceding, 0)
-    val after = byTime.rowsBetween(0, Window.unboundedFollowing)
+    // "nearest actual at-or-after" is expressed as last-non-null over the
+    // REVERSED ordering with an unboundedPreceding frame, never as
+    // first(ignoreNulls) over a (0, unboundedFollowing) frame: Spark's
+    // UnboundedFollowingWindowFunctionFrame re-scans the remaining frame
+    // for every row — O(n²) per group (measured 51s → 9s on one sf0.1
+    // date), while the unboundedPreceding frame is incremental O(n).
+    // `pos` is unique within a group (points are minute-aggregated and
+    // slots are the complement minutes), so both orderings are total.
+    val beforeDesc = Window.partitionBy(keys.map(col): _*).orderBy($"pos".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
 
     // slot rows carry NULL pt/prevpt/nextpt, so ignoreNulls skips them:
     // prev1 = nearest actual before the slot, prev2 = its predecessor
@@ -146,30 +155,49 @@ object Interpolate {
     val enriched = points.unionByName(slots)
       .withColumn("prev1", last($"pt", ignoreNulls = true).over(before))
       .withColumn("prev2", last($"prevpt", ignoreNulls = true).over(before))
-      .withColumn("next1", first($"pt", ignoreNulls = true).over(after))
-      .withColumn("next2", first($"nextpt", ignoreNulls = true).over(after))
+      .withColumn("next1", last($"pt", ignoreNulls = true).over(beforeDesc))
+      .withColumn("next2", last($"nextpt", ignoreNulls = true).over(beforeDesc))
 
-    def candOf(c: org.apache.spark.sql.Column) =
+    // Best-2-of-4 selection in pure scalar arithmetic so the whole stage
+    // stays inside whole-stage codegen (an array_sort over candidate
+    // structs is an interpreted lambda per row — measured 3× slower on a
+    // 30-day rebuild). Each candidate is ranked by the key
+    // |Δt|·10⁶ + t: t < 10⁶ (HHmmss), so key order == lexicographic
+    // (distance, t) order — nearest first, distance ties toward the
+    // earlier minute, exactly the struct-sort this replaces. Candidate
+    // t's are distinct within a group (one point per minute), so keys
+    // are distinct and decode unambiguously.
+    def keyOf(c: org.apache.spark.sql.Column) =
       when(c.isNotNull,
-        struct(abs(c.getField("t") - $"pos").as("d"),
-          c.getField("t").as("t"), c.getField("p").as("p")))
+        abs(c.getField("t") - $"pos").cast("long") * 1000000L + c.getField("t"))
 
-    // struct sort is lexicographic on (d, t): nearest first, distance
-    // ties break toward the earlier minute.
     val interpolated = enriched
       .filter($"is_slot")
-      .withColumn("cands", array_sort(filter(
-        array(candOf($"prev2"), candOf($"prev1"),
-          candOf($"next1"), candOf($"next2")),
-        c => c.isNotNull)))
-      .withColumn("n1", $"cands".getItem(0))
-      .withColumn("n2", when(size($"cands") >= 2, $"cands".getItem(1)))
+      .withColumn("k_p2", keyOf($"prev2"))
+      .withColumn("k_p1", keyOf($"prev1"))
+      .withColumn("k_n1", keyOf($"next1"))
+      .withColumn("k_n2", keyOf($"next2"))
+      // least() skips NULLs: k1 = best candidate, k2 = best of the rest.
+      .withColumn("k1", least($"k_p2", $"k_p1", $"k_n1", $"k_n2"))
+      .withColumn("k2", least(
+        when($"k_p2" =!= $"k1", $"k_p2"),
+        when($"k_p1" =!= $"k1", $"k_p1"),
+        when($"k_n1" =!= $"k1", $"k_n1"),
+        when($"k_n2" =!= $"k1", $"k_n2")))
+      .withColumn("t1", ($"k1" % 1000000L).cast("int"))
+      .withColumn("t2", ($"k2" % 1000000L).cast("int"))
+      .withColumn("p1",
+        when($"k_p2" === $"k1", $"prev2.p").when($"k_p1" === $"k1", $"prev1.p")
+          .when($"k_n1" === $"k1", $"next1.p").otherwise($"next2.p"))
+      .withColumn("p2",
+        when($"k_p2" === $"k2", $"prev2.p").when($"k_p1" === $"k2", $"prev1.p")
+          .when($"k_n1" === $"k2", $"next1.p").when($"k_n2" === $"k2", $"next2.p"))
       .select(
         col("source_id"), col("side_id"), col("date_id"),
         $"pos".as("time_id"), $"pos".as("rounded_time_id"),
-        when($"n2".isNull || $"n2.t" === $"n1.t", $"n1.p")
-          .otherwise($"n1.p" +
-            ($"pos" - $"n1.t") * ($"n2.p" - $"n1.p") / ($"n2.t" - $"n1.t"))
+        when($"k2".isNull || $"t2" === $"t1", $"p1")
+          .otherwise($"p1" +
+            ($"pos" - $"t1") * ($"p2" - $"p1") / ($"t2" - $"t1"))
           .as("price"),
         lit(true).as("is_interpolated"))
 

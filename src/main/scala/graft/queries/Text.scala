@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,21 +64,23 @@ object Text {
 
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
 
-  /** 30-bit SimHash over token polynomial hashes, exact int64 arithmetic.
-    * polyhash(w) = fold (acc*31 + codepoint) mod 1e9+7 over characters;
-    * bit j of the simhash is the sign of Σ_tokens (±1 by bit j of the
-    * token hash). */
-  private val PolyHashExpr =
-    "transform(t, w -> aggregate(sequence(1, length(w)), 0L, (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % 1000000007))"
+  /** SimHash over token polynomial hashes, exact int64 arithmetic.
+    * polyhash_m(w) = fold (acc*m + codepoint) mod 1e9+7 over characters;
+    * bit j of a 30-bit simhash half is the sign of Σ_tokens (±1 by bit j
+    * of the token hash). Two independent multipliers (31, 131) give two
+    * 30-bit halves → a 60-bit signature, so the Hamming threshold can be
+    * tight (≤3, like production 64-bit simhash dedup) instead of the
+    * loose ≤8 a single 30-bit hash would force. The Spark side evaluates
+    * this via the native graft.functions.TextHash expressions; the DuckDB
+    * oracle keeps the equivalent higher-order-function formulation below.
+    */
+  private def polyHashDuck(m: Int) =
+    s"list_transform(t, w -> list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), (acc, c) -> (acc * $m + c) % 1000000007))"
 
-  private val SimhashExpr =
-    "aggregate(sequence(0, 29), 0L, (acc, j) -> acc + IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, j), 0L))"
+  private val PolyHashDuck = polyHashDuck(31)
 
-  private val PolyHashDuck =
-    "list_transform(t, w -> list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))"
-
-  private val SimhashDuck =
-    "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 30), j -> CASE WHEN list_reduce([CAST(0 AS BIGINT)] || list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), (a, x) -> a + x)"
+  private def simhashDuck(hsCol: String) =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 30), j -> CASE WHEN list_reduce([CAST(0 AS BIGINT)] || list_transform($hsCol, h -> CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), (a, x) -> a + x)"
 
   val all: Map[String, Q] = Map(
 
@@ -159,7 +162,7 @@ object Text {
         Tables.documents(s, dir)
           .withColumn("t", split(col("text"), " "))
           .withColumn("sh", expr(ShingleExpr))
-          .withColumn("hs", expr(PolyHashExpr))
+          .withColumn("hs", TextHash.polyHashes(col("t"), 31))
           .selectExpr(
             "doc_id",
             "md5(lower(text)) AS fp_md5",
@@ -241,18 +244,18 @@ object Text {
          |WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin),
 
-    // SimHash near-dedup: 30-bit simhash from token polynomial hashes,
-    // 3 bands × 10 bits for candidates, Hamming-distance verification.
+    // SimHash near-dedup: 60-bit simhash (two independent 30-bit halves)
+    // from token polynomial hashes, 4 bands × 15 bits for candidates,
+    // Hamming-distance ≤ 3 verification.
     "x_dedup_simhash" -> Q(
       (s, dir) => {
         val sim = corpus(s, dir)
           .withColumn("t", split(col("text"), " "))
-          .withColumn("hs", expr(PolyHashExpr))
-          .withColumn("simhash", expr(SimhashExpr))
+          .withColumn("simhash", TextHash.simhash(col("t")))
           .select("doc_id", "simhash")
         val bands = sim
           .withColumn("bkey", explode(expr(
-            "transform(sequence(0, 2), b -> concat(cast(b AS string), ':', cast(shiftright(simhash, 10*b) & 1023 AS string)))")))
+            "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(shiftright(simhash, 15*b) & 32767 AS string)))")))
           .select("doc_id", "bkey")
         val pairs = bands.as("a")
           .join(bands.as("b"),
@@ -263,17 +266,17 @@ object Text {
           .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
           .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
           .withColumn("hamming", expr("cast(bit_count(ha ^ hb) AS int)"))
-          .filter(col("hamming") <= 8)
+          .filter(col("hamming") <= 3)
           .select("a_id", "b_id", "hamming")
           .orderBy("a_id", "b_id")
       },
       s"""WITH $CorpusCte,
          |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-         |h AS (SELECT doc_id, $PolyHashDuck AS hs FROM d),
-         |s AS (SELECT doc_id, $SimhashDuck AS simhash FROM h),
+         |h AS (SELECT doc_id, ${polyHashDuck(31)} AS hs1, ${polyHashDuck(131)} AS hs2 FROM d),
+         |s AS (SELECT doc_id, ${simhashDuck("hs1")} + (${simhashDuck("hs2")} << 30) AS simhash FROM h),
          |bands AS (SELECT doc_id,
-         |            unnest(list_transform(range(0, 3), b ->
-         |              CAST(b AS VARCHAR) || ':' || CAST((simhash >> (10*b)) & 1023 AS VARCHAR))) AS bkey
+         |            unnest(list_transform(range(0, 4), b ->
+         |              CAST(b AS VARCHAR) || ':' || CAST((simhash >> (15*b)) & 32767 AS VARCHAR))) AS bkey
          |          FROM s),
          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |          FROM bands a JOIN bands b
@@ -282,7 +285,7 @@ object Text {
          |FROM pairs p
          |JOIN s sa ON sa.doc_id = p.a_id
          |JOIN s sb ON sb.doc_id = p.b_id
-         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin)
   )
 }
