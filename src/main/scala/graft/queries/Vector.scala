@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, and embedding-cosine
+  * near-duplicate detection.
+  *
+  * Determinism across engines: float×float products are exact in
+  * double; both Spark (native VectorOps loops) and the DuckDB oracles
+  * (list_reduce in index order) accumulate left-to-right, so cosines are
+  * bit-identical and rankings agree without tolerance.
+  *
+  * Scale design: brute force broadcasts the (small) query set so the
+  * corpus never shuffles — it is the exact-recall baseline and the
+  * verifier for the LSH path. The LSH variant shuffles only on the
+  * 8-bit signature, so candidate generation is O(corpus/256) per
+  * bucket and pair generation never goes quadratic in the corpus.
+  */
+object Vector {
+
+  private val Bits = 8
+  private val NearDupThreshold = 0.9
+
+  /** DuckDB cosine of two list columns — same index-order reduction as
+    * VectorOps.cosineSim. */
+  private def dCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
+       | / (sqrt(list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
+       |  * sqrt(list_reduce(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
+
+  /** DuckDB hyperplane signature — same weights as
+    * VectorOps.hyperplaneSig. */
+  private def dSig(e: String): String =
+    s"""list_reduce(list_transform(range(0, $Bits), h ->
+       |  CASE WHEN list_reduce(list_transform(range(0, len($e)), i ->
+       |         CAST($e[i+1] AS DOUBLE) * ((((h+1)*131 + i*31) % 97) - 48)), (x,y) -> x+y) > 0
+       |       THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END), (x,y) -> x+y)""".stripMargin
+
+  /** Near-dup test corpus: embeddings + injected near-duplicates —
+    * vec_id+10000: scaled ×2 (exact in FP, cosine ≈ 1), every 25th;
+    * vec_id+20000: first dimension zeroed (cosine ≈ 0.992 on 64 dims),
+    * every 20th. Natural pairs top out at cosine ≈ 0.51 (measured), so
+    * the 0.9 threshold isolates exactly the injected pairs. */
+  private def corpusE(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            expr("transform(embedding, x -> x * float(2))").as("embedding")))
+      .unionByName(
+        e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            expr("transform(sequence(1, size(embedding)), i -> IF(i = 1, float(0), element_at(embedding, i)))")
+              .as("embedding")))
+  }
+
+  private val CorpusECte =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 25 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000,
+      |         list_transform(range(1, len(embedding)+1),
+      |           i -> CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END)
+      |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Brute-force cosine top-k: the exact-recall ANN baseline. The
+    // query set broadcasts; the corpus is scanned once with the scoring
+    // in whole-stage codegen, then per-query top-k via ranked window.
+    "x_ann_brute" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id != q.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // LSH-bucketed ANN: candidates share the query's 8-bit hyperplane
+    // signature (single probe), exact cosine re-scoring inside the
+    // bucket. Approximate recall by design — the brute-force query
+    // above is its verifier.
+    "x_ann_lsh" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.sig(col("embedding"), Bits).as("sig"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sig"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(q), Seq("sig"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH es AS (SELECT vec_id, embedding, ${dSig("embedding")} AS sig FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, sig FROM es WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cosine
+         |  FROM es e JOIN q ON e.sig = q.sig
+         |  WHERE e.vec_id != q.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // Embedding-cosine near-dup: candidate pairs from the signature
+    // bucket self-join (the only shuffle key), exact cosine ≥ 0.9
+    // verification. Scaled duplicates land in the same bucket by
+    // construction (signatures are scale-invariant).
+    "x_dedup_embed" -> Q(
+      (s, dir) => {
+        val e = corpusE(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.sig(col("embedding"), Bits).as("sig"))
+        e.as("a")
+          .join(e.as("b"),
+            col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+          .filter(col("cosine") >= NearDupThreshold)
+          .orderBy("a_id", "b_id")
+      },
+      s"""WITH $CorpusECte,
+         |es AS (SELECT vec_id, embedding, ${dSig("embedding")} AS sig FROM ecorpus)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       ${dCos("a.embedding", "b.embedding")} AS cosine
+         |FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE ${dCos("a.embedding", "b.embedding")} >= $NearDupThreshold
+         |ORDER BY a_id, b_id""".stripMargin)
+  )
+}
