@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.MultiModal
+import graft.ops.MultiModal.MediaRecord
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: documents re-materialized as opaque
+  * `binary` media with typed metadata (SURVEY.md §7.5). The corpus text
+  * is pure ASCII (verified: octet_length(encode(text)) == length(text)
+  * at every scale factor), so the DuckDB oracle can express the same
+  * byte operations on VARCHAR while the Spark side runs on genuine
+  * BinaryType columns.
+  */
+object Multimodal {
+
+  /** documents → MediaRecord rows: modality from doc_id mod 3, content
+    * as UTF-8 bytes, deterministic metadata from n_chars. */
+  private def records(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("media_type"),
+      col("text").cast("binary").as("content"),
+      when(col("doc_id") % 3 =!= 1, (lit(16) + col("n_chars") % 640).cast("int"))
+        .as("width"),
+      when(col("doc_id") % 3 =!= 1, (lit(16) + col("n_chars") % 480).cast("int"))
+        .as("height"),
+      when(col("doc_id") % 3 =!= 0, col("n_chars") / 8.0).as("duration_s"))
+
+  val all: Map[String, Q] = Map(
+
+    // Typed-Dataset decode path: mapPartitions feature extraction with
+    // the stub codec (per-partition decoder init — the mapInPandas batch
+    // shape). Every emitted feature is byte-deterministic, so the oracle
+    // verifies the full pipeline including the binary round-trip.
+    "x_mm_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        MultiModal
+          .extractFeatures(records(s, dir).as[MediaRecord])
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS content_fp,
+        |  md5(substring(text, 1, 64)) AS thumb_fp,
+        |  CASE WHEN doc_id % 3 != 1 THEN CAST(16 + n_chars % 640 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 != 1 THEN CAST(16 + n_chars % 480 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 != 0 THEN n_chars / 8.0 END AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Frame sampling: video rows explode into up to 4 fixed-stride byte
+    // windows ("frames"), each fingerprinted — binary slicing and
+    // generation fully inside whole-stage codegen.
+    "x_mm_frames" -> Q(
+      (s, dir) =>
+        records(s, dir)
+          .filter(col("media_type") === "video")
+          .withColumn("n_frames",
+            least(lit(4L), greatest(lit(1L), floor(octet_length(col("content")) / 256))))
+          .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
+          .select(
+            col("doc_id"), col("frame_idx"),
+            expr("octet_length(substring(content, cast(frame_idx * 256 + 1 AS INT), 256))")
+              .as("frame_bytes"),
+            expr("md5(substring(content, cast(frame_idx * 256 + 1 AS INT), 256))")
+              .as("frame_fp"))
+          .orderBy("doc_id", "frame_idx"),
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |         least(4, greatest(1, length(text) // 256)) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, n_frames)) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id, frame_idx,
+        |       CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS INT) AS frame_bytes,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_fp
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.HourlyMicroBatch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Structured Streaming formulation of the reference's hourly
+  * micro-batch (SURVEY.md §2.10): tumbling-window emission under the
+  * 35-minute watermark, and idempotent keyed upsert under micro-batch
+  * replay/late duplicates.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  case class Tick(id: Long, source: String, side: String, price: Double,
+      created_at: Timestamp)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly tumbling window emits a closed hour once the 35-min watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val in = MemoryStream[Tick]
+    val q = HourlyMicroBatch.hourlyAggregates(in.toDF())
+      .writeStream.format("memory").queryName("hourly_agg")
+      .outputMode("append").start()
+    try {
+      // hour 10: two sources; src_a has two ticks to average
+      in.addData(
+        Tick(1, "src_a", "buy", 100.0, ts("2024-01-15 10:05:00")),
+        Tick(2, "src_a", "buy", 102.0, ts("2024-01-15 10:40:00")),
+        Tick(3, "src_b", "sell", 50.0, ts("2024-01-15 10:10:00")))
+      q.processAllAvailable()
+      // hour 10 not closed yet: watermark = max_event - 35m < 11:00
+      assert(spark.table("hourly_agg").count() === 0)
+
+      // a tick at 11:40 pushes the watermark past 11:00 → hour 10 emits
+      in.addData(Tick(4, "src_a", "buy", 104.0, ts("2024-01-15 11:40:00")))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_agg")
+        .select("hour_start", "source", "side", "n_ticks", "avg_price")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows === Set(
+        ("2024-01-15 10:00:00.0", "src_a", "buy", 2L, 101.0),
+        ("2024-01-15 10:00:00.0", "src_b", "sell", 1L, 50.0)))
+
+      // a tick older than the watermark horizon is dropped, not revised
+      in.addData(Tick(5, "src_b", "sell", 999.0, ts("2024-01-15 10:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("hourly_agg").count() === 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch keyed upsert is idempotent: late duplicate overwrites, never duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val target = Files.createTempDirectory("graft_stream_fact").toString + "/fact"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val in = MemoryStream[Tick]
+    def runBatch(ticks: Tick*): Unit = {
+      in.addData(ticks: _*)
+      // AvailableNow drains what's pending then stops; the shared
+      // checkpoint makes the next start() resume from committed offsets
+      // — i.e. each call is one replayable micro-batch.
+      val q = HourlyMicroBatch.upsertSink(in.toDF(), target)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+
+    runBatch(
+      Tick(1, "src_a", "buy", 100.0, ts("2024-01-15 10:05:00")),
+      Tick(2, "src_a", "buy", 101.0, ts("2024-01-15 10:06:00")))
+    // replayed id=2 with an updated price + a new id=3
+    runBatch(
+      Tick(2, "src_a", "buy", 201.0, ts("2024-01-15 10:06:00")),
+      Tick(3, "src_b", "sell", 55.0, ts("2024-01-15 10:07:00")))
+
+    val out = spark.read.parquet(target)
+      .select("id", "price").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 100.0, 2L -> 201.0, 3L -> 55.0))
+  }
+}
