@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -109,9 +109,61 @@ object TextHash {
   def polyHashes(tokens: Column, mult: Int): Column =
     bridge.column(PolyHashArrayExpr(bridge.expression(tokens), mult))
 
+  /** Distinct n-token shingles joined with spaces — semantics of
+    * array_distinct(transform(sequence(1, size(t)-n+1), i ->
+    * concat_ws(' ', slice(t, i, n)))) in one compiled pass (keeps first
+    * occurrence order; every consumer is set-semantics anyway). Returns
+    * an empty array below n tokens, where the sequence() form would
+    * generate a descending range. */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]((cnt - n + 1) * 2)
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  /** Exact Jaccard of two distinct-element string arrays — semantics of
+    * size(array_intersect(a,b)) / size(array_union(a,b)) but one
+    * hash-set pass in compiled code instead of two interpreted
+    * higher-order builds per candidate pair. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      if (set.contains(b.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** Column API: k-permutation MinHash signature of a shingles array. */
   def minhash(shingles: Column, k: Int): Column =
     bridge.column(MinHashesExpr(bridge.expression(shingles), k))
+
+  /** Column API: exact Jaccard of two distinct-element string arrays. */
+  def jaccardSim(a: Column, b: Column): Column =
+    bridge.column(JaccardExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API: distinct n-token shingles of a tokens array. */
+  def shingleSet(tokens: Column, n: Int = 3): Column =
+    bridge.column(ShinglesExpr(bridge.expression(tokens), n))
 
   /** Column API: 60-bit simhash of a tokens array. */
   def simhash(tokens: Column): Column =
@@ -129,6 +181,33 @@ case class PolyHashArrayExpr(child: Expression, mult: Int)
   override protected def withNewChildInternal(newChild: Expression): PolyHashArrayExpr =
     copy(child = newChild)
   override def prettyName: String = "poly_hash_array"
+}
+
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_set"
+}
+
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaccard_sim"
 }
 
 case class MinHashesExpr(child: Expression, k: Int)

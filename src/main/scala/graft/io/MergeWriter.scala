@@ -1,0 +1,60 @@
+package graft.io
+
+import graft.ops.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical upsert on partitioned parquet (SURVEY.md §4.3 #1): the
+  * reference's `INSERT … ON CONFLICT (id) DO UPDATE` re-expressed as a
+  * partition-scoped merge —
+  *
+  *   1. collect the incoming batch's touched partition values (dates:
+  *      tiny by construction, one per day even at 100 TB);
+  *   2. read ONLY those partitions of the target (partition pruning —
+  *      the filter is on the partition column, so untouched data is
+  *      never opened);
+  *   3. latest-wins keyed dedup (Merge.upsertLatestWins);
+  *   4. write back in dynamic partition-overwrite mode, which replaces
+  *      exactly the partitions present in the merged frame and leaves
+  *      every other partition's files untouched.
+  *
+  * The rewrite cost is O(touched partitions), not O(table) — the
+  * property that makes hourly upserts feasible on a 100 TB fact. On a
+  * transactional table format the same call becomes MERGE INTO; this
+  * writer is the parquet-only equivalent (idempotent, but not atomic
+  * under concurrent writers — the reference's hourly DAG has the same
+  * single-writer model).
+  */
+object MergeWriter {
+
+  /** Merge `incoming` into the partitioned parquet table at `targetDir`.
+    * @param key          conflict key (reference: fact id)
+    * @param version      priority within a key — incoming beats existing,
+    *                     then higher version wins (reference:
+    *                     etl_timestamp latest-wins)
+    * @param partitionCol the table's partition column (reference: date_id)
+    */
+  def upsertPartitioned(
+      spark: SparkSession, targetDir: String, incoming: DataFrame,
+      key: String, version: String, partitionCol: String): Unit = {
+    val exists = new java.io.File(targetDir).exists()
+    val merged =
+      if (!exists) incoming
+      else {
+        val touched = incoming.select(partitionCol).distinct()
+          .collect().map(_.get(0))
+        val existing = spark.read.parquet(targetDir)
+          .filter(col(partitionCol).isin(touched: _*))
+        Merge.upsertLatestWins(existing, incoming, key, version)
+      }
+    // localCheckpoint truncates the lineage so the write no longer
+    // references the path it reads (Spark rejects self-overwrite plans);
+    // it also materializes the merged partitions exactly once.
+    merged.localCheckpoint(true)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetDir)
+  }
+}

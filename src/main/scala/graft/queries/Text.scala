@@ -161,7 +161,7 @@ object Text {
       (s, dir) =>
         Tables.documents(s, dir)
           .withColumn("t", split(col("text"), " "))
-          .withColumn("sh", expr(ShingleExpr))
+          .withColumn("sh", TextHash.shingleSet(col("t"), 3))
           .withColumn("hs", TextHash.polyHashes(col("t"), 31))
           .selectExpr(
             "doc_id",
@@ -201,7 +201,7 @@ object Text {
       (s, dir) => {
         val sh = corpus(s, dir)
           .withColumn("t", split(col("text"), " "))
-          .withColumn("sh", expr(ShingleExpr))
+          .withColumn("sh", TextHash.shingleSet(col("t"), 3))
           .select("doc_id", "sh")
         val bands = sh
           .withColumn("mh", TextHash.minhash(col("sh"), 8))
@@ -217,8 +217,7 @@ object Text {
         pairs
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-          .withColumn("jaccard", expr(
-            "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+          .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
           .filter(col("jaccard") >= 0.5)
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")
@@ -244,6 +243,42 @@ object Text {
          |JOIN sh sa ON sa.doc_id = p.a_id
          |JOIN sh sb ON sb.doc_id = p.b_id
          |WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // n-gram Jaccard near-dedup with 1-permutation minhash blocking:
+    // candidate pairs share their minimum shingle hash (P[same block] =
+    // exact Jaccard, so ≥0.5-similar pairs are found with ≥0.5
+    // probability per block — a deliberately different candidate
+    // structure from the banded LSH below), then exact 3-gram Jaccard
+    // ≥ 0.5 verification. Blocking keeps pair generation linear in
+    // bucket size, never quadratic in the corpus.
+    "x_dedup_ngram" -> Q(
+      (s, dir) => {
+        val blocked = corpus(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+          .withColumn("block", TextHash.minhash(col("sh"), 1).getItem(0))
+          .filter(col("block").isNotNull)
+          .select("doc_id", "sh", "block")
+        blocked.as("a")
+          .join(blocked.as("b"),
+            col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            TextHash.jaccardSim(col("a.sh"), col("b.sh")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      s"""WITH $CorpusCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
+         |b AS (SELECT doc_id, sh,
+         |        list_min(list_transform(sh, s ->
+         |          (3 * (list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)) + 7) % 1000000007)) AS block
+         |      FROM sh WHERE len(sh) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM b a JOIN b b ON a.block = b.block AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin),
 
     // SimHash near-dedup: 60-bit simhash (two independent 30-bit halves)

@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape invariants: the properties that make the engine hold at
+  * 100 TB are asserted on the optimized physical plans themselves, so a
+  * regression that silently de-optimizes a query (lost broadcast, lost
+  * pruning, accidental cartesian) fails CI rather than a cluster.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def executedPlanString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfSmoke)
+    df.count() // let AQE settle on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!executedPlanString(name).contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("only the brute-force ANN baseline uses a nested-loop join") {
+    SparkEntry.queries.keys.filterNot(_ == "x_ann_brute").foreach { name =>
+      assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+    // and the intentional one broadcasts the (tiny) query side
+    assert(executedPlanString("x_ann_brute").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("the flagship star join broadcasts its dimensions") {
+    assert(executedPlanString("j1_star_join_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("the report pipeline keeps dimension joins broadcast") {
+    assert(executedPlanString("w1_report_cheap").contains("BroadcastHashJoin"))
+  }
+
+  test("column pruning reaches the parquet scan") {
+    // x_fingerprint touches only doc_id and text of the 5-column table
+    val df = SparkEntry.queries("x_fingerprint")(spark, sfSmoke)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("documents"))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val schema = s.split("ReadSchema: ").last
+      assert(schema.contains("doc_id") && schema.contains("text"))
+      assert(!schema.contains("lang") && !schema.contains("n_chars"),
+        s"scan reads pruned columns: $schema")
+    }
+  }
+}
