@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys (SURVEY.md §7.5 scale notes).
+  *
+  * AQE's skew-join splitting handles joins; a heavily skewed
+  * AGGREGATION still funnels each hot key through one reducer. The
+  * classic fix is salting: stage one spreads every key over `buckets`
+  * deterministic salts and partially aggregates, stage two merges the
+  * ≤ `buckets` partials per key. Cost: one extra (tiny) shuffle stage;
+  * benefit: the hottest key's reducer work drops by ~`buckets`×.
+  *
+  * Only algebraic aggregates decompose this way — sum/count/min/max
+  * merge losslessly (sum of sums, sum of counts, min of mins, …), which
+  * is exactly what the engine's pipelines need. AVG is derived as exact
+  * decimal sum / count at the merge, keeping the engine's
+  * order-independent arithmetic (graft.functions.Exact).
+  */
+object Skew {
+
+  /** Deterministic salt from a discriminator expression (any column
+    * that varies within a key group — a tick id, a timestamp). */
+  private def salt(discriminator: Column, buckets: Int): Column =
+    pmod(hash(discriminator), lit(buckets))
+
+  /** Salted sum/count/min/max of `valueCol` grouped by `keys`.
+    * Output: keys ++ (sum_<v>, cnt_<v>, min_<v>, max_<v>) — identical
+    * rows to the direct single-stage aggregation, by construction. */
+  def saltedStats(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      discriminator: Column, buckets: Int): DataFrame = {
+    val v = col(valueCol)
+    val partial = df
+      .withColumn("_salt", salt(discriminator, buckets))
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(
+        sum(v.cast("decimal(28,10)")).as("_psum"),
+        count(v).as("_pcnt"),
+        min(v).as("_pmin"),
+        max(v).as("_pmax"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
+        sum(col("_pcnt")).as(s"cnt_$valueCol"),
+        min(col("_pmin")).as(s"min_$valueCol"),
+        max(col("_pmax")).as(s"max_$valueCol"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.BucketedWriter
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** The two scale techniques that only show up under load: salting for
+  * skewed aggregation keys (result-identical to the direct plan) and
+  * bucketed co-located joins (exchange-free by plan inspection).
+  */
+class ScaleToolkitSpec extends SparkTestBase {
+
+  test("salted aggregation equals direct aggregation on a 90%-skewed key") {
+    val s = spark
+    import s.implicits._
+    // hot key 0 carries ~90% of rows
+    val df = (1 to 5000).map { i =>
+      val k = if (i % 10 == 0) i % 7 + 1 else 0
+      (k, i.toLong, (i % 400) / 100.0 * 25)
+    }.toDF("k", "id", "v")
+
+    val salted = Skew.saltedStats(df, Seq("k"), "v", col("id"), buckets = 16)
+    val direct = df.groupBy("k").agg(
+      sum(col("v").cast("decimal(28,10)")).cast("double").as("sum_v"),
+      count(col("v")).as("cnt_v"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salted two-stage aggregation diverges from the direct plan")
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_buckets").toString
+    val facts = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "a")
+    val other = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("id", "b")
+    BucketedWriter.writeBucketed(facts, s"$base/t_a", "bkt_a", "id", 8)
+    BucketedWriter.writeBucketed(other, s"$base/t_b", "bkt_b", "id", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
