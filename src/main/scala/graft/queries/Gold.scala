@@ -357,6 +357,23 @@ object Gold {
          |              AND b.side_id IS NOT DISTINCT FROM a.side_id
          |WHERE b.rn = 1 AND a.rn = 1""".stripMargin),
 
+    // Salted two-stage aggregation (skew path of A2/A4): result must be
+    // identical to the direct GROUP BY — the oracle IS the direct form,
+    // so the equivalence is value-checked, not just asserted in a spec.
+    "a2_salted_stats" -> Q(
+      (s, dir) =>
+        graft.ops.Skew.saltedStats(
+          GoldModel.fact(Tables.events(s, dir)),
+          Seq("side_id"), "price", col("id"), buckets = 32)
+          .orderBy(col("side_id")),
+      s"""WITH $FactCte
+         |SELECT side_id,
+         |       CAST(SUM(CAST(price AS DECIMAL(28,10))) AS DOUBLE) AS sum_price,
+         |       COUNT(price) AS cnt_price,
+         |       MIN(price) AS min_price,
+         |       MAX(price) AS max_price
+         |FROM fact GROUP BY side_id ORDER BY side_id""".stripMargin),
+
     // A6+P9: per-date observed minute range over actuals only.
     "a6_minmax_range" -> Q(
       (s, dir) =>
