@@ -199,24 +199,24 @@ object Text {
     // on the band key — no quadratic pair generation.
     "x_dedup_minhash_lsh" -> Q(
       (s, dir) => {
-        val sh = corpus(s, dir)
+        // shingle sets ride along through the band join (same pattern as
+        // the simhash query): the pair row holds both sides' shingles,
+        // so no verification joins and ReuseExchange computes the corpus
+        // scan once for both band sides
+        val bands = corpus(s, dir)
           .withColumn("t", split(col("text"), " "))
           .withColumn("sh", TextHash.shingleSet(col("t"), 3))
-          .select("doc_id", "sh")
-        val bands = sh
           .withColumn("mh", TextHash.minhash(col("sh"), 8))
           .filter(col("mh").isNotNull)
           .withColumn("bkey", explode(expr(
             "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
-          .select("doc_id", "bkey")
-        val pairs = bands.as("a")
+          .select("doc_id", "sh", "bkey")
+        bands.as("a")
           .join(bands.as("b"),
             col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.sh").as("sa"), col("b.sh").as("sb"))
           .distinct()
-        pairs
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
           .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
           .filter(col("jaccard") >= 0.5)
           .select("a_id", "b_id", "jaccard")
