@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DateFlags, GoldModel, Interpolate, Merge, Report}
+import graft.ops.{DateFlags, DimTime, GoldModel, Interpolate, Merge, Report}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -430,10 +430,12 @@ object Gold {
         val e = Tables.events(s, dir)
         val dd = DateFlags.dimDateFrom(
           e.select(GoldModel.tehran(col("ts")).as("local")), "local")
-        val minuteStr = concat(
-          lpad(floor(col("rounded_time_id") / 10000).cast("int").cast("string"), 2, "0"),
-          lit(":"),
-          lpad(floor(col("rounded_time_id") % 10000 / 100).cast("int").cast("string"), 2, "0"))
+        // J2: minute string via the generated dim_time (second = 0 rows)
+        // joined on the rounded minute — fact_gold_price.py:283-288
+        val dtMinutes = DimTime.build(s)
+          .filter(col("second") === 0)
+          .select(col("time_id").as("dt_time_id"),
+            col("minutefullstring24"))
         densified(s, dir, col("date_id") === D)
           .join(broadcast(dd), Seq("date_id"))
           .join(broadcast(GoldModel.sourcesDim(e).select(col("id"), col("name").as("source"))),
@@ -441,7 +443,9 @@ object Gold {
           .join(broadcast(GoldModel.sidesDim(e)
             .select(col("id").as("sid"), col("name").as("side"))),
             col("side_id") === col("sid"), "left")
-          .withColumn("minute_str", minuteStr)
+          .join(broadcast(dtMinutes),
+            col("rounded_time_id") === col("dt_time_id"))
+          .withColumn("minute_str", col("minutefullstring24"))
           // full 'yyyy-MM-dd HH:mm:ss' — a seconds-less string is not a
           // valid TIMESTAMP in every engine (DuckDB rejects it)
           .withColumn("ts_str",
