@@ -43,8 +43,16 @@ object MergeWriter {
       else {
         val touched = incoming.select(partitionCol).distinct()
           .collect().map(_.get(0))
-        val existing = spark.read.parquet(targetDir)
-          .filter(col(partitionCol).isin(touched: _*))
+        // isin() never matches NULL, so a NULL-partition batch would
+        // read zero existing rows while dynamic overwrite still replaces
+        // the NULL (__HIVE_DEFAULT_PARTITION__) directory — losing its
+        // existing rows. Match the NULL partition explicitly.
+        val nonNull = touched.filter(_ != null)
+        val touchedPred =
+          if (nonNull.length == touched.length) col(partitionCol).isin(nonNull: _*)
+          else if (nonNull.isEmpty) col(partitionCol).isNull
+          else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+        val existing = spark.read.parquet(targetDir).filter(touchedPred)
         Merge.upsertLatestWins(existing, incoming, key, version)
       }
     // localCheckpoint truncates the lineage so the write no longer

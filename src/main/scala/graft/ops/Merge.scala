@@ -21,14 +21,24 @@ object Merge {
   /** Latest-wins upsert: one output row per `key`; rows from `incoming`
     * beat rows from `existing`; within a side, higher `version` wins.
     * (S5, ON CONFLICT(id) DO UPDATE — fact_gold_price.py:171-179.)
+    *
+    * Ties beyond (_prio, version) — two incoming rows with the same key
+    * and version — break on a hash of the full payload, so the survivor
+    * is deterministic under any partitioning/retry, unlike a bare
+    * row_number whose ordering of equal rows is whatever the shuffle
+    * delivered. (The reference's sequential ON CONFLICT loop is
+    * batch-order deterministic; a content hash is the strongest
+    * order-free equivalent.)
     */
   def upsertLatestWins(
       existing: DataFrame, incoming: DataFrame,
       key: String, version: String): DataFrame = {
     val unioned = existing.withColumn("_prio", lit(0))
       .unionByName(incoming.withColumn("_prio", lit(1)))
+    val payload = unioned.columns.filterNot(_ == "_prio").map(col).toSeq
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_prio").desc, col(version).desc)
+      .orderBy(col("_prio").desc, col(version).desc,
+        xxhash64(payload: _*).desc)
     unioned
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -16,9 +16,15 @@ object Validation {
 
   final case class GateViolation(msg: String) extends RuntimeException(msg)
 
-  /** Completeness gate: the densified hour must hold
-    * distinct_sources × distinct_sides × minutes rows per minute grid
-    * (fact_gold_price.py:433-440). Returns the profile row it checked. */
+  /** Completeness gate: the densified window must hold
+    * sources × sides × minutes coverage (fact_gold_price.py:433-440).
+    * Enforced as per-group coverage — EVERY (source_id, side_id) group
+    * must cover all `expectedMinutes` grid minutes — which is the
+    * reference's `total == sources × sides × 60` identity made robust to
+    * minutes holding more than one actual tick: a group the interpolator
+    * skipped (<2 actuals) or a group missing grid minutes fails even
+    * when every minute is covered by some other group. Returns the
+    * profile row it checked. */
   def completenessGate(densified: DataFrame, expectedMinutes: Long): DataFrame = {
     val profile = densified.agg(
       countDistinct(col("source_id")).as("n_sources"),
@@ -34,6 +40,16 @@ object Validation {
     if (nMinutes < expectedMinutes)
       throw GateViolation(
         s"completeness: $nMinutes of $expectedMinutes grid minutes present")
+    // per-group coverage: one distributed agg, one small collect
+    val short = densified
+      .groupBy(col("source_id"), col("side_id"))
+      .agg(countDistinct(col("rounded_time_id")).as("g_minutes"))
+      .filter(col("g_minutes") < expectedMinutes)
+      .count()
+    if (short > 0)
+      throw GateViolation(
+        s"completeness: $short source×side groups cover fewer than " +
+          s"$expectedMinutes grid minutes")
     profile
   }
 
@@ -59,6 +75,10 @@ object Validation {
     if (r.getAs[Long]("n") == 0L) throw GateViolation("dim_date is empty")
     if (r.getAs[Long]("null_ds") > 0L) throw GateViolation("NULL date_string")
     if (r.getAs[Long]("out_of_range") > 0L) throw GateViolation("date out of sanity range")
-    if (r.getAs[Long]("n_today") > 1L) throw GateViolation("multiple 'today' flags")
+    // != 1, not > 1: a stale dimension where the run date is absent
+    // (zero today flags) is exactly the failure this gate exists to catch
+    if (r.getAs[Long]("n_today") != 1L)
+      throw GateViolation(
+        s"expected exactly one 'today' flag, found ${r.getAs[Long]("n_today")}")
   }
 }

@@ -23,17 +23,22 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** The corpus under dedup test: documents + deterministically injected
-    * exact duplicates (doc_id+100000, every 50th) and near duplicates
-    * (doc_id+200000, every 25th, a short tail appended). Injection makes
-    * the dedup queries self-verifying at any scale factor. */
+    * exact duplicates (every 50th) and near duplicates (every 25th, a
+    * short tail appended). Injected ids live at doc_id + k·(max+1) — an
+    * offset derived from the data, so the injected keyspace stays
+    * disjoint from real ids (and ordered above them, preserving the
+    * a.doc_id < b.doc_id pair convention) at every scale factor. The
+    * offset is one scalar max() fetched at plan build — a single-column
+    * aggregate answered from parquet footer statistics. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
+    val off = d.agg(max("doc_id")).head.getLong(0) + 1L
     d.unionByName(
         d.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
       .unionByName(
         d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2L * off).as("doc_id"),
             concat(col("text"), lit(" zz near dup marker zz")).as("text")))
   }
 
@@ -41,9 +46,11 @@ object Text {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      |  FROM documents WHERE doc_id % 50 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' zz near dup marker zz'
+      |  SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents),
+      |         text || ' zz near dup marker zz'
       |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
 
   /** 3-token shingles of a single-space-tokenized text, distinct.

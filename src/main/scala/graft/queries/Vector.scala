@@ -43,19 +43,23 @@ object Vector {
        |       THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END), (x,y) -> x+y)""".stripMargin
 
   /** Near-dup test corpus: embeddings + injected near-duplicates —
-    * vec_id+10000: scaled ×2 (exact in FP, cosine ≈ 1), every 25th;
-    * vec_id+20000: first dimension zeroed (cosine ≈ 0.992 on 64 dims),
-    * every 20th. Natural pairs top out at cosine ≈ 0.51 (measured), so
-    * the 0.9 threshold isolates exactly the injected pairs. */
+    * vec_id + (max+1): scaled ×2 (exact in FP, cosine ≈ 1), every 25th;
+    * vec_id + 2·(max+1): first dimension zeroed (cosine ≈ 0.992 on 64
+    * dims), every 20th. Natural pairs top out at cosine ≈ 0.51
+    * (measured), so the 0.9 threshold isolates exactly the injected
+    * pairs. The offset is derived from max(vec_id) (one scalar fetched
+    * at plan build from footer statistics), keeping the injected
+    * keyspace disjoint (and above all real ids) at every scale factor. */
   private def corpusE(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
     e.unionByName(
         e.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"),
+          .select((col("vec_id") + off).as("vec_id"),
             expr("transform(embedding, x -> x * float(2))").as("embedding")))
       .unionByName(
         e.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 20000).as("vec_id"),
+          .select((col("vec_id") + 2L * off).as("vec_id"),
             expr("transform(sequence(1, size(embedding)), i -> IF(i = 1, float(0), element_at(embedding, i)))")
               .as("embedding")))
   }
@@ -64,10 +68,11 @@ object Vector {
     """ecorpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+      |         list_transform(embedding, x -> x * CAST(2 AS FLOAT))
       |  FROM embeddings WHERE vec_id % 25 = 0
       |  UNION ALL
-      |  SELECT vec_id + 20000,
+      |  SELECT vec_id + 2 * (SELECT MAX(vec_id) + 1 FROM embeddings),
       |         list_transform(range(1, len(embedding)+1),
       |           i -> CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END)
       |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
