@@ -1,17 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.functions.TextHash
 
 /** Scratch profiling main — not part of the engine surface. */
 object Profile {
-  def time(name: String)(df: => DataFrame): Unit = {
-    val t0 = System.nanoTime()
-    df.queryExecution.toRdd.count()
-    println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -22,22 +14,24 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = Tables.documents(spark, sfDir)
-      .withColumn("t", split(col("text"), " "))
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("w1_report_cheap", "t6_rebuild_summary", "j1_star_join_revenue",
+        "p10_lenient_cast", "s14_sheets_export", "x_dedup_simhash",
+        "x_dedup_minhash_lsh", "x_dedup_ngram", "a2_pricing_summary")
 
-    time("warm: tokenize only")(base.select("doc_id", "t"))
-    time("tokenize only")(base.select("doc_id", "t"))
-    time("+shingleSet")(base.withColumn("sh", TextHash.shingleSet(col("t"), 3)).select("doc_id", "sh"))
-    time("+polyHashes")(base.withColumn("hs", TextHash.polyHashes(col("t"), 31)).select("doc_id", "hs"))
-    time("md5 whole text")(base.selectExpr("doc_id", "md5(lower(text)) AS fp_md5"))
-    time("shingle+md5min")(
-      base.withColumn("sh", TextHash.shingleSet(col("t"), 3))
-        .selectExpr("doc_id", "array_min(transform(sh, x -> md5(x))) AS fp_shingle_min"))
-    time("polyhash+rolling")(
-      base.withColumn("hs", TextHash.polyHashes(col("t"), 31))
-        .selectExpr("doc_id", "aggregate(hs, 0L, (acc, h) -> (acc * 131 + h) % 1000000007) AS fp_rolling"))
-    time("full fingerprint")(SparkEntry.queries("x_fingerprint")(spark, sfDir))
-    time("full fingerprint again")(SparkEntry.queries("x_fingerprint")(spark, sfDir))
+    // warm
+    SparkEntry.entry(spark).queryExecution.toRdd.count()
+
+    for (round <- 1 to 2; name <- names) {
+      val t0 = System.nanoTime()
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis+optimization+planning
+      val t2 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val t3 = System.nanoTime()
+      println(f"[$round] $name%-24s build ${(t1 - t0) / 1e9}%6.2f  plan ${(t2 - t1) / 1e9}%6.2f  exec ${(t3 - t2) / 1e9}%6.2f")
+    }
     spark.stop()
   }
 }
