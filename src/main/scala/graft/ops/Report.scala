@@ -31,10 +31,22 @@ object Report {
     * @param sources   sources dim (id, name, color)
     * @param dateId    report date (dd.yesterday = 1 in the reference)
     * @param rankCol   "cheap" | "expensive" — P8 dynamic predicate
+    * @param useWindows true = the reference-literal dual ROW_NUMBER
+    *                  window formulation (W1); false (default) = the
+    *                  argmin/argmax hash-aggregation rewrite. rank=1 of
+    *                  ROW_NUMBER() OVER (PARTITION BY m ORDER BY price,
+    *                  source) IS min_by(source, (price, source)) — the
+    *                  struct ordering matches the window ordering and is
+    *                  unique per row, so the two formulations are
+    *                  value-identical (ReportSpec asserts it). The agg
+    *                  form needs NO sort: at 1000 sources × 1440 minutes
+    *                  the two per-partition window sorts are the
+    *                  report's dominant cost, and at lake scale argmax
+    *                  is a partial-aggregable one-pass.
     */
   def cheapExpensive(
       densified: DataFrame, sources: DataFrame,
-      dateId: Int, rankCol: String): DataFrame = {
+      dateId: Int, rankCol: String, useWindows: Boolean = false): DataFrame = {
     require(rankCol == "cheap" || rankCol == "expensive")
 
     val perMinute = densified
@@ -45,15 +57,28 @@ object Report {
       .agg((sum(col("price").cast("decimal(28,10)")).cast("double") /
         count(col("price"))).as("price"))
 
-    val byMinute = Window.partitionBy(col("time_id"))
-    val ranked = perMinute
-      .withColumn("cheap",
-        row_number().over(byMinute.orderBy(col("price").asc, col("source").asc)))
-      .withColumn("expensive",
-        row_number().over(byMinute.orderBy(col("price").desc, col("source").desc)))
+    val winners =
+      if (useWindows) {
+        val byMinute = Window.partitionBy(col("time_id"))
+        perMinute
+          .withColumn("cheap",
+            row_number().over(byMinute.orderBy(col("price").asc, col("source").asc)))
+          .withColumn("expensive",
+            row_number().over(byMinute.orderBy(col("price").desc, col("source").desc)))
+          .filter(col(rankCol) === 1)
+          .select(col("time_id"), col("source"), col("color"))
+      } else {
+        val ord = struct(col("price"), col("source"))
+        val pick = struct(col("source"), col("color"))
+        val agg = if (rankCol == "cheap") min_by(pick, ord) else max_by(pick, ord)
+        perMinute
+          .groupBy(col("time_id"))
+          .agg(agg.as("w"))
+          .select(col("time_id"), col("w.source").as("source"),
+            col("w.color").as("color"))
+      }
 
-    val counted = ranked
-      .filter(col(rankCol) === 1)
+    val counted = winners
       .groupBy(col("source"), col("color"))
       .agg(count(col("time_id")).as("minute_count"))
 

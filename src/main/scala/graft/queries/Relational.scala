@@ -56,16 +56,25 @@ object Relational {
         val c = Tables.customer(s, dir)
         val n = Tables.nation(s, dir)
         val r = Tables.region(s, dir)
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // two-level aggregation: revenue is first collapsed to one row
+        // per order BELOW the join, so (a) the join probe side shrinks
+        // ~4× and (b) COUNT(DISTINCT o_orderkey) degenerates to a plain
+        // COUNT(*) — no expand/distinct shuffle round. Decimal sums are
+        // associative, so the split is value-identical to the direct
+        // GROUP BY (the oracle keeps the direct form).
+        val perOrder = li
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(Dec)))
+            .as("order_rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"),
             year(col("o_orderdate")).as("order_year"))
           .agg(
-            sum(col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(Dec)))
-              .cast("double").as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            sum(col("order_rev")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"), col("order_year"))
       },
       """SELECT r_name, n_name,
@@ -176,12 +185,16 @@ object Relational {
     // to_numeric(errors='coerce'), fact_gold_price.py:85-99) = try_cast.
     "p10_lenient_cast" -> Q(
       (s, dir) =>
+        // sort FIRST, project AFTER: a global sort samples and then
+        // re-executes its child, so putting the try_cast projection
+        // above the sort runs it once (and post-exchange, parallel)
+        // instead of twice in the single-task scan stage
         Tables.events(s, dir)
+          .orderBy(col("event_id"))
           .select(
             col("event_id"),
             expr("try_cast(replace(replace(props, '{\"k\": ', ''), '}', '') AS INT)").as("k_value"),
-            expr("try_cast(event_type AS INT)").as("bad_cast"))
-          .orderBy(col("event_id")),
+            expr("try_cast(event_type AS INT)").as("bad_cast")),
       """SELECT event_id,
         |  TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k_value,
         |  TRY_CAST(event_type AS INT) AS bad_cast
