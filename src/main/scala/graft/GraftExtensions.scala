@@ -1,0 +1,22 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Spark extension entry point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` makes every graft native
+  * expression SQL-callable in each new session (see
+  * [[graft.functions.GraftFunctions]] for the inventory). This is the
+  * standard injection seam for Spark-native libraries — the same hook a
+  * custom Rule[LogicalPlan] or SparkStrategy would use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder))
+    }
+}
