@@ -141,6 +141,74 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // IVF (inverted-file) ANN: the second scale path, structurally
+    // different from LSH — a coarse quantizer partitions the corpus
+    // into cells (argmax-cosine assignment against a fixed centroid
+    // set), a query probes its nprobe=2 nearest cells and re-scores
+    // exactly only inside them. Centroids here are a deterministic
+    // subset (vec_id < 16) so the oracle can replay the build; a
+    // k-means-trained codebook drops into the same plan unchanged.
+    // Scale: assignment is one broadcast pass over the corpus (cells
+    // then live as a partition column — the "inverted file"); a query
+    // touches ~nprobe/k of the data, and the only shuffle key is the
+    // cell id.
+    "x_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        // one cell per vector: argmax cosine, ties to the smaller
+        // centroid id — max_by over (cosine, -c_id) == the oracle's
+        // ROW_NUMBER(ORDER BY cosine DESC, c_id ASC) = 1
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("embedding")))
+          .groupBy(col("vec_id"), col("embedding"))
+          .agg(max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val byQc = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_c").desc, col("c_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("q_emb")))
+          .withColumn("prn", row_number().over(byQc))
+          .filter(col("prn") <= 2)
+          .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${dCos("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |cell AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |pr AS (
+         |  SELECT q.q_id, q.q_emb, c.c_id AS cell, ROW_NUMBER() OVER (
+         |    PARTITION BY q.q_id
+         |    ORDER BY ${dCos("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS prn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT q_id, q_emb, cell FROM pr WHERE prn <= 2),
+         |sc AS (
+         |  SELECT p.q_id, e.vec_id, ${dCos("p.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e
+         |  JOIN cell ce ON e.vec_id = ce.vec_id
+         |  JOIN probes p ON ce.cell = p.cell
+         |  WHERE e.vec_id != p.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
     // Embedding-cosine near-dup: candidate pairs from the signature
     // bucket self-join (the only shuffle key), exact cosine ≥ 0.9
     // verification. Scaled duplicates land in the same bucket by

@@ -20,13 +20,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("only the brute-force ANN baseline uses a nested-loop join") {
-    SparkEntry.queries.keys.filterNot(_ == "x_ann_brute").foreach { name =>
+  test("only deliberate tiny-broadcast all-pairs use a nested-loop join") {
+    // x_ann_brute: exact baseline scores corpus × (broadcast) queries;
+    // x_ann_ivf: quantizer assignment scores corpus × (broadcast)
+    // codebook. Both broadcast a constant-size side; everything else
+    // must plan hash/sort-merge joins.
+    val allPairs = Set("x_ann_brute", "x_ann_ivf")
+    SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
     }
-    // and the intentional one broadcasts the (tiny) query side
-    assert(executedPlanString("x_ann_brute").contains("BroadcastNestedLoopJoin"))
+    allPairs.foreach { name =>
+      assert(executedPlanString(name).contains("BroadcastNestedLoopJoin"))
+    }
   }
 
   test("the flagship star join broadcasts its dimensions") {

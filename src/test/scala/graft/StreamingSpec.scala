@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.HourlyMicroBatch
+import graft.streaming.{HourlyMicroBatch, StatefulOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Structured Streaming formulation of the reference's hourly
@@ -87,5 +87,43 @@ class StreamingSpec extends SparkTestBase {
       .select("id", "price").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out === Map(1L -> 100.0, 2L -> 201.0, 3L -> 55.0))
+  }
+
+  test("flatMapGroupsWithState carries last-seen state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val in = MemoryStream[StatefulOps.Tick]
+    val q = StatefulOps.withDeltas(in.toDF())
+      .writeStream.format("memory").queryName("tick_deltas")
+      .outputMode("append").start()
+    try {
+      // batch 1: two keys; src_a/buy sees two ticks (in-batch delta),
+      // delivered out of event order to exercise the in-group sort
+      in.addData(
+        StatefulOps.Tick("src_a", "buy", 12L, 105.0),
+        StatefulOps.Tick("src_a", "buy", 10L, 100.0),
+        StatefulOps.Tick("src_b", "sell", 10L, 50.0))
+      q.processAllAvailable()
+      // batch 2: deltas must be computed against batch 1's state
+      in.addData(
+        StatefulOps.Tick("src_a", "buy", 15L, 110.0),
+        StatefulOps.Tick("src_b", "sell", 20L, 47.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("tick_deltas")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+      assert(rows === Set(
+        ("src_a", "buy", 10L, None, None),
+        ("src_a", "buy", 12L, Some(5.0), Some(2L)),
+        ("src_b", "sell", 10L, None, None),
+        ("src_a", "buy", 15L, Some(5.0), Some(3L)),   // vs batch-1 state
+        ("src_b", "sell", 20L, Some(-3.0), Some(10L)) // vs batch-1 state
+      ))
+    } finally q.stop()
   }
 }
