@@ -12,11 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * custom Rule[LogicalPlan] or SparkStrategy would use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       extensions.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
     }
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -366,6 +366,40 @@ object Gold {
          |              AND b.side_id IS NOT DISTINCT FROM a.side_id
          |WHERE b.rn = 1 AND a.rn = 1""".stripMargin),
 
+    // J9 generalized: the custom backward as-of join OPERATOR
+    // (graft.plans.AsOfJoinExec — logical node + strategy + physical
+    // merge), value-checked against DuckDB's native ASOF JOIN: every
+    // buy tick gets the last per-minute sell price at/before its time
+    // for the same source, left-outer.
+    "j10_asof_spread" -> Q(
+      (s, dir) => {
+        val f = GoldModel.fact(Tables.events(s, dir))
+          .filter(col("date_id") === D)
+        val buys = f.filter(col("side_id") === 1)
+          .select(col("id"), col("source_id"), col("time_id"), col("price"))
+        val sells = f.filter(col("side_id") === 2)
+          .groupBy(col("source_id").as("s_source"), col("time_id").as("s_time"))
+          .agg((sum(col("price").cast("decimal(18,2)")).cast("double") /
+            count(col("price"))).as("s_price"))
+        graft.plans.AsOf.joinBackward(buys, sells,
+            Seq("source_id" -> "s_source"), "time_id", "s_time")
+          .select(col("id"), col("source_id"), col("time_id"), col("price"),
+            col("s_time"), col("s_price"),
+            (col("price") - col("s_price")).as("spread"))
+          .orderBy(col("id"))
+      },
+      s"""WITH $FactCte,
+         |f AS (SELECT * FROM fact WHERE date_id = $D),
+         |b AS (SELECT id, source_id, time_id, price FROM f WHERE side_id = 1),
+         |s AS (SELECT source_id AS s_source, time_id AS s_time,
+         |             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(price) AS s_price
+         |      FROM f WHERE side_id = 2 GROUP BY 1, 2)
+         |SELECT b.id, b.source_id, b.time_id, b.price, s.s_time, s.s_price,
+         |       b.price - s.s_price AS spread
+         |FROM b ASOF LEFT JOIN s
+         |  ON b.source_id = s.s_source AND b.time_id >= s.s_time
+         |ORDER BY b.id""".stripMargin),
+
     // Salted two-stage aggregation (skew path of A2/A4): result must be
     // identical to the direct GROUP BY — the oracle IS the direct form,
     // so the equivalence is value-checked, not just asserted in a spec.

@@ -16,6 +16,20 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (classic.Dataset.ofRows
+    * is private[sql]). */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's ExperimentalMethods (extraStrategies hook). */
+  def experimental(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
   /** Register a function builder on a live session's FunctionRegistry
     * (`sessionState` is private[sql]; same visibility hop as above). */
   def registerFunction(
