@@ -49,13 +49,19 @@ object Report {
       dateId: Int, rankCol: String, useWindows: Boolean = false): DataFrame = {
     require(rankCol == "cheap" || rankCol == "expensive")
 
+    // aggregate on the two INT keys first, attach dim attributes after:
+    // name/color functionally depend on id, so grouping by them only
+    // adds per-row string hashing; and joining post-aggregate moves the
+    // (broadcast) join off the fact-sized side. The inner join applies
+    // the dim filter identically before or after the per-source mean.
     val perMinute = densified
       .filter(col("date_id") === dateId)
-      .join(broadcast(sources), col("source_id") === sources("id"))
-      .groupBy(col("id"), col("name").as("source"), col("color"),
-        col("rounded_time_id").as("time_id"))
+      .groupBy(col("source_id"), col("rounded_time_id").as("time_id"))
       .agg((sum(col("price").cast("decimal(28,10)")).cast("double") /
         count(col("price"))).as("price"))
+      .join(broadcast(sources), col("source_id") === sources("id"))
+      .select(col("id"), col("name").as("source"), col("color"),
+        col("time_id"), col("price"))
 
     val winners =
       if (useWindows) {
