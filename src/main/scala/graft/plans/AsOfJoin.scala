@@ -147,6 +147,13 @@ object AsOf {
     * @param keys  (leftCol, rightCol) equality key pairs
     * @param leftTime/rightTime ordering columns (same type both sides;
     *   right times should be unique per key for determinism)
+    *
+    * Self-join note: the analyzer's relation deduplication does not
+    * visit custom nodes, so when both sides derive from the same
+    * DataFrame the right side must alias its columns to fresh names
+    * (as q:j10_asof_spread does) — shared attribute ids would bind the
+    * right-side expressions to the left child. Detected and rejected
+    * here rather than silently misbound.
     */
   def joinBackward(
       left: DataFrame, right: DataFrame,
@@ -154,6 +161,11 @@ object AsOf {
       leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
+    val overlap = left.queryExecution.analyzed.outputSet
+      .intersect(right.queryExecution.analyzed.outputSet)
+    require(overlap.isEmpty,
+      s"as-of join sides share attributes ${overlap.mkString(", ")}; " +
+        "alias the right side's columns to fresh names before joining")
     val node = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       keys.map(k => bridge.expression(left.col(k._1))),
