@@ -34,6 +34,26 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Round-robin repartition a small scan to the session's parallelism.
+    * A parquet file is splittable only at row-group boundaries, so a
+    * single-row-group file pins the whole scan STAGE — including every
+    * per-row kernel Catalyst fuses into it (shingling, hashing,
+    * signatures) — to one task. When the input has fewer splits than
+    * half the cores, one cheap input-sized exchange buys full-width
+    * execution of those kernels; when the input is a real lake (many
+    * files/row groups — the 100 TB case) this is a NO-OP and no
+    * exchange is added. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= (target + 1) / 2) df
+    else df.repartition(target)
+  }
+
+  /** documents/embeddings feed compute-dominant kernels (per-token
+    * hashing, per-dimension float loops), so their readers apply
+    * [[parallelized]] — the scan must never serialize the kernels. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    parallelized(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    parallelized(load(s, d, "embeddings"))
 }
