@@ -45,7 +45,11 @@ object Tables {
     * exchange is added. */
   def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= (target + 1) / 2) df
+    // actual scan splits (file × maxPartitionBytes ranges), not file
+    // count: one LARGE file already splits into many byte-range tasks
+    // and must not be re-shuffled
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts >= (target + 1) / 2) df
     else df.repartition(target)
   }
 

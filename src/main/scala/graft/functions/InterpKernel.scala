@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** The nearest-two linear-interpolation price kernel as one native
   * Catalyst expression.
@@ -79,8 +79,14 @@ object InterpKernel {
 
 /** 10-ary static-call expression; children are (int, int, int, double,
   * int, double, int, double, int, double) and must be non-nullable —
-  * the generated code evaluates them without null guards. */
-case class NearestTwoPriceExpr(children: Seq[Expression]) extends Expression {
+  * the generated code evaluates them without null guards. NULL prices
+  * are carried as NaN by the call site (see Interpolate) and restored
+  * with nanvl above the call. */
+case class NearestTwoPriceExpr(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(IntegerType, IntegerType, IntegerType, DoubleType, IntegerType,
+      DoubleType, IntegerType, DoubleType, IntegerType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
   override def foldable: Boolean = children.forall(_.foldable)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * "HH:MM of the day" duration string (F9–F11).
   *
   * Differences by design (SURVEY.md §4.1): the reference executes the
-  * whole CTE twice, once per rank direction; we compute both ranks in
-  * one pass and parameterize the final predicate (P8's dynamic column),
-  * halving the scan. Rank ordering gets a deterministic tie-break on
-  * source name (the reference inherits Postgres's arbitrary order).
+  * whole CTE twice, once per rank direction; we parameterize the rank
+  * direction (P8's dynamic column) and — by default — compute the
+  * per-minute winner as a sort-free argmin/argmax aggregation instead
+  * of ranking windows (see `useWindows` below). Rank ordering gets a
+  * deterministic tie-break on source name (the reference inherits
+  * Postgres's arbitrary order).
   *
   * Scale: the sources dimension is broadcast; the only shuffles are the
   * per-minute aggregation and the tiny post-aggregate window. The W2

@@ -160,10 +160,15 @@ object Vector {
         // one cell per vector: argmax cosine, ties to the smaller
         // centroid id — max_by over (cosine, -c_id) == the oracle's
         // ROW_NUMBER(ORDER BY cosine DESC, c_id ASC) = 1
+        // group by the unique vec_id only; the vector rides as an
+        // aggregated VALUE (first of a single-value group), keeping the
+        // 64-float array out of the shuffle/grouping key
         val assigned = e.crossJoin(broadcast(cents))
           .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("embedding")))
-          .groupBy(col("vec_id"), col("embedding"))
-          .agg(max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(
+            first(col("embedding")).as("embedding"),
+            max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val byQc = Window.partitionBy(col("q_id"))

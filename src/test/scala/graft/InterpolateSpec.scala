@@ -66,6 +66,42 @@ class InterpolateSpec extends SparkTestBase {
     assert(genFromSmall.isEmpty)
   }
 
+  test("NULL minute means propagate NULL into dependent generated rows") {
+    // a minute whose every tick has NULL price still anchors gap
+    // generation, but any generated value drawing on it must be NULL —
+    // the arithmetic-propagation semantics of the pre-kernel
+    // formulation (NULL price → NULL sum/mean → NULL linear result),
+    // carried through the native kernel as NaN and restored by nanvl.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source_id", IntegerType, nullable = true),
+      StructField("side_id", IntegerType, nullable = true),
+      StructField("date_id", IntegerType, nullable = false),
+      StructField("time_id", IntegerType, nullable = false),
+      StructField("rounded_time_id", IntegerType, nullable = false),
+      StructField("price", DoubleType, nullable = true),
+      StructField("is_interpolated", BooleanType, nullable = false)))
+    val rows = Seq(
+      Row(Integer.valueOf(1), Integer.valueOf(1), 20240101, 100000, 100000, null, false),
+      Row(Integer.valueOf(1), Integer.valueOf(1), 20240101, 100500, 100500, Double.box(100.0), false),
+      Row(Integer.valueOf(1), Integer.valueOf(1), 20240101, 100501, 100500, Double.box(102.0), false),
+      Row(Integer.valueOf(2), Integer.valueOf(1), 20240101, 100000, 100000, Double.box(10.0), false),
+      Row(Integer.valueOf(2), Integer.valueOf(1), 20240101, 100500, 100500, Double.box(20.0), false))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val gen = Interpolate.densify(df).filter(col("is_interpolated")).cache()
+    // group 1: every gap minute's nearest-2 includes the NULL-mean point
+    val g1 = gen.filter(col("source_id") === 1)
+    assert(g1.count() === 4)
+    assert(g1.filter(col("price").isNotNull).isEmpty,
+      "a generated price drew on a NULL minute mean but was non-NULL")
+    // group 2, same date: clean linear values, never NULL/NaN
+    val g2 = gen.filter(col("source_id") === 2)
+    assert(g2.count() === 4)
+    assert(g2.filter(col("price").isNull || isnan(col("price"))).isEmpty)
+  }
+
   test("interior-gap prices lie within the group's [min,max] actual price") {
     // nearest-2 can extrapolate at the edges, but an interpolated value is
     // always on the line through two actual points — so it is bounded by

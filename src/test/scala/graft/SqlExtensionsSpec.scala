@@ -46,7 +46,9 @@ class SqlExtensionsSpec extends SparkTestBase {
 
   test("programmatic registration: SQL text matches the Column API") {
     GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, sfSmoke).limit(50)
+    // deterministic subset: an unordered limit over the (repartitioned)
+    // corpus could pick different rows for the two executions below
+    val docs = Tables.documents(spark, sfSmoke).filter(col("doc_id") < 50)
     docs.createOrReplaceTempView("docs_ext")
 
     val sqlSide = spark.sql(
