@@ -21,7 +21,7 @@ class InterpolatePropertySpec extends SparkTestBase {
     StructField("date_id", IntegerType, nullable = false),
     StructField("time_id", IntegerType, nullable = false),
     StructField("rounded_time_id", IntegerType, nullable = false),
-    StructField("price", DoubleType, nullable = false),
+    StructField("price", DoubleType, nullable = true),
     StructField("is_interpolated", BooleanType, nullable = false)))
 
   private def randomTicks(seed: Long): Seq[Row] = {
@@ -43,7 +43,12 @@ class InterpolatePropertySpec extends SparkTestBase {
       val hour = 9 + rnd.nextInt(2)
       val sec = rnd.nextInt(60)
       val tid = hour * 10000 + minute * 100 + sec
-      val price = math.round(rnd.nextDouble() * 10000) / 100.0
+      // ~6% NULL prices: NULL-mean minutes must anchor gaps but
+      // propagate NULL into values drawn from them, identically in both
+      // kernels (eligibility still counts these rows, like the
+      // reference's len(group))
+      val price = if (rnd.nextInt(16) == 0) null
+        else Double.box(math.round(rnd.nextDouble() * 10000) / 100.0)
       Row(src, side, date, tid, tid - tid % 100, price, false)
     }
   }
