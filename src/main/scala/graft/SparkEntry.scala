@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    Relational.all ++ Gold.all ++ Text.all ++ Vector.all ++ Multimodal.all
+    Relational.all ++ Gold.all ++ Text.all ++ Vector.all ++ Multimodal.all ++
+      Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.ops.{RangeJoin, Sessionize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Beyond-reference analytics surface (SURVEY.md §7.5): framed windows,
+  * sessionization, hierarchical aggregates, exact percentiles, range
+  * joins. The reference's window usage stops at ROW_NUMBER and a
+  * grand-total SUM (§2.5 W1/W2); these are the next operators any
+  * warehouse user reaches for, expressed Spark-first with DuckDB value
+  * oracles.
+  *
+  * Float determinism: every windowed/grouped SUM of a 2-dp double goes
+  * through a decimal cast (graft.functions.Exact discipline) so results
+  * are bit-identical at any parallelism and in any engine.
+  */
+object Analytics {
+  private val Dec = DecimalType(18, 2)
+
+  val all: Map[String, Q] = Map(
+
+    // W3 (beyond W1/W2): explicit ROWS frame — 7-event moving average
+    // per user plus exact lag delta. One shuffle on user_id; both
+    // windows share the same sort.
+    "w3_moving_avg" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val frame = w.rowsBetween(-6, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("mov_avg7",
+            sum(col("value").cast(Dec)).over(frame).cast("double") /
+              count(lit(1)).over(frame))
+          .withColumn("delta",
+            (col("value").cast(Dec) - lag(col("value"), 1).over(w).cast(Dec))
+              .cast("double"))
+          // parquet TIMESTAMP(NANOS) vs DuckDB micros: emit timestamps
+          // as microsecond strings so the value compare is exact
+          .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg7,
+        |  CAST(CAST(value AS DECIMAL(18,2))
+        |       - lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS DOUBLE) AS delta
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+
+    // Top-k per group: ROW_NUMBER ≤ k with a deterministic tie-break.
+    // Catalyst plans the rank filter as a WindowGroupLimit (top-k per
+    // partition pushed below the full sort) — no global sort of the
+    // fact.
+    "w4_topk_per_group" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy(col("event_type"), col("rk"))
+      },
+      """SELECT event_type, event_id, value, rk FROM (
+        |  SELECT event_type, event_id, value,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |              ORDER BY value DESC, event_id ASC) AS INT) AS rk
+        |  FROM events)
+        |WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin),
+
+    // Hierarchical aggregate: ROLLUP over (returnflag, linestatus) with
+    // GROUPING flags — subtotal and grand-total rows in one pass
+    // (Spark plans one Expand + single hash aggregate).
+    "a11_rollup" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+            col("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin),
+
+    // Exact linear-interpolated percentiles per group. Integer inputs ×
+    // quarter fractions make every interpolation product exact in
+    // IEEE double, so Spark's (1−f)·a + f·b and DuckDB's a + f·(b−a)
+    // agree bitwise.
+    "a12_percentiles" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("median"),
+            expr("percentile(l_quantity, 0.75)").as("q75"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Gap sessionization (ops/Sessionize): 30-min sessions per user,
+    // rolled up to session stats. Window + aggregate share one shuffle.
+    "t7_sessionize" -> Q(
+      (s, dir) =>
+        Sessionize.sessionStats(
+            Tables.events(s, dir),
+            col("user_id"), col("ts"), col("event_id"),
+            gapSec = 1800, valueCol = col("value"))
+          // micro-second strings — see w3_moving_avg note
+          .withColumn("session_start",
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .withColumn("session_end",
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy(col("user_id"), col("session_no")),
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_no,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+        |FROM numbered
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin),
+
+    // Banded range join (ops/RangeJoin, bucketed strategy): lineitems
+    // to discount bands via interval membership, then exact revenue per
+    // band. The bucketed path shuffles on bucket ids instead of
+    // broadcasting — the large-right-side plan, exercised here and
+    // equivalence-checked against the broadcast loop in RangeJoinSpec.
+    "j11_discount_bands" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.00, 0.03), ("mid", 0.03, 0.07), ("high", 0.07, 0.11))
+          .toDF("band", "lo", "hi")
+        RangeJoin.bucketed(
+            Tables.lineitem(s, dir).select(col("l_discount"), col("l_extendedprice")),
+            col("l_discount"), bands, col("lo"), col("hi"), width = 0.01)
+          .groupBy(col("band"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(Dec)))
+              .cast("double").as("revenue"))
+          .orderBy(col("band"))
+      },
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low',  CAST(0.00 AS DOUBLE), CAST(0.03 AS DOUBLE)),
+        |         ('mid',  CAST(0.03 AS DOUBLE), CAST(0.07 AS DOUBLE)),
+        |         ('high', CAST(0.07 AS DOUBLE), CAST(0.11 AS DOUBLE)))
+        |SELECT band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN bands
+        |  ON l_discount >= lo AND l_discount < hi
+        |GROUP BY band ORDER BY band""".stripMargin))
+}

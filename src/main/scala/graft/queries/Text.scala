@@ -71,6 +71,57 @@ object Text {
 
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
 
+  /** Verified MinHash+LSH near-dup pairs (a_id < b_id, Jaccard ≥ 0.5) —
+    * shared by the pair query and the cluster query. Shingle sets ride
+    * along through the band join (same pattern as the simhash query):
+    * the pair row holds both sides' shingles, so no verification joins
+    * and ReuseExchange computes the corpus scan once for both band
+    * sides. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = corpus(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+      .withColumn("mh", TextHash.minhash(col("sh"), 8))
+      .filter(col("mh").isNotNull)
+      .withColumn("bkey", explode(expr(
+        "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
+      .select("doc_id", "sh", "bkey")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+      .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** DuckDB CTE chain producing the same verified pairs as
+    * [[minhashPairs]] (names: pairsj(a_id, b_id)). Kept in lockstep
+    * with the Spark helper. */
+  private def minhashPairsCte: String =
+    s"""$CorpusCte,
+       |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
+       |mh AS (SELECT doc_id, sh,
+       |         list_transform(range(0, 8), k ->
+       |           list_min(list_transform(sh, s ->
+       |             ((2*k+3) * (list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)) + (5*k+7)) % 1000000007))) AS mh
+       |       FROM sh),
+       |bands AS (SELECT doc_id,
+       |            unnest(list_transform(range(0, 4), b ->
+       |              CAST(b AS VARCHAR) || ':' || CAST(mh[2*b+1] AS VARCHAR) || ':' || CAST(mh[2*b+2] AS VARCHAR))) AS bkey
+       |          FROM mh),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM bands a JOIN bands b
+       |            ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairsj AS (SELECT p.a_id, p.b_id
+       |           FROM pairs p
+       |           JOIN sh sa ON sa.doc_id = p.a_id
+       |           JOIN sh sb ON sb.doc_id = p.b_id
+       |           WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5)""".stripMargin
+
   /** SimHash over token polynomial hashes, exact int64 arithmetic.
     * polyhash_m(w) = fold (acc*m + codepoint) mod 1e9+7 over characters;
     * bit j of a 30-bit simhash half is the sign of Σ_tokens (±1 by bit j
@@ -205,30 +256,7 @@ object Text {
     // candidates, exact Jaccard verification ≥ 0.5. The only shuffle is
     // on the band key — no quadratic pair generation.
     "x_dedup_minhash_lsh" -> Q(
-      (s, dir) => {
-        // shingle sets ride along through the band join (same pattern as
-        // the simhash query): the pair row holds both sides' shingles,
-        // so no verification joins and ReuseExchange computes the corpus
-        // scan once for both band sides
-        val bands = corpus(s, dir)
-          .withColumn("t", split(col("text"), " "))
-          .withColumn("sh", TextHash.shingleSet(col("t"), 3))
-          .withColumn("mh", TextHash.minhash(col("sh"), 8))
-          .filter(col("mh").isNotNull)
-          .withColumn("bkey", explode(expr(
-            "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
-          .select("doc_id", "sh", "bkey")
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.sh").as("sa"), col("b.sh").as("sb"))
-          .distinct()
-          .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
-          .filter(col("jaccard") >= 0.5)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
-      },
+      (s, dir) => minhashPairs(s, dir).orderBy("a_id", "b_id"),
       s"""WITH $CorpusCte,
          |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
          |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
@@ -251,6 +279,30 @@ object Text {
          |JOIN sh sb ON sb.doc_id = p.b_id
          |WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // Duplicate-GROUP assembly: the verified near-dup pairs are edges of
+    // an undirected graph; connected components (ops/Components,
+    // iterative min-label propagation) turn them into duplicate
+    // clusters — (doc_id, cluster_id = min reachable doc_id), the form a
+    // curation pipeline consumes (keep min id, drop the rest). Oracle:
+    // recursive-CTE transitive closure over the same pairs.
+    "x_dedup_clusters" -> Q(
+      (s, dir) =>
+        graft.ops.Components.connectedComponents(
+            minhashPairs(s, dir)
+              .select(col("a_id").as("src"), col("b_id").as("dst")))
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id"),
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsj
+         |          UNION SELECT b_id, a_id FROM pairsj),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT node AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
     // n-gram Jaccard near-dedup with 1-permutation minhash blocking:
     // candidate pairs share their minimum shingle hash (P[same block] =

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Components
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Connected components vs. a driver-side union-find oracle on random
+  * graphs, plus the degenerate shapes the propagation loop must
+  * survive. */
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = Components
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("two disjoint chains keep distinct components") {
+    // chains have maximal diameter for their size — the slowest shape
+    // for one-hop label propagation
+    val chain1 = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chain2 = (10L until 15L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Components.connectedComponents((chain1 ++ chain2).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 6L).forall(got(_) == 0L))
+    assert((10L until 15L).forall(got(_) == 10L))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val got = Components
+      .connectedComponents(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge list yields empty labeling") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(empty).count() == 0L)
+  }
+}
