@@ -65,6 +65,10 @@ object GraftFunctions {
     "nearest_two_price" -> { args =>
       arity(args, 10, "nearest_two_price")
       NearestTwoPriceExpr(args)
+    },
+    "linear_interpolate" -> { args =>
+      arity(args, 3, "linear_interpolate")
+      LinearInterpolateRows(args(0), args(1), args(2))
     }
   )
 

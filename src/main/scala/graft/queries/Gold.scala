@@ -140,6 +140,20 @@ object Gold {
       "WITH " + densifiedCte(s"date_id = $D") +
         "\nSELECT * FROM densified"),
 
+    // T3 again, through the SQL extension surface (§2.11): the same
+    // densification written as plain SQL text with the
+    // `linear_interpolate` table function (a Catalyst Generator,
+    // fn/InterpGenerator) doing the per-group kernel via LATERAL VIEW
+    // over collect_list'd points. Same oracle as t3 — the two
+    // formulations must agree to the bit.
+    "t8_interp_sql" -> Q(
+      (s, dir) =>
+        Interpolate.densifySql(s,
+          GoldModel.factDensifyInput(Tables.events(s, dir))
+            .filter(col("date_id") === D)),
+      "WITH " + densifiedCte(s"date_id = $D") +
+        "\nSELECT * FROM densified"),
+
     // T6 full-history rebuild over the whole corpus, verified through a
     // per-date profile. Deliberately cast-free aggregates (count +
     // min/max + distinct minutes): a double→decimal cast of an

@@ -54,14 +54,17 @@ class InterpolatePropertySpec extends SparkTestBase {
   }
 
   Seq(1L, 7L, 42L, 1234L, 99999L).foreach { seed =>
-    test(s"declarative ≡ typed kernel on random corpus (seed=$seed)") {
+    test(s"declarative ≡ typed ≡ SQL-generator kernel on random corpus (seed=$seed)") {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(randomTicks(seed), 4), schema)
       val d = Interpolate.densify(df)
       val t = Interpolate.densifyTyped(df, Interpolate.gridByDate(df))
+      val q = Interpolate.densifySql(spark, df)
       assert(d.count() === t.count())
       assert(d.exceptAll(t).isEmpty && t.exceptAll(d).isEmpty,
         s"declarative and typed kernels diverge for seed $seed")
+      assert(d.exceptAll(q).isEmpty && q.exceptAll(d).isEmpty,
+        s"declarative and SQL-generator formulations diverge for seed $seed")
     }
   }
 

@@ -90,4 +90,25 @@ class SqlExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("INT literal")
       || Option(e.getCause).exists(_.getMessage.contains("INT literal")))
   }
+
+  test("linear_interpolate generator: edges from SQL text") {
+    GraftFunctions.register(spark)
+    // interior gap 100200 between (100100, 10.0) and (100300, 30.0) →
+    // midpoint 20.0; covered minutes emit nothing
+    val rows = spark.sql(
+      """SELECT time_id, price FROM (SELECT 1)
+        |LATERAL VIEW linear_interpolate(
+        |  array(100100, 100300), array(10.0D, 30.0D),
+        |  array(100100, 100200, 100300)) g AS time_id, price""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((100200, 20.0)))
+
+    // single point flat-lines; NULL endpoint propagates NULL
+    val flat = spark.sql(
+      """SELECT time_id, price FROM (SELECT 1)
+        |LATERAL VIEW linear_interpolate(
+        |  array(100100), array(CAST(NULL AS DOUBLE)),
+        |  array(100200)) g AS time_id, price""".stripMargin).head
+    assert(flat.getInt(0) == 100200 && flat.isNullAt(1))
+  }
 }
