@@ -304,6 +304,64 @@ object Text {
          |SELECT node AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // End-to-end corpus curation — the composed training-data pipeline:
+    // per-doc quality features (map-only pass), near-dup clusters
+    // (minhash LSH pairs → connected components), then the keep
+    // decision: canonical member of its cluster (or unique) AND above
+    // the quality bar. This is the query a 100 TB curation run executes;
+    // every stage reuses an already-oracled operator, and the whole
+    // composition is value-checked here end-to-end.
+    "x_curation" -> Q(
+      (s, dir) => {
+        val feats = corpus(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .select(col("doc_id"),
+            expr("size(t)").as("n_tokens"),
+            expr(s"size(filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / size(t)")
+              .as("stop_ratio"),
+            expr("size(array_distinct(t)) / size(t)").as("type_token_ratio"))
+          .withColumn("quality_score",
+            expr("round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)"))
+        val clusters = graft.ops.Components.connectedComponents(
+            minhashPairs(s, dir)
+              .select(col("a_id").as("src"), col("b_id").as("dst")))
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        feats.join(clusters, Seq("doc_id"), "left")
+          .withColumn("is_canonical",
+            col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .withColumn("keep",
+            col("is_canonical") && col("quality_score") >= 0.3 && col("n_tokens") >= 5)
+          .select("doc_id", "n_tokens", "quality_score", "cluster_id",
+            "is_canonical", "keep")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsj
+         |          UNION SELECT b_id, a_id FROM pairsj),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |),
+         |clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+         |             FROM reach GROUP BY node),
+         |feats AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS INT) AS n_tokens,
+         |    len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t) AS stop_ratio,
+         |    len(list_distinct(t)) / len(t) AS type_token_ratio
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+         |q AS (SELECT *,
+         |        round(stop_ratio * 0.3 + type_token_ratio * 0.4
+         |              + least(n_tokens / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |      FROM feats)
+         |SELECT q.doc_id, q.n_tokens, q.quality_score, c.cluster_id,
+         |  (c.cluster_id IS NULL OR c.cluster_id = q.doc_id) AS is_canonical,
+         |  ((c.cluster_id IS NULL OR c.cluster_id = q.doc_id)
+         |   AND q.quality_score >= 0.3 AND q.n_tokens >= 5) AS keep
+         |FROM q LEFT JOIN clusters c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
     // n-gram Jaccard near-dedup with 1-permutation minhash blocking:
     // candidate pairs share their minimum shingle hash (P[same block] =
     // exact Jaccard, so ≥0.5-similar pairs are found with ≥0.5

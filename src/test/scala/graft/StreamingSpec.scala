@@ -126,4 +126,53 @@ class StreamingSpec extends SparkTestBase {
       ))
     } finally q.stop()
   }
+
+  test("streaming session_window matches batch Sessionize on interior gaps") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = s.sqlContext
+
+    val data = Seq(
+      // user 1: 3 close events, a >30min jump, then 1 more
+      (1L, 100L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 101L, ts("2024-01-01 10:10:00"), 2.5),
+      (1L, 102L, ts("2024-01-01 10:25:00"), 3.0),
+      (1L, 103L, ts("2024-01-01 12:00:00"), 4.0),
+      // user 2: one lone event
+      (2L, 104L, ts("2024-01-01 09:00:00"), 7.0))
+
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val stream = graft.streaming.SessionStream.sessionStats(
+      in.toDF().toDF("user_id", "event_id", "ts", "value"),
+      gap = "30 minutes", watermark = "1 minute")
+    val q = stream.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      // push the watermark far past every session's close so all emit
+      in.addData((9L, 999L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_stream")
+        .filter(col("user_id") < 9)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+
+      val batch = graft.ops.Sessionize.sessionStats(
+          data.toDF("user_id", "event_id", "ts", "value"),
+          col("user_id"), col("ts"), col("event_id"), 1800, col("value"))
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (1L, "2024-01-01 10:00:00.0", 3L, 6.5),
+        (1L, "2024-01-01 12:00:00.0", 1L, 4.0),
+        (2L, "2024-01-01 09:00:00.0", 1L, 7.0)))
+    } finally q.stop()
+  }
 }
