@@ -8,7 +8,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("t3_densify_interpolate", "j1_star_join_revenue",
+    val names = if (args.nonEmpty) args.toSeq
+    else Seq("t3_densify_interpolate", "j1_star_join_revenue",
       "w1_report_cheap", "x_dedup_minhash_lsh", "j10_asof_spread", "x_ann_ivf")
     for (n <- names) {
       println(s"######## $n")
