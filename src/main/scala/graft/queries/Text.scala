@@ -304,6 +304,45 @@ object Text {
          |SELECT node AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Deterministic stratified sampling — the reproducible form of
+    // corpus downsampling: a doc's sampling bucket is a pure hash of
+    // its id (the portable polyhash construction, not rand() and not an
+    // engine-specific hash), so the SAME docs are kept on every run, in
+    // every engine, at any parallelism; per-language rates implement
+    // stratification (rebalancing a multilingual corpus). Map+filter
+    // only — no shuffle, no driver state.
+    "x_sample_stratified" -> Q(
+      (s, dir) => {
+        val idStr = "CAST(doc_id AS STRING)"
+        Tables.documents(s, dir)
+          .withColumn("bucket", expr(
+            s"""aggregate(
+               |  transform(sequence(1, length($idStr)),
+               |            i -> CAST(ascii(substr($idStr, i, 1)) AS BIGINT)),
+               |  0L, (acc, c) -> (acc * 31 + c) % 1000000007) % 100""".stripMargin)
+            .cast("int"))
+          .withColumn("rate",
+            when(col("lang") === "en", 50)
+              .when(col("lang") === "de", 25).otherwise(10))
+          .filter(col("bucket") < col("rate"))
+          .select("doc_id", "lang", "bucket")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang,
+        |  CAST(list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS INT) AS bucket
+        |FROM documents
+        |WHERE CAST(list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS INT)
+        |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin),
+
     // End-to-end corpus curation — the composed training-data pipeline:
     // per-doc quality features (map-only pass), near-dup clusters
     // (minhash LSH pairs → connected components), then the keep
