@@ -98,11 +98,16 @@ object Report {
     //   p2     = round(100·cnt/total)          — the percentage, 2dp
     //   hours  = p2·24/100 = p2·6/25           — floor = hour hand
     //   minute = round((p2·6 mod 25)·60/25)    — = (24·rem + 5) div 10
-    // SUM(...) OVER () in the reference; here a broadcast cross-join of
-    // the one-row total — same value on every row, but no single-
-    // partition WindowExec (and no "No Partition Defined" warning).
+    // SUM(...) OVER () like the reference. The single-partition window
+    // (and its WindowExec warning) is deliberate: `counted` is the
+    // post-aggregate per-source table — a few hundred rows at ANY fact
+    // size — so one partition is free. The tempting rewrite
+    // crossJoin(broadcast(counted.agg(sum))) recomputes the entire
+    // report subtree for the broadcast side (16 extra scans measured);
+    // a window reuses the rows it already has.
+    val total = sum(col("minute_count")).over(Window.partitionBy())
     counted
-      .crossJoin(broadcast(counted.agg(sum(col("minute_count")).as("_total"))))
+      .withColumn("_total", total)
       .withColumn("_p2", expr("(200 * minute_count + _total) div (2 * _total)"))
       .withColumn("_h", expr("(_p2 * 6) div 25"))
       .withColumn("_m", expr("((_p2 * 6) % 25 * 24 + 5) div 10"))

@@ -23,12 +23,9 @@ class PlanShapeSpec extends SparkTestBase {
   test("only deliberate tiny-broadcast all-pairs use a nested-loop join") {
     // x_ann_brute: exact baseline scores corpus × (broadcast) queries;
     // x_ann_ivf: quantizer assignment scores corpus × (broadcast)
-    // codebook. Both broadcast a constant-size side; the w1 reports
-    // attach the ONE-ROW grand total by broadcast cross-join (the
-    // scalable spelling of SUM() OVER () — no single-partition window
-    // exchange). Everything else must plan hash/sort-merge joins.
-    val allPairs = Set("x_ann_brute", "x_ann_ivf",
-      "w1_report_cheap", "w1_report_expensive")
+    // codebook. Both broadcast a constant-size side; everything else
+    // must plan hash/sort-merge joins.
+    val allPairs = Set("x_ann_brute", "x_ann_ivf")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
