@@ -54,6 +54,51 @@ object Analytics {
         |FROM events
         |ORDER BY user_id, ts, event_id""".stripMargin),
 
+    // RANGE frame (event-TIME window, vs w3's row-count window): per
+    // user, the rolling 10-minute sum/count of values. Peers at equal
+    // timestamps share a frame, so no tie-break is needed for value
+    // determinism; decimal sums keep it exact.
+    "w5_range_frame" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_us"))
+          .rangeBetween(-600L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("epoch_us", unix_micros(col("ts")))
+          .select(col("user_id"), col("event_id"), col("epoch_us"), col("value"))
+          .withColumn("roll_sum",
+            sum(col("value").cast(Dec)).over(w).cast("double"))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .orderBy(col("user_id"), col("epoch_us"), col("event_id"))
+      },
+      """SELECT user_id, event_id, epoch_us(ts) AS epoch_us, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS roll_n
+        |FROM events
+        |ORDER BY user_id, epoch_us, event_id""".stripMargin),
+
+    // Pivot (long → wide): per-user event-type counts as columns.
+    // Spark's relational pivot with an explicit value list (no
+    // discovery scan); absent combinations back-fill 0 like the
+    // conditional-count spelling.
+    "a13_pivot" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy(col("user_id")),
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Top-k per group: ROW_NUMBER ≤ k with a deterministic tie-break.
     // Catalyst plans the rank filter as a WindowGroupLimit (top-k per
     // partition pushed below the full sort) — no global sort of the
