@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import graft.io.MergeWriter
+import graft.ops.{GoldModel, Interpolate, Validation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.{Failure, Success, Try}
+
+/** The reference's primary hourly pipeline (SURVEY.md §3.1,
+  * /root/reference/dags/etl/fact_gold_price.py) as ONE driver program:
+  * extract/normalize → keyed upsert → densify+interpolate → upsert →
+  * validation gates, sequenced on a single SparkSession with plain
+  * DataFrame hand-offs — where the reference crosses a process or
+  * serialization boundary between every task (scheduler → worker →
+  * Postgres → XCom), this crosses only shuffle exchanges.
+  *
+  * Deviations by design:
+  *  - the INTERPOLATED table is also written through the keyed merge
+  *    (synthetic key source/side/date/time), so replaying an hour is
+  *    idempotent end-to-end; the reference upserts only the raw fact
+  *    and would duplicate interpolated rows on replay
+  *    (fact_gold_price.py:354-368 inserts blind);
+  *  - "now" is the (dateId, hour) parameter pair, never the wall clock
+  *    (§7.4 determinism note), and the merge version is an explicit
+  *    `runVersion` — replays with a higher version win, equal versions
+  *    tie-break deterministically (Merge.upsertLatestWins).
+  *
+  * The success/failure hooks are the Airflow TriggerRule analog
+  * (ALL_SUCCESS → notify success, ONE_FAILED → notify failure,
+  * fact_gold_price.py:509-527): both sinks (Telegram there) are out of
+  * engine scope, so they surface here as callbacks on the Try.
+  */
+object FactPipeline {
+
+  /** What a successful hour run observed (the reference logs the same
+    * counters from its validation task). */
+  case class HourRun(
+      dateId: Int, hour: Int, extracted: Long, densifiedRows: Long,
+      gridMinutes: Long)
+
+  /** Run one closed hour end-to-end.
+    *
+    * @param events       raw tick source (events-shaped)
+    * @param warehouseDir parquet warehouse root (fact + interpolated
+    *                     tables live under it, partitioned by date_id)
+    * @param dateId       processing date, Tehran wall-clock YYYYMMDD
+    * @param hour         closed hour 0–23 (Tehran)
+    * @param runVersion   merge priority for replays (e.g. attempt no.)
+    */
+  def runHour(
+      spark: SparkSession, events: DataFrame, warehouseDir: String,
+      dateId: Int, hour: Int, runVersion: Long,
+      onSuccess: HourRun => Unit = _ => (),
+      onFailure: Throwable => Unit = _ => ()): Try[HourRun] = {
+    val result = Try {
+      // extract + normalize + key derivation (S1: P1/P2/P3), the closed
+      // hour only — on a date-partitioned lake the predicate prunes to
+      // one partition's hour slice
+      val hourFacts = GoldModel.fact(events)
+        .filter(col("date_id") === dateId &&
+          floor(col("time_id") / 10000) === hour)
+        .withColumn("etl_version", lit(runVersion))
+      val extracted = hourFacts.count()
+
+      // S5: keyed latest-wins upsert into the raw fact — replay-safe
+      val factDir = s"$warehouseDir/fact_gold_price"
+      MergeWriter.upsertPartitioned(spark, factDir, hourFacts,
+        key = "id", version = "etl_version", partitionCol = "date_id")
+
+      // T1–T3: read-back the hour (read-your-writes, like the
+      // reference's interpolation task re-selecting from the warehouse),
+      // densify + interpolate
+      val t1 = spark.read.parquet(factDir)
+        .filter(col("date_id") === dateId &&
+          floor(col("time_id") / 10000) === hour)
+        .drop("etl_version")
+        .withColumn("rounded_time_id", GoldModel.roundedTimeId(col("time_id")))
+        .withColumn("is_interpolated", lit(false))
+      val densified = Interpolate.densify(t1)
+        // NULL-safe composite key: concat_ws SKIPS null elements (a
+        // NULL side would alias positions), so null gets an explicit
+        // marker no real value can produce
+        .withColumn("row_key", concat_ws("/",
+          Seq("source_id", "side_id", "date_id", "time_id", "is_interpolated")
+            .map(c => coalesce(col(c).cast("string"), lit("~null~"))): _*))
+        .withColumn("etl_version", lit(runVersion))
+
+      // S6/S7 as a keyed merge instead of blind appends (see class doc)
+      val interpDir = s"$warehouseDir/fact_gold_price_interpolated"
+      MergeWriter.upsertPartitioned(spark, interpDir, densified,
+        key = "row_key", version = "etl_version", partitionCol = "date_id")
+
+      // §2.12 gates on what was just written, scoped to the window
+      val window = spark.read.parquet(interpDir)
+        .filter(col("date_id") === dateId &&
+          floor(col("rounded_time_id") / 10000) === hour)
+      val gridMinutes = window.select(col("rounded_time_id")).distinct().count()
+      Validation.completenessGate(window, expectedMinutes = gridMinutes)
+      Validation.nullPriceGate(window)
+
+      HourRun(dateId, hour, extracted, window.count(), gridMinutes)
+    }
+    result match {
+      case Success(r) => onSuccess(r)
+      case Failure(e) => onFailure(e)
+    }
+    result
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Validation.GateViolation
+import graft.pipeline.FactPipeline
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import scala.util.{Failure, Success}
+
+/** §3.1 end-to-end: one closed hour through extract → upsert →
+  * densify/interpolate → gates, then the properties the orchestration
+  * must provide — replay idempotence across BOTH tables and the
+  * failure-hook path on a gate violation. */
+class FactPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Tehran is UTC+3:30 on 2024-01-15: UTC 06:3x → 10:0x wall clock
+  private def evts(rows: (Long, String, String, Double, String)*) =
+    rows.toSeq.map { case (id, u, et, v, ts) =>
+      (id, Timestamp.valueOf(ts), u.toLong, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private val D = 20240115
+  // two (source, side) groups, each ≥2 ticks spanning minutes 00–05
+  // of Tehran hour 10 → grid = 6 minutes, fully interpolable
+  private val goodEvents = evts(
+    (1L, "7", "click", 100.0, "2024-01-15 06:30:10"),
+    (2L, "7", "click", 106.0, "2024-01-15 06:33:20"),
+    (3L, "7", "click", 110.0, "2024-01-15 06:35:30"),
+    (4L, "8", "purchase", 50.0, "2024-01-15 06:30:40"),
+    (5L, "8", "purchase", 56.0, "2024-01-15 06:35:50"))
+
+  test("one hour runs end-to-end; replay with a new version is idempotent") {
+    val wh = Files.createTempDirectory("graft_pipeline").toString
+    var notified: Option[FactPipeline.HourRun] = None
+
+    val r1 = FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 1L, onSuccess = r => notified = Some(r))
+    val run1 = r1 match {
+      case Success(r) => r
+      case Failure(e) => fail(s"pipeline failed: $e")
+    }
+    assert(notified.contains(run1))
+    assert(run1.extracted == 5L)
+    assert(run1.gridMinutes == 6L)
+    // 2 groups × 6 grid minutes: group 7 has 3 actuals + 3 generated,
+    // group 8 has 2 actuals + 4 generated
+    assert(run1.densifiedRows == 12L)
+
+    val factRows = spark.read.parquet(s"$wh/fact_gold_price").count()
+    assert(factRows == 5L)
+
+    // replay the SAME hour (same events, higher version): no duplicates
+    // anywhere, same row counts — the reference would duplicate its
+    // interpolated rows here
+    val run2 = FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 2L).get
+    assert(run2.densifiedRows == 12L)
+    assert(spark.read.parquet(s"$wh/fact_gold_price").count() == 5L)
+    assert(spark.read.parquet(s"$wh/fact_gold_price_interpolated").count() == 12L)
+
+    // interpolated values are the engine's interpolation, not copies:
+    // group 7 minute 06:31 (wall 10:01) = linear between 100 and 106
+    val interp = spark.read.parquet(s"$wh/fact_gold_price_interpolated")
+      .filter(col("source_id") === 7 && col("rounded_time_id") === 100100)
+      .select("price", "is_interpolated").as[(Double, Boolean)].head()
+    assert(interp == ((102.0, true)))
+  }
+
+  test("a gate violation fails the run and fires the failure hook") {
+    val wh = Files.createTempDirectory("graft_pipeline_bad").toString
+    // source 9 has ONE tick → ineligible → its group generates nothing
+    // → per-group completeness gate must throw
+    val bad = goodEvents.unionByName(
+      evts((6L, "9", "click", 70.0, "2024-01-15 06:32:00")))
+    var failed: Option[Throwable] = None
+    val r = FactPipeline.runHour(spark, bad, wh, D, hour = 10,
+      runVersion = 1L, onFailure = e => failed = Some(e))
+    assert(r.isFailure)
+    assert(failed.exists(_.isInstanceOf[GateViolation]))
+  }
+}
