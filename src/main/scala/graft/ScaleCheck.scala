@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{GoldModel, Interpolate, Report}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (dev tool, like Profile): multiply the tick corpus
+  * N× along the axes that grow real deployments — more DATES for the
+  * rebuild (output-sized growth) and more SOURCES for the report
+  * (group-count growth) — and print wall-clock per multiplier. A
+  * near-linear time curve is the local-mode evidence that the plans
+  * hold under scale-up: the shuffles stay input-sized and per-group
+  * state stays bounded, so 1000 executors buy throughput, not new
+  * bottlenecks.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    /** events replicated m× with dates shifted k·35 days apart —
+      * m× groups AND m× densified output. */
+    def moreDates(m: Int): DataFrame =
+      Tables.events(spark, sfDir)
+        .withColumn("k", explode(lit((0 until m).toArray)))
+        .withColumn("event_id", col("event_id") * m + col("k"))
+        .withColumn("ts", expr("timestampadd(DAY, k * 35, ts)"))
+        .drop("k")
+
+    /** events replicated m× with distinct sources — m× report groups. */
+    def moreSources(m: Int): DataFrame =
+      Tables.events(spark, sfDir)
+        .withColumn("k", explode(lit((0 until m).toArray)))
+        .withColumn("event_id", col("event_id") * m + col("k"))
+        .withColumn("user_id", col("user_id") + col("k") * 100000L)
+        .drop("k")
+
+    // warm
+    Interpolate.densify(GoldModel.factDensifyInput(moreDates(1)))
+      .queryExecution.toRdd.count()
+
+    println(f"${"mult"}%4s  ${"densify_s"}%10s  ${"rows"}%12s  ${"report_s"}%9s")
+    for (m <- Seq(1, 2, 4, 8)) {
+      val (td, n) = time {
+        Interpolate.densify(GoldModel.factDensifyInput(moreDates(m)))
+          .queryExecution.toRdd.count()
+      }
+      val ev = moreSources(m)
+      val (tr, _) = time {
+        Report.cheapExpensive(
+          Interpolate.densify(GoldModel.factDensifyInput(ev)
+            .filter(col("date_id") === 20240115)),
+          GoldModel.sourcesDim(ev).filter(col("deleted_at").isNull)
+            .select("id", "name", "color"),
+          20240115, "cheap").queryExecution.toRdd.count()
+      }
+      println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f")
+    }
+    spark.stop()
+  }
+}
