@@ -76,8 +76,13 @@ case class LinearInterpolateRows(
       s"linear_interpolate: times ($n) and prices (${pArr.numElements()}) lengths differ")
     if (n == 0) return Nil
 
-    // time-sorted points; prices stay boxed so NULL propagates
+    // time-sorted points; prices stay boxed so NULL propagates. NULL
+    // TIMES (or grid minutes, below) are rejected loudly — ArrayData
+    // would silently read a null slot as 0, fabricating a midnight
+    // point that skews nearest-2 selection.
     val pts = Array.tabulate(n) { i =>
+      require(!tArr.isNullAt(i),
+        "linear_interpolate: times must not contain NULL")
       val p: java.lang.Double =
         if (pArr.isNullAt(i)) null else pArr.getDouble(i)
       (tArr.getInt(i), p)
@@ -87,6 +92,8 @@ case class LinearInterpolateRows(
     val out = Vector.newBuilder[InternalRow]
     var gi = 0
     while (gi < gArr.numElements()) {
+      require(!gArr.isNullAt(gi),
+        "linear_interpolate: grid must not contain NULL")
       val m = gArr.getInt(gi)
       gi += 1
       if (!existing.contains(m)) {

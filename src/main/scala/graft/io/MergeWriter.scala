@@ -34,6 +34,20 @@ object MergeWriter {
     *                     etl_timestamp latest-wins)
     * @param partitionCol the table's partition column (reference: date_id)
     */
+  /** Predicate selecting the incoming batch's touched partitions.
+    * isin() never matches NULL, so a NULL-partition batch would read
+    * zero existing rows while dynamic overwrite still replaces the NULL
+    * (__HIVE_DEFAULT_PARTITION__) directory — losing its existing rows.
+    * Match the NULL partition explicitly. */
+  private def touchedPartitions(incoming: DataFrame, partitionCol: String) = {
+    val touched = incoming.select(partitionCol).distinct()
+      .collect().map(_.get(0))
+    val nonNull = touched.filter(_ != null)
+    if (nonNull.length == touched.length) col(partitionCol).isin(nonNull: _*)
+    else if (nonNull.isEmpty) col(partitionCol).isNull
+    else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+  }
+
   def upsertPartitioned(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
       key: String, version: String, partitionCol: String): Unit = {
@@ -41,23 +55,50 @@ object MergeWriter {
     val merged =
       if (!exists) incoming
       else {
-        val touched = incoming.select(partitionCol).distinct()
-          .collect().map(_.get(0))
-        // isin() never matches NULL, so a NULL-partition batch would
-        // read zero existing rows while dynamic overwrite still replaces
-        // the NULL (__HIVE_DEFAULT_PARTITION__) directory — losing its
-        // existing rows. Match the NULL partition explicitly.
-        val nonNull = touched.filter(_ != null)
-        val touchedPred =
-          if (nonNull.length == touched.length) col(partitionCol).isin(nonNull: _*)
-          else if (nonNull.isEmpty) col(partitionCol).isNull
-          else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-        val existing = spark.read.parquet(targetDir).filter(touchedPred)
+        val existing = spark.read.parquet(targetDir)
+          .filter(touchedPartitions(incoming, partitionCol))
         Merge.upsertLatestWins(existing, incoming, key, version)
       }
     // localCheckpoint truncates the lineage so the write no longer
     // references the path it reads (Spark rejects self-overwrite plans);
     // it also materializes the merged partitions exactly once.
+    merged.localCheckpoint(true)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetDir)
+  }
+
+  /** Replace a predicate-scoped WINDOW of the partitioned table:
+    * existing rows matching `windowPred` (within the incoming batch's
+    * touched partitions) are dropped and `incoming` takes their place;
+    * rows outside the window and untouched partitions are preserved
+    * byte-for-byte (dynamic overwrite).
+    *
+    * This is the idempotent write for RECOMPUTE-style loads — a
+    * densified hour, a rebuilt day: the new computation supersedes
+    * everything previously derived for the window, so replays and
+    * late-arriving data REPLACE rather than merge. A keyed upsert is
+    * wrong for such loads twice over: derived rows need a synthetic
+    * key (collapsing legitimate duplicates, e.g. two ticks in one
+    * second), and a key that existed in the previous run but not in
+    * the recomputation (a minute that gained a real tick and is no
+    * longer interpolated) would survive as a stale row.
+    *
+    * `windowPred` must be FALSE-or-TRUE on every existing row (no
+    * NULL-valued predicates) and `incoming` must lie entirely inside
+    * the window — the caller derives both from the same (date, hour)
+    * parameters, which makes that true by construction. */
+  def replaceWindow(
+      spark: SparkSession, targetDir: String, incoming: DataFrame,
+      partitionCol: String, windowPred: org.apache.spark.sql.Column): Unit = {
+    val exists = new java.io.File(targetDir).exists()
+    val merged =
+      if (!exists) incoming
+      else spark.read.parquet(targetDir)
+        .filter(touchedPartitions(incoming, partitionCol) && !windowPred)
+        .unionByName(incoming)
     merged.localCheckpoint(true)
       .write
       .mode("overwrite")

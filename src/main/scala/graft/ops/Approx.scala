@@ -25,11 +25,13 @@ object Approx {
     * @param rsd target relative standard deviation (default 5%) */
   def distinctCounts(
       df: DataFrame, groupCols: Seq[Column],
-      countCols: Seq[(Column, String)], rsd: Double = 0.05): DataFrame =
+      countCols: Seq[(Column, String)], rsd: Double = 0.05): DataFrame = {
+    require(countCols.nonEmpty, "distinctCounts needs at least one count column")
     df.groupBy(groupCols: _*)
       .agg(
         countCols.head match { case (c, n) => approx_count_distinct(c, rsd).as(n) },
         countCols.tail.map { case (c, n) => approx_count_distinct(c, rsd).as(n) }: _*)
+  }
 
   /** Quantiles per group via percentile_approx (Greenwald-Khanna):
     * bounded-size summary per group, mergeable across partitions —

@@ -15,11 +15,14 @@ import scala.util.{Failure, Success, Try}
   * Postgres → XCom), this crosses only shuffle exchanges.
   *
   * Deviations by design:
-  *  - the INTERPOLATED table is also written through the keyed merge
-  *    (synthetic key source/side/date/time), so replaying an hour is
-  *    idempotent end-to-end; the reference upserts only the raw fact
-  *    and would duplicate interpolated rows on replay
-  *    (fact_gold_price.py:354-368 inserts blind);
+  *  - the INTERPOLATED table is written by WINDOW REPLACEMENT
+  *    (MergeWriter.replaceWindow): the recomputed hour supersedes the
+  *    previous run's whole hour slice, so replay is idempotent AND
+  *    late data retracts stale generated rows (a minute that gains a
+  *    real tick stops being interpolated). The reference appends blind
+  *    (fact_gold_price.py:354-368) and duplicates on replay; a keyed
+  *    merge would need a synthetic key (collapsing two ticks in one
+  *    second) and would still leave the stale-row case;
   *  - "now" is the (dateId, hour) parameter pair, never the wall clock
   *    (§7.4 determinism note), and the merge version is an explicit
   *    `runVersion` — replays with a higher version win, equal versions
@@ -77,18 +80,14 @@ object FactPipeline {
         .withColumn("rounded_time_id", GoldModel.roundedTimeId(col("time_id")))
         .withColumn("is_interpolated", lit(false))
       val densified = Interpolate.densify(t1)
-        // NULL-safe composite key: concat_ws SKIPS null elements (a
-        // NULL side would alias positions), so null gets an explicit
-        // marker no real value can produce
-        .withColumn("row_key", concat_ws("/",
-          Seq("source_id", "side_id", "date_id", "time_id", "is_interpolated")
-            .map(c => coalesce(col(c).cast("string"), lit("~null~"))): _*))
-        .withColumn("etl_version", lit(runVersion))
 
-      // S6/S7 as a keyed merge instead of blind appends (see class doc)
+      // S6/S7 as hour-window replacement instead of blind appends (see
+      // class doc): the recomputed hour replaces its previous slice
       val interpDir = s"$warehouseDir/fact_gold_price_interpolated"
-      MergeWriter.upsertPartitioned(spark, interpDir, densified,
-        key = "row_key", version = "etl_version", partitionCol = "date_id")
+      MergeWriter.replaceWindow(spark, interpDir, densified,
+        partitionCol = "date_id",
+        windowPred = col("date_id") === dateId &&
+          floor(col("rounded_time_id") / 10000) === hour)
 
       // §2.12 gates on what was just written, scoped to the window
       val window = spark.read.parquet(interpDir)

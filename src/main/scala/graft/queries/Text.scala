@@ -71,6 +71,20 @@ object Text {
 
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
 
+  /** Quality-feature fragments shared by x_text_stats and x_curation —
+    * one definition per engine so the two queries and their oracles
+    * cannot drift. `t` is the token-array column; the score references
+    * the stop_ratio / type_token_ratio / n_tokens aliases established
+    * by the surrounding SELECT (lateral alias reuse, valid in both
+    * engines). */
+  private lazy val EnStops = inList(Markers.toMap.apply("en"))
+  private lazy val StopRatioSpark = s"size(filter(t, w -> w IN ($EnStops))) / size(t)"
+  private val TypeTokenSpark = "size(array_distinct(t)) / size(t)"
+  private lazy val StopRatioDuck = s"len(list_filter(t, w -> w IN ($EnStops))) / len(t)"
+  private val TypeTokenDuck = "len(list_distinct(t)) / len(t)"
+  private val QualityScore =
+    "round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)"
+
   /** Verified MinHash+LSH near-dup pairs (a_id < b_id, Jaccard ≥ 0.5) —
     * shared by the pair query and the cluster query. Shingle sets ride
     * along through the band join (same pattern as the simhash query):
@@ -116,7 +130,8 @@ object Text {
        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |          FROM bands a JOIN bands b
        |            ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |pairsj AS (SELECT p.a_id, p.b_id
+       |pairsj AS (SELECT p.a_id, p.b_id,
+       |             len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
        |           FROM pairs p
        |           JOIN sh sa ON sa.doc_id = p.a_id
        |           JOIN sh sb ON sb.doc_id = p.b_id
@@ -156,23 +171,20 @@ object Text {
             "size(t) AS n_tokens",
             "size(array_distinct(t)) AS n_distinct_tokens",
             "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS n_subtokens",
-            s"size(filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / size(t) AS stop_ratio",
-            "size(array_distinct(t)) / size(t) AS type_token_ratio",
+            s"$StopRatioSpark AS stop_ratio",
+            s"$TypeTokenSpark AS type_token_ratio",
             "(length(text) - (size(t) - 1)) / size(t) AS avg_token_len")
-          .withColumn("quality_score",
-            expr("round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)")),
+          .withColumn("quality_score", expr(QualityScore)),
       s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id, lang, source,
          |  CAST(length(text) AS INT) AS n_chars_calc,
          |  CAST(len(t) AS INT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subtokens,
-         |  len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t) AS stop_ratio,
-         |  len(list_distinct(t)) / len(t) AS type_token_ratio,
+         |  $StopRatioDuck AS stop_ratio,
+         |  $TypeTokenDuck AS type_token_ratio,
          |  (length(text) - (len(t) - 1)) / len(t) AS avg_token_len,
-         |  round((len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t)) * 0.3
-         |    + (len(list_distinct(t)) / len(t)) * 0.4
-         |    + least(len(t) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |  $QualityScore AS quality_score
          |FROM d""".stripMargin),
 
     // Language-ID heuristic: per-language marker-stopword scores,
@@ -257,27 +269,8 @@ object Text {
     // on the band key — no quadratic pair generation.
     "x_dedup_minhash_lsh" -> Q(
       (s, dir) => minhashPairs(s, dir).orderBy("a_id", "b_id"),
-      s"""WITH $CorpusCte,
-         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-         |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
-         |mh AS (SELECT doc_id, sh,
-         |         list_transform(range(0, 8), k ->
-         |           list_min(list_transform(sh, s ->
-         |             ((2*k+3) * (list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)) + (5*k+7)) % 1000000007))) AS mh
-         |       FROM sh),
-         |bands AS (SELECT doc_id,
-         |            unnest(list_transform(range(0, 4), b ->
-         |              CAST(b AS VARCHAR) || ':' || CAST(mh[2*b+1] AS VARCHAR) || ':' || CAST(mh[2*b+2] AS VARCHAR))) AS bkey
-         |          FROM mh),
-         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |          FROM bands a JOIN bands b
-         |            ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT p.a_id, p.b_id,
-         |       len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-         |FROM pairs p
-         |JOIN sh sa ON sa.doc_id = p.a_id
-         |JOIN sh sb ON sb.doc_id = p.b_id
-         |WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+      s"""WITH $minhashPairsCte
+         |SELECT a_id, b_id, jaccard FROM pairsj
          |ORDER BY a_id, b_id""".stripMargin),
 
     // Duplicate-GROUP assembly: the verified near-dup pairs are edges of
@@ -356,11 +349,9 @@ object Text {
           .withColumn("t", split(col("text"), " "))
           .select(col("doc_id"),
             expr("size(t)").as("n_tokens"),
-            expr(s"size(filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / size(t)")
-              .as("stop_ratio"),
-            expr("size(array_distinct(t)) / size(t)").as("type_token_ratio"))
-          .withColumn("quality_score",
-            expr("round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)"))
+            expr(StopRatioSpark).as("stop_ratio"),
+            expr(TypeTokenSpark).as("type_token_ratio"))
+          .withColumn("quality_score", expr(QualityScore))
         val clusters = graft.ops.Components.connectedComponents(
             minhashPairs(s, dir)
               .select(col("a_id").as("src"), col("b_id").as("dst")))
@@ -387,13 +378,10 @@ object Text {
          |feats AS (
          |  SELECT doc_id,
          |    CAST(len(t) AS INT) AS n_tokens,
-         |    len(list_filter(t, w -> w IN (${inList(Markers.toMap.apply("en"))}))) / len(t) AS stop_ratio,
-         |    len(list_distinct(t)) / len(t) AS type_token_ratio
+         |    $StopRatioDuck AS stop_ratio,
+         |    $TypeTokenDuck AS type_token_ratio
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
-         |q AS (SELECT *,
-         |        round(stop_ratio * 0.3 + type_token_ratio * 0.4
-         |              + least(n_tokens / 100.0, 1.0) * 0.3, 6) AS quality_score
-         |      FROM feats)
+         |q AS (SELECT *, $QualityScore AS quality_score FROM feats)
          |SELECT q.doc_id, q.n_tokens, q.quality_score, c.cluster_id,
          |  (c.cluster_id IS NULL OR c.cluster_id = q.doc_id) AS is_canonical,
          |  ((c.cluster_id IS NULL OR c.cluster_id = q.doc_id)

@@ -67,6 +67,41 @@ class FactPipelineSpec extends SparkTestBase {
     assert(interp == ((102.0, true)))
   }
 
+  test("late data retracts stale interpolated rows; same-second ticks both survive") {
+    val wh = Files.createTempDirectory("graft_pipeline_late").toString
+    // run 1: ticks only at wall minutes 10:00 and 10:05 → 10:01–10:04
+    // generated
+    val run1 = evts(
+      (1L, "7", "click", 100.0, "2024-01-15 06:30:10"),
+      (2L, "7", "click", 110.0, "2024-01-15 06:35:30"))
+    FactPipeline.runHour(spark, run1, wh, D, hour = 10, runVersion = 1L).get
+    val interpDir = s"$wh/fact_gold_price_interpolated"
+    val before = spark.read.parquet(interpDir)
+      .filter(col("rounded_time_id") === 100200)
+      .select("price", "is_interpolated").as[(Double, Boolean)].collect().toSeq
+    assert(before == Seq((104.0, true))) // linear 100→110 at minute 2 of 5
+
+    // run 2 replays the hour with a LATE tick at 10:02 and a same-second
+    // duplicate of tick 1 (distinct id, same source/side/second)
+    val run2 = run1.unionByName(evts(
+      (3L, "7", "click", 107.0, "2024-01-15 06:32:00"),
+      (4L, "7", "click", 101.0, "2024-01-15 06:30:10")))
+    FactPipeline.runHour(spark, run2, wh, D, hour = 10, runVersion = 2L).get
+
+    // the stale generated row for 10:02 is GONE — the minute is actual
+    val after = spark.read.parquet(interpDir)
+      .filter(col("rounded_time_id") === 100200)
+      .select("price", "is_interpolated").as[(Double, Boolean)].collect().toSeq
+    assert(after == Seq((107.0, false)))
+    // both same-second ticks survive as distinct actual rows
+    val sameSecond = spark.read.parquet(interpDir)
+      .filter(col("time_id") === 100010 && !col("is_interpolated"))
+      .count()
+    assert(sameSecond == 2L)
+    // and nothing duplicated: 4 actuals + generated {10:01, 10:03, 10:04}
+    assert(spark.read.parquet(interpDir).count() == 7L)
+  }
+
   test("a gate violation fails the run and fires the failure hook") {
     val wh = Files.createTempDirectory("graft_pipeline_bad").toString
     // source 9 has ONE tick → ineligible → its group generates nothing
