@@ -9,29 +9,92 @@ import org.apache.spark.sql.functions._
   * GROUPS (pick one canonical document per group, drop the rest).
   * Pairs are edges; the duplicate groups are the connected components.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with its own id; each round, a node's label becomes the
-  * minimum of its own and its neighbors' labels. Labels are monotone
-  * non-increasing and reach the component-minimum id in O(diameter)
-  * rounds — and near-duplicate clusters are dense (diameter is tiny:
-  * members all resemble one another), so 2–3 rounds is typical.
+  * Two execution paths behind one contract, picked by edge count:
   *
-  * Scale: each round is one shuffled join edges⋈labels plus a
-  * hash aggregation — no driver-side data beyond the one-row
-  * convergence probe. `localCheckpoint` truncates the lineage every
-  * round, bounding plan growth over iterations (the classic iterative-
-  * Spark trap). For billion-edge graphs swap in the alternating
-  * large/small-star variant (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14) — same join-round shape, fewer
-  * rounds on high-diameter graphs; the API is the contract here.
+  *  - **Small graphs** (≤ `localEdgeThreshold` edges): union-find on the
+  *    driver. Near-dup edge lists are corpus-tiny by construction — LSH
+  *    banding emits pairs only for colliding documents, a vanishing
+  *    fraction of a deduplicated corpus — so even a 100 TB run's pair
+  *    list usually fits in driver memory (2²¹ edges ≈ 32 MB of longs).
+  *    One Spark job (an early-stopping `limit` collect), zero shuffles,
+  *    zero iterations — versus 3+ scheduled rounds of join+agg jobs
+  *    whose fixed overhead dwarfs the work at this size.
+  *
+  *  - **Large graphs**: iterative min-label propagation. Every node
+  *    starts labeled with its own id; each round, a node's label becomes
+  *    the minimum of its own and its neighbors' labels. Labels are
+  *    monotone non-increasing and reach the component-minimum id in
+  *    O(diameter) rounds — and near-duplicate clusters are dense
+  *    (diameter is tiny: members all resemble one another), so 2–3
+  *    rounds is typical. Each round is one shuffled join edges⋈labels,
+  *    a hash aggregation, and a lineage-truncating `localCheckpoint`
+  *    (the classic iterative-Spark trap); convergence is read off the
+  *    label SUM — monotonicity makes "sum unchanged ⟺ no label moved" —
+  *    so the probe is a partial-aggregable scalar, not another join.
+  *    For billion-edge graphs swap in the alternating large/small-star
+  *    variant (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond", SoCC'14) — same join-round shape, fewer rounds on
+  *    high-diameter graphs; the API is the contract here.
+  *
+  * Both paths return identical labelings (ComponentsSpec runs its
+  * union-find differential against each).
   */
 object Components {
 
   /** @param edges DataFrame with two long columns `src`, `dst`
     *              (undirected; direction and duplicates don't matter)
+    * @param localEdgeThreshold edge count at or below which the
+    *              driver-side union-find path runs (set 0 to force the
+    *              distributed loop)
     * @return (node, component) — component = min node id reachable
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame, maxIter: Int = 50,
+      localEdgeThreshold: Int = 1 << 21): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    if (localEdgeThreshold > 0) {
+      // early-stopping probe: collects at most threshold+1 rows, so a
+      // billion-edge graph pays one truncated scan, not a full collect
+      val probe = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(localEdgeThreshold + 1)
+        .as[(Long, Long)].collect()
+      if (probe.length <= localEdgeThreshold)
+        return unionFindLocal(spark, probe)
+    }
+    propagateDistributed(edges, maxIter)
+  }
+
+  /** Path-compressed union-find with union-by-min: the component root is
+    * always the minimum id seen, so labels equal the distributed path's
+    * min-label fixpoint. */
+  private def unionFindLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val labeled = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(k => (k.toLong, find(k)))
+    spark.createDataset(labeled.toSeq).toDF("node", "component")
+  }
+
+  private def propagateDistributed(edges: DataFrame, maxIter: Int): DataFrame = {
     // symmetrize once: propagation below only follows src→dst
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -42,8 +105,16 @@ object Components {
       .withColumn("label", col("node"))
       .localCheckpoint()
 
+    // decimal(38,0) sum: overflow-proof for any id range × node count
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+
+    var curSum = labelSum(labels)
     var round = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && round < maxIter) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
@@ -56,12 +127,12 @@ object Components {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      // labels are monotone non-increasing per node, so an unchanged sum
+      // means no label moved anywhere
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")

@@ -23,26 +23,30 @@ class ComponentsSpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("random graphs match union-find") {
+  test("random graphs match union-find — both execution paths") {
     val rnd = new Random(42)
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to 5; threshold <- Seq(0, 1 << 21)) {
+      // threshold 0 forces the distributed propagation loop; the default
+      // takes the driver union-find path — both must agree with the oracle
       val n = 30 + rnd.nextInt(40)
       val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
         .filter { case (a, b) => a != b }
       val expected = unionFind(edges)
       val got = Components
-        .connectedComponents(edges.toDF("src", "dst"))
+        .connectedComponents(edges.toDF("src", "dst"),
+          localEdgeThreshold = threshold)
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"trial $trial")
+      assert(got == expected, s"trial $trial threshold $threshold")
     }
   }
 
   test("two disjoint chains keep distinct components") {
     // chains have maximal diameter for their size — the slowest shape
-    // for one-hop label propagation
+    // for one-hop label propagation; force the distributed path
     val chain1 = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq
     val chain2 = (10L until 15L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = Components.connectedComponents((chain1 ++ chain2).toDF("src", "dst"))
+    val got = Components.connectedComponents(
+        (chain1 ++ chain2).toDF("src", "dst"), localEdgeThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert((0L until 6L).forall(got(_) == 0L))
     assert((10L until 15L).forall(got(_) == 10L))
