@@ -54,17 +54,23 @@ object Components {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // Null endpoints are dropped up front on BOTH paths: a null id is
+    // not a node, and leaving them in would make the paths diverge
+    // (union-find would NPE, propagation would silently never join).
+    val clean = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .na.drop(Seq("src", "dst"))
+
     if (localEdgeThreshold > 0) {
       // early-stopping probe: collects at most threshold+1 rows, so a
       // billion-edge graph pays one truncated scan, not a full collect
-      val probe = edges
-        .select(col("src").cast("long"), col("dst").cast("long"))
+      val probe = clean
         .limit(localEdgeThreshold + 1)
         .as[(Long, Long)].collect()
       if (probe.length <= localEdgeThreshold)
         return unionFindLocal(spark, probe)
     }
-    propagateDistributed(edges, maxIter)
+    propagateDistributed(clean, maxIter)
   }
 
   /** Path-compressed union-find with union-by-min: the component root is
@@ -105,11 +111,19 @@ object Components {
       .withColumn("label", col("node"))
       .localCheckpoint()
 
-    // decimal(38,0) sum: overflow-proof for any id range × node count
+    // decimal(38,0) sum: overflow-proof for any id range × node count.
+    // A null sum over a NON-empty frame can only be overflow (non-ANSI
+    // mode nulls instead of throwing) — fail loudly rather than letting
+    // two consecutive nulls read as "sum unchanged ⟹ converged".
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
-      if (v == null) java.math.BigDecimal.ZERO
-      else v.asInstanceOf[java.math.BigDecimal]
+      val row = df.agg(
+        sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+      val v = row.get(0)
+      if (v == null) {
+        require(row.getLong(1) == 0L,
+          "label sum overflowed decimal(38,0) — convergence probe is invalid")
+        java.math.BigDecimal.ZERO
+      } else v.asInstanceOf[java.math.BigDecimal]
     }
 
     var curSum = labelSum(labels)

@@ -59,6 +59,22 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("null endpoints are dropped identically on both paths") {
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(4L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(5L)))
+      .toDF("src", "dst")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 1L)
+    for (threshold <- Seq(0, 1 << 21)) {
+      val got = Components
+        .connectedComponents(edges, localEdgeThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"threshold $threshold")
+    }
+  }
+
   test("empty edge list yields empty labeling") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
     assert(Components.connectedComponents(empty).count() == 0L)
