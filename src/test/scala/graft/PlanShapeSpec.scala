@@ -43,6 +43,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(executedPlanString("w1_report_cheap").contains("BroadcastHashJoin"))
   }
 
+  test("densify's generation stage keeps an explicit un-coalescible width") {
+    // AQE sizes post-shuffle stages by input bytes, but densify's explode
+    // amplifies rows 100-1000x — the points exchange must be
+    // user-specified (REPARTITION_BY_NUM origin) so AQE cannot coalesce
+    // the kernel loop down to a handful of tasks (see Interpolate).
+    for (name <- Seq("t3_densify_interpolate", "t8_interp_sql")) {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$name lost the explicit-width repartition of the points stage")
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // x_fingerprint touches only doc_id and text of the 5-column table
     val df = SparkEntry.queries("x_fingerprint")(spark, sfSmoke)
