@@ -16,20 +16,25 @@ object Bench {
       // cluster serving a query mix wants this raised the same way.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the one WARN this suite emits by design (Report's
+    // single-partition grand-total window over the already-aggregated
+    // per-source rows — deliberate and documented there) would repeat
+    // 150+ times across three passes; the bench contract is the JSON
+    // line, not a log stream.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (codegen, parquet footer caches, JIT) on the
     // flagship query so the first timed query isn't charged for startup.
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    // One untimed warm pass, then two timed passes, per-query minimum:
+    // One untimed warm pass, then three timed passes, per-query minimum:
     // steady-state timing. Generated code is JIT-compiled lazily —
     // identical consecutive executions measure 5.7s → 2.8s → 1.3s while
     // C2 ramps — so the first execution of each query times the JVM,
     // not the plan; and a single timed pass is additionally at the
     // mercy of transient host contention (observed 25× one-off spikes
-    // on an otherwise sub-second query). Warm-then-min reports what the
-    // engine actually costs per query at steady state, the same policy
-    // as any JMH-style harness.
+    // on an otherwise sub-second query, on BOTH passes of a 2-pass
+    // run). Warm-then-min reports what the engine actually costs per
+    // query at steady state, the same policy as any JMH-style harness.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the FULL plan — every output column is computed.
@@ -40,9 +45,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     pass() // warm (JIT/codegen), untimed
-    val p1 = pass()
-    val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val timed = Seq(pass(), pass(), pass())
+    val results = timed.head.keys.map { k =>
+      k -> timed.map(_(k)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
