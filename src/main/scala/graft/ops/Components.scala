@@ -31,12 +31,17 @@ import org.apache.spark.sql.functions._
   *    (the classic iterative-Spark trap); convergence is read off the
   *    label SUM — monotonicity makes "sum unchanged ⟺ no label moved" —
   *    so the probe is a partial-aggregable scalar, not another join.
-  *    For billion-edge graphs swap in the alternating large/small-star
-  *    variant (Kiveris et al., "Connected Components in MapReduce and
-  *    Beyond", SoCC'14) — same join-round shape, fewer rounds on
-  *    high-diameter graphs; the API is the contract here.
   *
-  * Both paths return identical labelings (ComponentsSpec runs its
+  *  - **High-diameter graphs**: [[connectedComponentsStar]] — the
+  *    alternating large-star/small-star contraction (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC'14), which
+  *    converges in O(log² n) rounds regardless of diameter where
+  *    one-hop propagation needs O(diameter). Near-dup clusters are
+  *    dense so the default loop wins there; star contraction is the
+  *    right tool when components are path-like (e.g. temporal chains:
+  *    A≈B≈C where A and C aren't directly similar).
+  *
+  * All paths return identical labelings (ComponentsSpec runs its
   * union-find differential against each).
   */
 object Components {
@@ -151,5 +156,118 @@ object Components {
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * SoCC'14) — O(log² n) rounds on ANY graph shape, where the one-hop
+    * propagation loop needs O(diameter) rounds. Same contract as
+    * [[connectedComponents]]: (node, component = min reachable id).
+    *
+    * Each round is two half-steps over the (deduplicated) edge set:
+    *
+    *  - large-star: per node u over its full neighborhood Γ(u),
+    *    m = min(Γ(u) ∪ {u}); every STRICTLY LARGER neighbor v > u is
+    *    re-pointed at m — emit (v, m).
+    *  - small-star: edges directed larger→smaller (u = max endpoint);
+    *    per node u, m = min(N(u) ∪ {u}) over its smaller neighbors;
+    *    u and every neighbor re-point at m.
+    *
+    * Both half-steps preserve connectivity and strictly shrink the
+    * potential Σ(v − root(v)); the fixpoint is a forest of stars whose
+    * centers are the component minima. Per half-step the plan is ONE
+    * hash shuffle on the node id (a min-window over the neighborhood,
+    * no sort — unbounded frame), a projection, and a distinct; a
+    * `localCheckpoint` per round truncates lineage exactly like the
+    * propagation loop. Convergence = the canonical edge set's
+    * (count, xor-of-hashes, sum-of-hashes) fingerprint is unchanged by
+    * a full round — set equality up to a 128-bit-ish collision, checked
+    * on the post-distinct canonical form so duplicate emissions can't
+    * mask a change.
+    *
+    * Skew note (the reason this exists at 100 TB): a hub node's
+    * neighborhood lands in one window partition, but large-star only
+    * RE-POINTS the hub's larger neighbors — after one round those
+    * neighbors attach to the min directly and the hub's degree
+    * collapses; the paper bounds total work at O(m log n). No
+    * per-round state outlives the round.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .na.drop(Seq("src", "dst"))
+
+    // canonical undirected form, self-loops dropped (they carry no
+    // connectivity and would survive every contraction)
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    // overflow-safe set fingerprint: xor never overflows, the sum runs
+    // in decimal(38,0) (ANSI mode would throw on a long sum of
+    // full-range hashes)
+    def fingerprint(df: DataFrame): (Long, Long, Any) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(h), lit(0L)),
+        sum(h.cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getLong(1), r.get(2))
+    }
+
+    // min over the node's neighborhood INCLUDING itself, one shuffle
+    val byU = Window.partitionBy(col("u"))
+    def withMin(nbrs: DataFrame): DataFrame =
+      nbrs.withColumn("m", least(min(col("v")).over(byU), col("u")))
+
+    def largeStar(es: DataFrame): DataFrame = {
+      val nbrs = es.select(col("u"), col("v"))
+        .union(es.select(col("v").as("u"), col("u").as("v")))
+      canon(withMin(nbrs)
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(es: DataFrame): DataFrame = {
+      // es is canonical (u > v) — already directed larger→smaller
+      val pointed = withMin(es)
+      canon(
+        pointed.select(col("v").as("u"), col("m").as("v"))
+          .union(pointed.select(col("u"), col("m").as("v")).distinct()))
+    }
+
+    // canon() drops self-loops, but a node whose ONLY edge is a
+    // self-loop is still a (singleton) component on the other paths —
+    // re-attach such nodes to the final labeling
+    val selfOnly = clean.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+
+    var cur = canon(clean.select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint()
+    if (cur.isEmpty)
+      return selfOnly.select(col("node"), col("node").as("component"))
+
+    var fp = fingerprint(cur)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      cur = next; fp = nfp
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+
+    // fixpoint = stars centered at component minima: every edge is
+    // (member, center); centers label themselves. Self-loop-only nodes
+    // rejoin as singletons (min over the union keeps real labels for
+    // nodes that also had proper edges).
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .union(cur.select(col("v").as("node"), col("v").as("component")))
+      .union(selfOnly.select(col("node"), col("node").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
   }
 }

@@ -59,6 +59,39 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("star contraction matches union-find on random graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = Components
+        .connectedComponentsStar(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("star contraction handles the propagation loop's worst case — a long chain") {
+    // diameter 120: one-hop propagation would need ~120 rounds; star
+    // contraction must finish within its default O(log² n) budget
+    val chain = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Components.connectedComponentsStar(chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 120 && got.values.forall(_ == 0L))
+  }
+
+  test("star contraction keeps self-loop-only nodes and empty input") {
+    val got = Components
+      .connectedComponentsStar(
+        Seq((7L, 7L), (1L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponentsStar(empty).count() == 0L)
+  }
+
   test("null endpoints are dropped identically on both paths") {
     val edges = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
