@@ -144,6 +144,107 @@ object Analytics {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin),
 
+    // Full CUBE over (returnflag, linestatus) — all four grouping-set
+    // combinations (detail, each one-key subtotal, grand total) in a
+    // single Expand + hash-aggregate pass, completing the hierarchical
+    // family next to a11's ROLLUP and a13's pivot. GROUPING flags
+    // disambiguate subtotal rows from genuine NULL keys.
+    "a14_cube" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+            col("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin),
+
+    // The full ranking/navigation window surface in ONE pass: lag/lead,
+    // rank/dense_rank, ntile, percent_rank/cume_dist, first/last value.
+    // All nine functions share a single (partition, sort) — one shuffle,
+    // one sort, every function evaluated in the same WindowExec. The
+    // (ts, event_id) sort key is unique per partition, so every rank —
+    // and therefore every value — is deterministic at any parallelism.
+    "w6_window_kitchen" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val full = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_value", lead(col("value"), 1).over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("first_val", first(col("value")).over(w))
+          .withColumn("last_val", last(col("value")).over(full))
+          // micro-second strings — see w3_moving_avg note
+          .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(value) OVER w AS first_val,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+
+    // Set operations (§2.7 — absent from the reference, free in Spark):
+    // high-value clicker/purchaser audiences composed via INTERSECT /
+    // EXCEPT / UNION-distinct. Each set op plans as an aggregate or
+    // semi/anti hash join on the key — never a sort — and the inputs
+    // are pre-distinct projections, so the whole query stays
+    // input-sized.
+    "o5_set_ops" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def audience(t: String) = e
+          .filter(col("event_type") === t && col("value") > 200)
+          .select(col("user_id").cast("int").as("uid")).distinct()
+        val c = audience("click")
+        val p = audience("purchase")
+        c.intersect(p).withColumn("tag", lit("both"))
+          .unionByName(c.except(p).withColumn("tag", lit("click_only")))
+          .unionByName(p.except(c).withColumn("tag", lit("purchase_only")))
+          .unionByName(c.union(p).distinct().withColumn("tag", lit("any")))
+          .select(col("tag"), col("uid"))
+          .orderBy(col("tag"), col("uid"))
+      },
+      """WITH c AS (SELECT DISTINCT CAST(user_id AS INT) AS uid FROM events
+        |           WHERE event_type = 'click' AND value > 200),
+        |     p AS (SELECT DISTINCT CAST(user_id AS INT) AS uid FROM events
+        |           WHERE event_type = 'purchase' AND value > 200)
+        |SELECT 'both' AS tag, uid FROM (SELECT uid FROM c INTERSECT SELECT uid FROM p)
+        |UNION ALL
+        |SELECT 'click_only', uid FROM (SELECT uid FROM c EXCEPT SELECT uid FROM p)
+        |UNION ALL
+        |SELECT 'purchase_only', uid FROM (SELECT uid FROM p EXCEPT SELECT uid FROM c)
+        |UNION ALL
+        |SELECT 'any', uid FROM (SELECT uid FROM c UNION SELECT uid FROM p)
+        |ORDER BY tag, uid""".stripMargin),
+
     // Exact linear-interpolated percentiles per group. Integer inputs ×
     // quarter fractions make every interpolation product exact in
     // IEEE double, so Spark's (1−f)·a + f·b and DuckDB's a + f·(b−a)

@@ -168,6 +168,34 @@ object Relational {
         |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Correlated subquery surface beyond J7's scalar form: EXISTS
+    // (→ left-semi hash join), NOT EXISTS (→ left-anti), and an
+    // uncorrelated IN over a dimension filter — all through genuine SQL
+    // text so Catalyst's subquery decorrelation does the planning. The
+    // fact-side orders scans stay on the join's build/probe path; no
+    // per-row subquery execution survives optimization.
+    "j12_exists_semi" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        s.sql(
+          """SELECT c_custkey, c_name, c_acctbal FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+            |  AND NOT EXISTS (SELECT 1 FROM orders o
+            |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 20000)
+            |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 20000)
+        |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+        |ORDER BY c_custkey""".stripMargin),
+
     // P12 id-exclusion: != on a nullable key silently drops NULLs —
     // reference quirk preserved (fact_gold_price_temp.py:252-254).
     "p12_id_exclusion" -> Q(

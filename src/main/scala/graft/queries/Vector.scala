@@ -50,9 +50,15 @@ object Vector {
     * pairs. The offset is derived from max(vec_id) (one scalar fetched
     * at plan build from footer statistics), keeping the injected
     * keyspace disjoint (and above all real ids) at every scale factor. */
+  /** Per-directory offset cache — same statistics-cache rationale as
+    * Text.offCache: the corpus is read-only, so max(vec_id) is a
+    * constant per path and need not be re-fetched at every plan build. */
+  private val offCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def corpusE(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val off = e.agg(max("vec_id")).head.getLong(0) + 1L
+    val off: Long = offCache.computeIfAbsent(dir,
+      _ => e.agg(max("vec_id")).head.getLong(0) + 1L)
     e.unionByName(
         e.filter(col("vec_id") % 25 === 0)
           .select((col("vec_id") + off).as("vec_id"),
@@ -237,6 +243,43 @@ object Vector {
          |       ${dCos("a.embedding", "b.embedding")} AS cosine
          |FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE ${dCos("a.embedding", "b.embedding")} >= $NearDupThreshold
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // Int8 scalar quantization — the storage/bandwidth half of ANN at
+    // scale (a 64-float vector becomes 64 bytes + one scale): per-vector
+    // symmetric max-abs scale, q = round(x·127/scale) clamped to ±127.
+    // Pure map pass, no shuffle; every product/division is one fixed
+    // IEEE-double evaluation and ties round away from zero in both
+    // engines, so the quantized codes hash-match exactly. The codes are
+    // emitted as a CSV string (engine-portable), with saturation count
+    // and code sum as integrity summaries.
+    "x_embed_quantize" -> Q(
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .withColumn("scale", expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+          .filter(col("scale") > 0)
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT))) AS INT))"))
+          .select(col("vec_id"), col("scale"),
+            expr("array_join(transform(q, v -> CAST(v AS STRING)), ',')").as("q_str"),
+            expr("aggregate(q, 0, (a, v) -> a + v)").as("sum_q"),
+            expr("size(filter(q, v -> abs(v) = 127))").as("n_sat"))
+          .orderBy(col("vec_id")),
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |                (m, x) -> greatest(m, x)) AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x ->
+        |      CAST(greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+        |           CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT))) AS INT)) AS q
+        |  FROM s WHERE scale > 0)
+        |SELECT vec_id, scale, array_to_string(q, ',') AS q_str,
+        |  list_reduce([0] || q, (a, v) -> a + v) AS sum_q,
+        |  CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT) AS n_sat
+        |FROM qz ORDER BY vec_id""".stripMargin)
   )
 }
