@@ -255,11 +255,13 @@ object Text {
 
     // Inverted-index construction — the posting-list build every
     // retrieval/BM25 pipeline starts from: tokenize → explode → group
-    // by term. The only shuffle key is the term (explode happens
-    // map-side, partial counts combine before the exchange), so the
-    // plan is the scalable word-count shape: corpus-sized input,
-    // vocabulary-sized output. Postings are summarized per term as
-    // document frequency, total term frequency, and the id span.
+    // by term. Explode happens map-side and partial aggregation runs
+    // before every exchange; the exact COUNT(DISTINCT doc) adds the
+    // standard second round (dedup on (term, doc), then term-keyed
+    // final), both key-hashed — corpus-sized input, vocabulary-sized
+    // output, no row ever shuffled twice at the same grain. Postings
+    // are summarized per term as document frequency, total term
+    // frequency, and the id span.
     "x_inverted_index" -> Q(
       (s, dir) =>
         Tables.documents(s, dir)

@@ -57,6 +57,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("EXISTS / NOT EXISTS decorrelate to semi and anti hash joins") {
+    // j12's subqueries must become joins — a surviving correlated
+    // subquery would re-execute the orders scan per customer row
+    val plan = executedPlanString("j12_exists_semi")
+    assert(plan.contains("LeftSemi"), "EXISTS did not plan a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not plan an anti join")
+    assert(!plan.contains("InSubquery"), "IN survived as a row-at-a-time subquery")
+  }
+
+  test("the window kitchen evaluates all nine functions in one window stage") {
+    // one partitionBy/orderBy → exactly one WindowExec (plus nothing
+    // else sorting the fact): nine functions must not fan into
+    // per-function window stages. String match because AQE wraps the
+    // final plan (collect() sees AdaptiveSparkPlanExec as a leaf).
+    val plan = executedPlanString("w6_window_kitchen")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"expected 1 WindowExec, found $windows")
+  }
+
+  test("cube plans a single Expand + two-phase aggregate") {
+    val plan = executedPlanString("a14_cube")
+    assert(plan.contains("Expand"), "cube lost its Expand")
+    // one Expand only — grouping sets must not multiply passes
+    assert("Expand".r.findAllIn(plan).size == 1)
+  }
+
+  test("quantization stays a map-only pass (no data-sized shuffle)") {
+    // the only exchanges allowed: the small-scan widening round-robin
+    // and the final presentation sort — no hash exchange of vectors
+    val plan = executedPlanString("x_embed_quantize")
+    assert(!plan.contains("hashpartitioning"),
+      "quantization plans a hash exchange — the pass stopped being map-only")
+  }
+
   test("column pruning reaches the parquet scan") {
     // x_fingerprint touches only doc_id and text of the 5-column table
     val df = SparkEntry.queries("x_fingerprint")(spark, sfSmoke)

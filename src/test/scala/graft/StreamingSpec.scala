@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.{HourlyMicroBatch, StatefulOps}
+import graft.streaming.{HourlyMicroBatch, StatefulOps, StreamDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Structured Streaming formulation of the reference's hourly
@@ -124,6 +124,48 @@ class StreamingSpec extends SparkTestBase {
         ("src_a", "buy", 15L, Some(5.0), Some(3L)),   // vs batch-1 state
         ("src_b", "sell", 20L, Some(-3.0), Some(10L)) // vs batch-1 state
       ))
+    } finally q.stop()
+  }
+
+  case class Doc(doc_id: Long, text: String, arrived: Timestamp)
+
+  test("streaming dedup passes first arrivals and suppresses in-horizon duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.firstArrivals(in.toDF(), "arrived", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a, b, and a same-batch duplicate of a (case-folded)
+      in.addData(
+        Doc(1, "the quick brown fox", ts("2024-01-15 10:00:00")),
+        Doc(2, "hello world", ts("2024-01-15 10:01:00")),
+        Doc(3, "The QUICK brown fox", ts("2024-01-15 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+      // batch 2, inside the horizon: another copy of doc 1's content is
+      // suppressed; genuinely new content passes
+      in.addData(
+        Doc(4, "the quick brown fox", ts("2024-01-15 10:05:00")),
+        Doc(5, "something new", ts("2024-01-15 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L))
+
+      // push the watermark far past 10:02 + 10m: doc-1 state expires,
+      // so a LATER re-crawl of the same content passes again (the
+      // horizon is the dedup guarantee, by design)
+      in.addData(Doc(6, "watermark pusher", ts("2024-01-15 11:00:00")))
+      q.processAllAvailable()
+      in.addData(Doc(7, "the quick brown fox", ts("2024-01-15 10:59:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L, 6L, 7L))
     } finally q.stop()
   }
 
