@@ -266,6 +266,74 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Bivariate statistics from exact moments: Pearson correlation and
+    // OLS slope/intercept of extendedprice on quantity per returnflag.
+    // The five moments aggregate in decimal (order-independent, one
+    // hash-agg pass); corr/slope/intercept are then ONE fixed
+    // IEEE-double expression over the exact moments — so the floats
+    // hash-match across engines, where native corr()/regr_slope()
+    // implementations (streaming covariance updates) would not.
+    "a15_corr_moments" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(Dec)).cast("double").as("_sx"),
+            sum(col("l_extendedprice").cast(Dec)).cast("double").as("_sy"),
+            sum(col("l_quantity").cast(Dec) * col("l_extendedprice").cast(Dec))
+              .cast("double").as("_sxy"),
+            sum(col("l_quantity").cast(Dec) * col("l_quantity").cast(Dec))
+              .cast("double").as("_sx2"),
+            sum(col("l_extendedprice").cast(Dec) * col("l_extendedprice").cast(Dec))
+              .cast("double").as("_sy2"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+              (sqrt(col("n") * col("_sx2") - col("_sx") * col("_sx")) *
+                sqrt(col("n") * col("_sy2") - col("_sy") * col("_sy"))))
+              .as("corr_qty_price"),
+            ((col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+              (col("n") * col("_sx2") - col("_sx") * col("_sx")))
+              .as("slope"),
+            ((col("_sy") - (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+              (col("n") * col("_sx2") - col("_sx") * col("_sx")) * col("_sx")) /
+              col("n")).as("intercept"))
+          .orderBy(col("l_returnflag")),
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price,
+        |  (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
+    // Ordered list aggregation: each user's full event-type sequence in
+    // event order. collect_list is partition-order-nondeterministic, so
+    // the order key rides inside the collected struct and an array_sort
+    // (unique leading key) restores a deterministic sequence — the
+    // portable spelling of DuckDB's list(x ORDER BY y).
+    "a16_list_agg" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id").cast("int").as("uid"))
+          .agg(
+            expr("""array_join(
+                   |  transform(array_sort(collect_list(struct(event_id, event_type))),
+                   |            s -> s.event_type), ',')""".stripMargin).as("seq"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("uid")),
+      """SELECT CAST(user_id AS INT) AS uid,
+        |       array_to_string(list(event_type ORDER BY event_id), ',') AS seq,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Gap sessionization (ops/Sessionize): 30-min sessions per user,
     // rolled up to session stats. Window + aggregate share one shuffle.
     "t7_sessionize" -> Q(

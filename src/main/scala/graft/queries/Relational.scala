@@ -273,6 +273,23 @@ object Relational {
         |                       AND TIMESTAMP '2024-01-16 00:00:00'
         |ORDER BY f.id""".stripMargin),
 
+    // JSON extraction (beyond the reference's string-surgery parsing in
+    // P10): path extraction both as raw string and schema-bound int —
+    // get_json_object / from_json on the Spark side, Catalyst folds both
+    // into one codegen'd pass over the scan.
+    "f_json_extract" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            expr("get_json_object(props, '$.k')").as("k_str"),
+            expr("from_json(props, 'k INT').k").as("k_int"))
+          .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // F1–F14 scalar-function surface in one projection: md5 color hash,
     // lpad/concat, date_trunc/date_format, datediff, extract, floor/mod.
     "f_scalar_kitchen" -> Q(

@@ -46,11 +46,50 @@ object ScaleCheck {
         .withColumn("user_id", col("user_id") + col("k") * 100000L)
         .drop("k")
 
+    /** documents replicated m× with distinct ids and per-replica token
+      * suffixes — every token carries "_k", so replica shingle sets are
+      * DISJOINT: the corpus grows m× but each replica keeps only its
+      * own duplicate structure (a same-token prefix instead would make
+      * all m replicas near-dups of each other and the pair count
+      * quadratic in m — corpus growth must not manufacture similarity). */
+    def moreDocs(m: Int): DataFrame = {
+      val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val span = 100000000L
+      d.withColumn("k", explode(lit((0 until m).toArray)))
+        .select((col("doc_id") + col("k") * span).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), w -> concat(w, '_', k)), ' ')")
+            .as("text"))
+    }
+
+    /** The minhash-LSH pair pipeline over an explicit corpus — same
+      * shape as queries/Text.minhashPairs (band self-join, shingle
+      * sets riding through, exact-Jaccard verification). */
+    def dedupPairs(c: DataFrame): DataFrame = {
+      import graft.functions.TextHash
+      val bands = c
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+        .withColumn("mh", TextHash.minhash(col("sh"), 8))
+        .filter(col("mh").isNotNull)
+        .withColumn("bkey", explode(expr(
+          "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
+        .select("doc_id", "sh", "bkey")
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("sa"), col("b.sh").as("sb"))
+        .distinct()
+        .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
+        .filter(col("jaccard") >= 0.5)
+    }
+
     // warm
     Interpolate.densify(GoldModel.factDensifyInput(moreDates(1)))
       .queryExecution.toRdd.count()
+    dedupPairs(moreDocs(1)).queryExecution.toRdd.count()
 
-    println(f"${"mult"}%4s  ${"densify_s"}%10s  ${"rows"}%12s  ${"report_s"}%9s")
+    println(f"${"mult"}%4s  ${"densify_s"}%10s  ${"rows"}%12s  ${"report_s"}%9s  ${"dedup_s"}%8s  ${"pairs"}%8s")
     for (m <- Seq(1, 2, 4, 8)) {
       val (td, n) = time {
         Interpolate.densify(GoldModel.factDensifyInput(moreDates(m)))
@@ -65,7 +104,8 @@ object ScaleCheck {
             .select("id", "name", "color"),
           20240115, "cheap").queryExecution.toRdd.count()
       }
-      println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f")
+      val (tx, np) = time { dedupPairs(moreDocs(m)).queryExecution.toRdd.count() }
+      println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f  $tx%8.2f  $np%8d")
     }
     spark.stop()
   }

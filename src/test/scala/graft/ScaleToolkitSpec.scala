@@ -6,11 +6,43 @@ import graft.io.BucketedWriter
 import graft.ops.Skew
 import org.apache.spark.sql.functions._
 
-/** The two scale techniques that only show up under load: salting for
-  * skewed aggregation keys (result-identical to the direct plan) and
-  * bucketed co-located joins (exchange-free by plan inspection).
+/** Scale techniques that only show up under load: salting for skewed
+  * aggregation keys (result-identical to the direct plan), bucketed
+  * co-located joins (exchange-free by plan inspection), and dynamic
+  * partition pruning through a dimension join (partition-count by plan
+  * inspection).
   */
 class ScaleToolkitSpec extends SparkTestBase {
+
+  test("a dim-filter join dynamically prunes fact partitions") {
+    // The lake layout MergeWriter produces (fact partitioned by
+    // date_id) must let a selective dim filter prune fact partitions
+    // THROUGH the join at runtime — on a 100 TB fact this is the
+    // difference between scanning one day and scanning the lake.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_dpp").toString
+    (1 to 3000).map(i => (i.toLong, 20240101 + i % 30, i * 1.5))
+      .toDF("id", "date_id", "v")
+      .write.partitionBy("date_id").parquet(s"$base/fact")
+    (0 until 30).map(d => (20240101 + d, if (d == 4) 1 else 0))
+      .toDF("date_id", "yesterday")
+      .write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+
+    val joined = spark.read.parquet(s"$base/fact")
+      .join(dim.filter(col("yesterday") === 1), Seq("date_id"))
+    assert(joined.count() === 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    // when the executed scan reports its selected partitions, it must
+    // have read ONE, not 30
+    "partition count: (\\d+)".r
+      .findFirstMatchIn(plan.replace("\n", " "))
+      .foreach(m => assert(m.group(1).toInt === 1,
+        s"fact scan read ${m.group(1)} partitions"))
+  }
 
   test("salted aggregation equals direct aggregation on a 90%-skewed key") {
     val s = spark
