@@ -88,10 +88,8 @@ object KMeans {
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
-      val counts = Array.fill(centroids.length)(0L)
       sums.foreach { case Row(cell: Int, d: Int, sx: Double, n: Long) =>
         next(cell)(d) = sx / n
-        counts(cell) = n
       }
       // empty cells keep their previous centroid
       centroids = next

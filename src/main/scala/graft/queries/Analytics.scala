@@ -99,6 +99,37 @@ object Analytics {
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Unpivot (wide → long), the inverse reshape of a13: the per-user
+    // type-count matrix melts back to (user, type, n) rows. Spark's
+    // native unpivot is a zero-shuffle Expand over the pivoted result;
+    // the oracle spells the same melt as a UNION ALL (engine-portable,
+    // no UNPIVOT dialect dependence).
+    "a17_unpivot" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id").cast("int").as("uid"))
+          .pivot("event_type", Seq("click", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .unpivot(
+            Array(col("uid")),
+            Array(col("click"), col("purchase"), col("signup"), col("view")),
+            "event_type", "n")
+          .orderBy(col("uid"), col("event_type")),
+      """WITH w AS (
+        |  SELECT CAST(user_id AS INT) AS uid,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT uid, event_type, n FROM (
+        |  SELECT uid, 'click' AS event_type, click AS n FROM w
+        |  UNION ALL SELECT uid, 'purchase', purchase FROM w
+        |  UNION ALL SELECT uid, 'signup', signup FROM w
+        |  UNION ALL SELECT uid, 'view', view FROM w)
+        |ORDER BY uid, event_type""".stripMargin),
+
     // Top-k per group: ROW_NUMBER ≤ k with a deterministic tie-break.
     // Catalyst plans the rank filter as a WindowGroupLimit (top-k per
     // partition pushed below the full sort) — no global sort of the
