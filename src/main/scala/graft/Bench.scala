@@ -10,7 +10,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the generated-class cache defaults to 100 entries; this suite's
-      // 52 queries × several codegen stages each evict one another
+      // 60+ queries × several codegen stages each evict one another
       // between passes, so every pass recompiles (and re-JITs) its hot
       // loops — measured 3× on the heaviest query. Any long-running
       // cluster serving a query mix wants this raised the same way.

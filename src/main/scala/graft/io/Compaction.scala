@@ -1,7 +1,10 @@
 package graft.io
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction for parquet table directories — the lake
   * maintenance an hourly upsert pipeline accumulates a need for: every
@@ -18,11 +21,31 @@ import org.apache.spark.sql.SparkSession
   * justify) are rewritten — steady-state cost is O(recently-written
   * partitions), not O(table). The rewrite itself is a `coalesce` (no
   * shuffle: merging splits needs no data movement), staged into a
-  * hidden `.compact-staging` subdirectory (readers ignore dot-paths),
-  * row-count-validated, then swapped in. Not atomic under concurrent
-  * writers — same single-writer model as the reference's hourly DAG
-  * and MergeWriter (a table format's rewrite-file commit is the
-  * transactional equivalent).
+  * hidden `.compact-staging` subdirectory (readers ignore dot-paths)
+  * and row-count-validated there before any live file is touched.
+  *
+  * The swap is CRASH-SAFE via a manifest commit point:
+  *
+  *  1. stage the rewrite; validate its row count (observed on the
+  *     write job itself — no extra read pass of the originals);
+  *  2. atomically rename `_manifest.tmp` → `_manifest` inside staging,
+  *     listing exactly the original files the rewrite supersedes —
+  *     this rename IS the commit;
+  *  3. delete the superseded originals, move the staged files in,
+  *     drop staging.
+  *
+  * A crash before (2) leaves the originals untouched and the next run
+  * discards the uncommitted staging. A crash after (2) is finished by
+  * the next run's recovery: it deletes whatever manifest-listed
+  * originals remain, moves the staged files in (skipping any already
+  * moved), and drops staging — files that landed in the leaf after the
+  * crash are not listed in the manifest and are never touched. At no
+  * point is the only copy of the data in a directory that a later run
+  * deletes blindly. Readers racing the swap window can see a partial
+  * leaf — same single-writer/maintenance-window model as MergeWriter
+  * and the reference's hourly DAG (a table format's rewrite-file
+  * commit is the transactional equivalent) — but a crash never loses
+  * data.
   *
   * Reference behavior replaced: the reference never compacts — Postgres
   * heap storage doesn't fragment this way; per-row psycopg2 inserts
@@ -31,6 +54,9 @@ import org.apache.spark.sql.SparkSession
   * ships it.
   */
 object Compaction {
+
+  private val StagingName = ".compact-staging"
+  private val ManifestName = "_manifest"
 
   /** One leaf directory's verdict. */
   case class Report(
@@ -74,9 +100,56 @@ object Compaction {
     fs.listStatus(leaf).toSeq
       .filter(st => st.isFile && !isHidden(st.getPath))
 
+  /** Finish or discard an interrupted swap (idempotent; no-op when no
+    * staging directory exists). See the commit protocol above. */
+  private def recover(fs: FileSystem, leaf: Path): Unit = {
+    val staging = new Path(leaf, StagingName)
+    if (!fs.exists(staging)) return
+    val manifest = new Path(staging, ManifestName)
+    if (!fs.exists(manifest)) {
+      // crash before the commit point: originals are intact, the
+      // staging content is an unvalidated copy — discard it
+      fs.delete(staging, true)
+      return
+    }
+    // committed: the staged copy is the leaf's data. Delete whatever
+    // superseded originals remain, move staged files in (skipping any
+    // a previous recovery attempt already moved), drop staging.
+    readManifest(fs, manifest).foreach { name =>
+      val orig = new Path(leaf, name)
+      if (fs.exists(orig)) fs.delete(orig, false)
+    }
+    dataFiles(fs, staging).foreach { st =>
+      val dest = new Path(leaf, st.getPath.getName)
+      if (fs.exists(dest)) fs.delete(st.getPath, false)
+      else fs.rename(st.getPath, dest)
+    }
+    fs.delete(staging, true)
+  }
+
+  private def readManifest(fs: FileSystem, manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Write the manifest under a temp name, then atomically rename it
+    * into place — the rename is the swap's commit point, so a torn
+    * manifest can never be observed. */
+  private def commitManifest(
+      fs: FileSystem, staging: Path, superseded: Seq[String]): Unit = {
+    val tmp = new Path(staging, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(superseded.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(staging, ManifestName)),
+      s"could not commit compaction manifest in $staging")
+  }
+
   private def compactLeaf(
       spark: SparkSession, fs: FileSystem, leaf: Path,
       targetFileBytes: Long, slack: Double): Report = {
+    recover(fs, leaf)
     val files = dataFiles(fs, leaf)
     val bytes = files.map(_.getLen).sum
     val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
@@ -85,23 +158,24 @@ object Compaction {
         rewritten = false)
 
     // coalesce, not repartition: merging scan splits moves no data and
-    // preserves the (partition-local) sort order of the existing files
-    val df = spark.read.parquet(leaf.toString)
-    val expected = df.count()
-    val staging = new Path(leaf, ".compact-staging")
+    // preserves the (partition-local) sort order of the existing files.
+    // The input row count is observed on this same job — the originals
+    // are read exactly once.
+    val staging = new Path(leaf, StagingName)
     fs.delete(staging, true)
-    df.coalesce(ideal.toInt).write.parquet(staging.toString)
+    val obs = Observation()
+    spark.read.parquet(leaf.toString)
+      .observe(obs, count(lit(1)).as("rows"))
+      .coalesce(ideal.toInt).write.parquet(staging.toString)
+    val expected = obs.get("rows").asInstanceOf[Long]
 
-    // validate the staged rewrite before touching the live files
+    // validate the staged rewrite before committing
     val staged = spark.read.parquet(staging.toString).count()
     require(staged == expected,
       s"compaction of $leaf staged $staged rows, expected $expected — aborting swap")
 
-    files.foreach(st => fs.delete(st.getPath, false))
-    dataFiles(fs, staging).foreach { st =>
-      fs.rename(st.getPath, new Path(leaf, st.getPath.getName))
-    }
-    fs.delete(staging, true)
+    commitManifest(fs, staging, files.map(_.getPath.getName))
+    recover(fs, leaf) // the committed swap and its recovery are one path
     Report(leaf.toString, bytes, files.length,
       dataFiles(fs, leaf).length, rewritten = true)
   }

@@ -231,11 +231,15 @@ object Components {
     }
 
     def smallStar(es: DataFrame): DataFrame = {
-      // es is canonical (u > v) — already directed larger→smaller
+      // es is canonical (u > v) — already directed larger→smaller.
+      // No inner distinct on either branch: canon() distincts the whole
+      // union, and its map-side partial aggregation already dedups
+      // before the exchange — an inner distinct would only add a full
+      // extra shuffle of that branch per round.
       val pointed = withMin(es)
       canon(
         pointed.select(col("v").as("u"), col("m").as("v"))
-          .union(pointed.select(col("u"), col("m").as("v")).distinct()))
+          .union(pointed.select(col("u"), col("m").as("v"))))
     }
 
     // canon() drops self-loops, but a node whose ONLY edge is a

@@ -31,9 +31,13 @@ object Text {
     * offset is one scalar max() fetched at plan build — a single-column
     * aggregate answered from parquet footer statistics. */
   /** Per-directory cache of the injected-id offset: the corpus dirs are
-    * read-only, so max(doc_id) is a constant per path — a statistics
-    * cache, like any engine's catalog stats. Without it every dedup
-    * query build re-runs the (footer-stats) max() job. */
+    * read-only (TESTDATA.md contract), so max(doc_id) is a constant per
+    * path — a statistics cache, like any engine's catalog stats.
+    * Without it every dedup query build re-runs the (footer-stats)
+    * max() job. The cache deliberately has NO invalidation: it is only
+    * sound for immutable corpus directories — a process that rewrites a
+    * corpus in place and re-queries the same path would read a stale
+    * offset and must not use this entry point. */
   private val offCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {

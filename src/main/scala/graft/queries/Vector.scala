@@ -50,7 +50,8 @@ object Vector {
     * pairs. The offset is derived from max(vec_id) (one scalar fetched
     * at plan build from footer statistics), keeping the injected
     * keyspace disjoint (and above all real ids) at every scale factor. */
-  /** Per-directory offset cache — same statistics-cache rationale as
+  /** Per-directory offset cache — same statistics-cache rationale (and
+    * same immutable-corpus-only soundness contract, no invalidation) as
     * Text.offCache: the corpus is read-only, so max(vec_id) is a
     * constant per path and need not be re-fetched at every plan build. */
   private val offCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -70,4 +70,55 @@ class CompactionSpec extends SparkTestBase {
   test("missing directory yields an empty report") {
     assert(Compaction.compact(spark, "/tmp/graft_compact_nonexistent").isEmpty)
   }
+
+  test("crash before the manifest commit: originals intact, staging discarded") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    (1L to 200L).map(i => (i, s"row_$i")).toDF("id", "v")
+      .repartition(10).write.parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+
+    // simulate a crash after staging but BEFORE the manifest rename:
+    // a staged (even validated) copy with no _manifest must be treated
+    // as uncommitted garbage
+    val staging = Paths.get(dir, ".compact-staging").toString
+    spark.read.parquet(dir).coalesce(1).write.parquet(staging)
+
+    val reports = Compaction.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(reports.head.rewritten) // leaf was fragmented, so it compacts
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+    assert(!Files.exists(Paths.get(staging)))
+  }
+
+  test("crash after the manifest commit: next run finishes the swap losslessly") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    (1L to 200L).map(i => (i, s"row_$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val originals = parquetFiles(Paths.get(dir))
+      .map(p => Paths.get(p).getFileName.toString)
+
+    // simulate the worst crash window: manifest committed, one original
+    // already deleted, staged files not yet moved in — the leaf alone
+    // is now INCOMPLETE and only staging holds a full copy
+    val staging = Paths.get(dir, ".compact-staging")
+    spark.read.parquet(dir).coalesce(1).write.parquet(staging.toString)
+    Files.write(staging.resolve("_manifest"),
+      originals.mkString("\n").getBytes("UTF-8"))
+    Files.delete(Paths.get(dir, originals.head))
+
+    // a new file lands AFTER the crash (not in the manifest): recovery
+    // must leave it alone
+    Seq((9999L, "late")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    Compaction.compact(spark, dir, targetFileBytes = 1L << 30)
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after == before + ((9999L, "late")),
+      s"recovery lost or duplicated rows: ${after.size} vs ${before.size + 1}")
+    assert(!Files.exists(staging))
+  }
 }

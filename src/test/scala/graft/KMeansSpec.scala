@@ -69,6 +69,38 @@ class KMeansSpec extends SparkTestBase {
     assert(distAssign == localAssign)
   }
 
+  test("broadcast-join assignment path matches the literal path") {
+    // literalMaxCells = 0 forces the join spelling; same init, same
+    // iterations → identical assignments and (tolerance) centroids
+    val (cbLit, asLit) = KMeans.fit(corpus(), "vec_id", "embedding", K, 2)
+    val (cbJoin, asJoin) = KMeans.fit(corpus(), "vec_id", "embedding", K, 2,
+      literalMaxCells = 0)
+    val cl = cbLit.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val cj = cbJoin.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    for (c <- cl.indices; j <- cl(c).indices)
+      assert(math.abs(cl(c)(j) - cj(c)(j)) < 1e-9)
+    assert(asLit.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      asJoin.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+  }
+
+  test("a NaN vector fails loudly on both assignment paths") {
+    val s = spark
+    import s.implicits._
+    val poisoned = corpus().unionByName(
+      Seq((999999L, Array.fill(64)(Float.NaN).toSeq))
+        .toDF("vec_id", "embedding"))
+    for (threshold <- Seq(4096, 0)) {
+      val e = intercept[Exception] {
+        KMeans.fit(poisoned, "vec_id", "embedding", K, 1,
+          literalMaxCells = threshold)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("KMeans: vector with NaN")),
+        s"wrong failure for threshold=$threshold: $e")
+    }
+  }
+
   test("inertia is non-increasing across iterations") {
     val data = collected()
     def inertia(cents: Array[Array[Double]]): Double =
