@@ -196,6 +196,27 @@ object Relational {
         |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
         |ORDER BY c_custkey""".stripMargin),
 
+    // NOT IN — the null-aware anti join, a genuinely different operator
+    // from j12's NOT EXISTS: one NULL in the subquery result makes NOT
+    // IN reject EVERY row (three-valued logic), so the join must track
+    // build-side nulls. Catalyst plans the single-column case as a
+    // null-aware BroadcastHashJoin (LeftAnti, isNullAware) rather than
+    // the quadratic nested-loop fallback the general form needs.
+    "j13_not_in" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT c_custkey, c_name, c_acctbal FROM customer
+            |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+            |                        WHERE o_totalprice > 450000)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin),
+
     // P12 id-exclusion: != on a nullable key silently drops NULLs —
     // reference quirk preserved (fact_gold_price_temp.py:252-254).
     "p12_id_exclusion" -> Q(

@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("InSubquery"), "IN survived as a row-at-a-time subquery")
   }
 
+  test("single-column NOT IN plans the hash null-aware anti join, not a nested loop") {
+    val plan = executedPlanString("j13_not_in")
+    assert(plan.contains("LeftAnti"), "NOT IN did not plan an anti join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "NOT IN fell back to the quadratic nested-loop NAAJ")
+  }
+
   test("the window kitchen evaluates all nine functions in one window stage") {
     // one partitionBy/orderBy → exactly one WindowExec (plus nothing
     // else sorting the fact): nine functions must not fan into
