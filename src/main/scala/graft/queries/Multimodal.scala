@@ -53,6 +53,33 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 != 0 THEN n_chars / 8.0 END AS duration_s
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Resize (stub codec): image rows are "decoded" (the ASCII stub's
+    // decode is a binary→string cast), downsampled by a stride-2 byte
+    // drop — a real resize kernel slots into the same
+    // decode→transform→fingerprint shape — and re-fingerprinted, with
+    // halved dimensions in the metadata. The stride is a single global
+    // regex, so the whole pass stays one codegen'd projection.
+    "x_mm_resize" -> Q(
+      (s, dir) =>
+        records(s, dir)
+          .filter(col("media_type") === "image")
+          .withColumn("decoded", col("content").cast("string"))
+          .withColumn("resized", regexp_replace(col("decoded"), "(.).", "$1"))
+          .select(
+            col("doc_id"),
+            (col("width") / 2).cast("int").as("new_width"),
+            (col("height") / 2).cast("int").as("new_height"),
+            octet_length(col("resized")).as("resized_bytes"),
+            md5(col("resized").cast("binary")).as("resized_fp"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST((16 + n_chars % 640) // 2 AS INT) AS new_width,
+        |  CAST((16 + n_chars % 480) // 2 AS INT) AS new_height,
+        |  CAST(length(regexp_replace(text, '(.).', '\1', 'g')) AS INT) AS resized_bytes,
+        |  md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_fp
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin),
+
     // Frame sampling: video rows explode into up to 4 fixed-stride byte
     // windows ("frames"), each fingerprinted — binary slicing and
     // generation fully inside whole-stage codegen.
