@@ -349,7 +349,10 @@ object Analytics {
     // event order. collect_list is partition-order-nondeterministic, so
     // the order key rides inside the collected struct and an array_sort
     // (unique leading key) restores a deterministic sequence — the
-    // portable spelling of DuckDB's list(x ORDER BY y).
+    // portable spelling of DuckDB's list(x ORDER BY y). Per-group state
+    // is the user's whole event run — the bound ANY sequence assembly
+    // has; at lake scale, cap with slice() after the sort when only a
+    // prefix is needed.
     "a16_list_agg" -> Q(
       (s, dir) =>
         Tables.events(s, dir)
