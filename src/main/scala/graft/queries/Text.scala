@@ -284,6 +284,36 @@ object Text {
         |FROM t GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY df DESC, term""".stripMargin),
 
+    // Fuzzy record linkage — the edit-distance flavor of near-matching
+    // (titles, names, URLs), complementary to the set-similarity dedup
+    // family below: candidates block on the first token (the shuffle
+    // key, same never-quadratic discipline as the LSH joins), then
+    // exact Levenshtein over a fixed-length prefix verifies. Both
+    // engines compute standard single-character-edit distance, so the
+    // integer scores hash-match.
+    "x_fuzzy_match" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            substring(col("text"), 1, 20).as("pfx"),
+            expr("split_part(text, ' ', 1)").as("blk"))
+        d.as("a")
+          .join(d.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
+          .filter(col("edit_dist") <= 5)
+          .orderBy("a_id", "b_id")
+      },
+      """WITH d AS (SELECT doc_id, substr(text, 1, 20) AS pfx,
+        |                  split_part(text, ' ', 1) AS blk
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 5
+        |ORDER BY a_id, b_id""".stripMargin),
+
     // ---- deduplication ---------------------------------------------
 
     // Exact dedup: hash-groupBy on normalized text, canonical = min id.
