@@ -114,17 +114,29 @@ object Compaction {
     }
     // committed: the staged copy is the leaf's data. Delete whatever
     // superseded originals remain, move staged files in (skipping any
-    // a previous recovery attempt already moved), drop staging.
+    // a previous recovery attempt already moved), drop staging. Every
+    // FileSystem call is CHECKED — Hadoop signals failure by returning
+    // false, and in this path an unchecked false either loses the only
+    // copy (failed rename swallowed by the final staging delete) or
+    // duplicates rows (failed original delete); on any failure we stop
+    // with staging intact, so a later run can still finish the swap.
     readManifest(fs, manifest).foreach { name =>
       val orig = new Path(leaf, name)
-      if (fs.exists(orig)) fs.delete(orig, false)
+      if (fs.exists(orig))
+        require(fs.delete(orig, false),
+          s"compaction recovery: could not delete superseded $orig")
     }
     dataFiles(fs, staging).foreach { st =>
       val dest = new Path(leaf, st.getPath.getName)
-      if (fs.exists(dest)) fs.delete(st.getPath, false)
-      else fs.rename(st.getPath, dest)
+      if (fs.exists(dest))
+        require(fs.delete(st.getPath, false),
+          s"compaction recovery: could not drop already-moved ${st.getPath}")
+      else
+        require(fs.rename(st.getPath, dest),
+          s"compaction recovery: could not move ${st.getPath} into $leaf")
     }
-    fs.delete(staging, true)
+    require(fs.delete(staging, true),
+      s"compaction recovery: could not remove staging $staging")
   }
 
   private def readManifest(fs: FileSystem, manifest: Path): Seq[String] = {
@@ -160,11 +172,15 @@ object Compaction {
     // coalesce, not repartition: merging scan splits moves no data and
     // preserves the (partition-local) sort order of the existing files.
     // The input row count is observed on this same job — the originals
-    // are read exactly once.
+    // are read exactly once. The read takes the EXPLICIT file list (the
+    // exact set the manifest will supersede), not the directory: a
+    // micro-batch file landing between our listing and the rewrite
+    // job's own listing would otherwise be folded into the rewrite but
+    // not superseded — duplicated after the swap.
     val staging = new Path(leaf, StagingName)
     fs.delete(staging, true)
     val obs = Observation()
-    spark.read.parquet(leaf.toString)
+    spark.read.parquet(files.map(_.getPath.toString): _*)
       .observe(obs, count(lit(1)).as("rows"))
       .coalesce(ideal.toInt).write.parquet(staging.toString)
     val expected = obs.get("rows").asInstanceOf[Long]

@@ -12,27 +12,30 @@ import org.apache.spark.sql.functions._
   * Shape per iteration (the classic scalable k-means layout, same as
   * any MapReduce/Spark formulation):
   *
-  *  1. assignment — centroids ship to every task (constant-size build
-  *     side), one pass over the corpus computes argmin squared-L2 per
-  *     vector. No shuffle touches the corpus. Two value-identical
-  *     spellings, picked by codebook size: small codebooks inline as a
-  *     literal array (the whole fold stays in one codegen'd
-  *     projection); past `literalMaxCells` total elements the literal
-  *     tree would exceed codegen method limits and bloat analysis, so
-  *     the assignment becomes a broadcast nested-loop join against the
-  *     codebook DataFrame with a min_by argmin — the same plan the IVF
-  *     query uses.
+  *  1. assignment — the codebook reaches every row as ONE array column
+  *     and a per-row argmin fold computes the cell. No shuffle ever
+  *     touches the corpus, on either spelling: small codebooks inline
+  *     the array as a literal (the whole fold is one codegen'd
+  *     projection, no join at all); past `literalMaxCells` total
+  *     elements — where the literal expression tree would exceed
+  *     codegen method limits and bloat analysis — the same array
+  *     arrives via a broadcast single-row cross join (a 1-row build
+  *     side: effectively a map stage). The fold itself is shared, so
+  *     the two spellings are identical by construction — including on
+  *     duplicate ids, which are independent rows on both.
   *  2. update — per-dimension sums via posexplode → hash-agg on
   *     (cell, dim). The exploded stream is dim× the corpus but carries
   *     (int, int, double) rows, combines map-side, and collapses to
   *     k×dim rows — the ONLY exchange, input-bounded, never
   *     vector-wide.
   *  3. the k×dim aggregate collects to the driver (tiny by
-  *     construction), forms the next broadcast.
+  *     construction), forms the next codebook.
   *
-  * Malformed vectors fail LOUDLY: a NaN element or a dimension
-  * mismatch makes every distance NaN/null, which both paths surface as
-  * raise_error instead of a silent wrong (or out-of-range) cell.
+  * Malformed vectors fail LOUDLY: a NaN element leaves the argmin at
+  * its -1 seed (NaN never wins a `<`), and a vector whose length
+  * differs from the codebook dimension is rejected by an explicit size
+  * check — both surface as raise_error instead of a silent wrong (or
+  * prefix-distance) cell.
   *
   * Empty cells keep their previous centroid (standard practice; no
   * re-seeding randomness). Initialization is the first k vectors by
@@ -42,15 +45,17 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   private val BadVectorMsg =
-    "KMeans: vector with NaN or mismatched dimensions has no comparable centroid distance"
+    "KMeans: vector with NaN has no comparable centroid distance"
+  private val BadDimMsg =
+    "KMeans: vector length differs from the codebook dimension"
 
   /** @param data   (id, vector) rows; vector = array<float|double>
     * @param k      codebook size (used when `init` is empty)
     * @param iters  Lloyd iterations (fixed count — deterministic)
     * @param init   optional explicit initial centroids (cell → vector)
-    * @param literalMaxCells k×dim threshold above which assignment
-    *               switches from the inlined-literal codebook to the
-    *               broadcast-join spelling (0 forces the join path)
+    * @param literalMaxCells k×dim threshold above which the codebook
+    *               array is attached via a broadcast 1-row join instead
+    *               of an inlined literal (0 forces the broadcast form)
     * @return (codebook, assignments): codebook (cell, centroid:
     *         array<double>); assignments (id, cell)
     */
@@ -88,50 +93,55 @@ object KMeans {
             nullable = false))))
     }
 
-    // argmin squared-L2, ties to the smaller cell id: literal-codebook
-    // fold for small k×dim, broadcast join past the codegen-size bound.
+    /** The codebook as one array<array<double>> row, for the broadcast
+      * spelling of the assignment. */
+    def codebookRow(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        Seq(Row(centroids.map(_.toSeq).toSeq)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_cents",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, containsNull = false),
+              containsNull = false),
+            nullable = false))))
+    }
+
+    // Per-row argmin squared-L2 over the `_cents` column, ties to the
+    // smaller cell id — shared by both codebook-attachment spellings.
+    def withCell(withCents: DataFrame): DataFrame =
+      withCents
+        // the dimension check guards the distance computation itself:
+        // a shorter vector would otherwise get a silent prefix
+        // distance, a longer one a bounds error deep in element_at
+        .withColumn("_dists", expr(
+          s"""CASE WHEN size(v) != $dim THEN raise_error('$BadDimMsg')
+             |ELSE transform(_cents, c ->
+             |  aggregate(sequence(1, size(v)), CAST(0 AS DOUBLE),
+             |    (s, j) -> s + (element_at(v, j) - element_at(c, j))
+             |                * (element_at(v, j) - element_at(c, j))))
+             |END""".stripMargin))
+        // …then a linear argmin fold (strict <: ties keep the smaller
+        // id). A NaN distance never wins a `<`, so a NaN vector leaves
+        // the seed -1; a length mismatch is rejected outright.
+        .withColumn("_best", expr(
+          """aggregate(sequence(0, size(_dists) - 1),
+            |  named_struct('best', -1, 'd', CAST('Infinity' AS DOUBLE)),
+            |  (acc, i) -> IF(element_at(_dists, i + 1) < acc.d,
+            |                 named_struct('best', i, 'd', element_at(_dists, i + 1)),
+            |                 acc),
+            |  acc -> acc.best)""".stripMargin))
+        .withColumn("cell", expr(
+          s"IF(_best < 0, raise_error('$BadVectorMsg'), _best)"))
+        .drop("_cents", "_dists", "_best")
+
     def assigned(): DataFrame =
-      if (centroids.length.toLong * dim <= literalMaxCells) {
-        val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-        vecs
-          .withColumn("_cents", centLit)
-          // squared-L2 to every centroid, each computed once…
-          .withColumn("_dists", expr(
-            """transform(_cents, c ->
-              |  aggregate(sequence(1, size(v)), CAST(0 AS DOUBLE),
-              |    (s, j) -> s + (element_at(v, j) - element_at(c, j))
-              |                * (element_at(v, j) - element_at(c, j))))""".stripMargin))
-          // …then a linear argmin fold (strict <: ties keep the smaller
-          // id). A NaN/null distance never wins a `<`, so a fully
-          // malformed vector leaves the seed -1 → raise_error.
-          .withColumn("_best", expr(
-            """aggregate(sequence(0, size(_dists) - 1),
-              |  named_struct('best', -1, 'd', CAST('Infinity' AS DOUBLE)),
-              |  (acc, i) -> IF(element_at(_dists, i + 1) < acc.d,
-              |                 named_struct('best', i, 'd', element_at(_dists, i + 1)),
-              |                 acc),
-              |  acc -> acc.best)""".stripMargin))
-          .withColumn("cell",
-            expr(s"IF(_best < 0, raise_error('$BadVectorMsg'), _best)"))
-          .drop("_cents", "_dists", "_best")
-      } else {
-        // broadcast join: k rows per vector, argmin via struct-min —
-        // (d2, cell) ordering ties to the smaller cell. A null d2
-        // (dimension mismatch) sorts FIRST in a struct min and a NaN
-        // sorts last, so both are caught explicitly below.
-        vecs.crossJoin(broadcast(codebookDf()))
-          .withColumn("_d2", expr(
-            """aggregate(sequence(1, size(v)), CAST(0 AS DOUBLE),
-              |  (s, j) -> s + (element_at(v, j) - element_at(centroid, j))
-              |              * (element_at(v, j) - element_at(centroid, j)))""".stripMargin))
-          .groupBy(col("id"))
-          .agg(
-            first(col("v")).as("v"),
-            min(struct(col("_d2"), col("cell"))).as("_best"))
-          .withColumn("cell", expr(
-            s"IF(_best._d2 IS NULL OR isnan(_best._d2), raise_error('$BadVectorMsg'), _best.cell)"))
-          .select(col("id"), col("v"), col("cell"))
-      }
+      if (centroids.length.toLong * dim <= literalMaxCells)
+        withCell(vecs.withColumn("_cents",
+          array(centroids.map(c => array(c.map(lit): _*)): _*)))
+      else
+        withCell(vecs.crossJoin(broadcast(codebookRow())))
 
     for (_ <- 0 until iters) {
       // update: per-(cell, dim) sums — map-side combined, k×dim output

@@ -102,8 +102,14 @@ object Text {
     * the pair row holds both sides' shingles, so no verification joins
     * and ReuseExchange computes the corpus scan once for both band
     * sides. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = corpus(s, dir)
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(corpus(s, dir))
+
+  /** The same pipeline over an explicit (doc_id, text) corpus — shared
+    * with the ScaleCheck probe so scale measurements can never drift
+    * from the production query's band construction. */
+  private[graft] def minhashPairsOver(c: DataFrame): DataFrame = {
+    val bands = c
       .withColumn("t", split(col("text"), " "))
       .withColumn("sh", TextHash.shingleSet(col("t"), 3))
       .withColumn("mh", TextHash.minhash(col("sh"), 8))
@@ -287,10 +293,15 @@ object Text {
     // Fuzzy record linkage — the edit-distance flavor of near-matching
     // (titles, names, URLs), complementary to the set-similarity dedup
     // family below: candidates block on the first token (the shuffle
-    // key, same never-quadratic discipline as the LSH joins), then
-    // exact Levenshtein over a fixed-length prefix verifies. Both
-    // engines compute standard single-character-edit distance, so the
-    // integer scores hash-match.
+    // key), then exact Levenshtein over a fixed-length prefix
+    // verifies. Unlike the hash-diverse LSH band keys, a natural-key
+    // block is quadratic IN THE BLOCK (B²/2 candidates for a B-doc
+    // block) and a stopword-led corpus skews one block hot — this
+    // corpus's first tokens are near-unique, and a production linkage
+    // run picks a higher-cardinality compound key (token + length
+    // band, or a phonetic code) for exactly that reason. Both engines
+    // compute standard single-character-edit distance, so the integer
+    // scores hash-match.
     "x_fuzzy_match" -> Q(
       (s, dir) => {
         val d = Tables.documents(s, dir)

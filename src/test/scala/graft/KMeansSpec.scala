@@ -83,6 +83,9 @@ class KMeansSpec extends SparkTestBase {
       asJoin.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
   test("a NaN vector fails loudly on both assignment paths") {
     val s = spark
     import s.implicits._
@@ -94,10 +97,26 @@ class KMeansSpec extends SparkTestBase {
         KMeans.fit(poisoned, "vec_id", "embedding", K, 1,
           literalMaxCells = threshold)
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("KMeans: vector with NaN")),
         s"wrong failure for threshold=$threshold: $e")
+    }
+  }
+
+  test("a dimension-mismatched vector fails loudly — shorter AND longer") {
+    val s = spark
+    import s.implicits._
+    // shorter than the codebook dim would otherwise be silently
+    // assigned by prefix distance; longer by ignored-suffix distance
+    for (badLen <- Seq(32, 80); threshold <- Seq(4096, 0)) {
+      val poisoned = corpus().unionByName(
+        Seq((999999L, Array.fill(badLen)(0.5f).toSeq))
+          .toDF("vec_id", "embedding"))
+      val e = intercept[Exception] {
+        KMeans.fit(poisoned, "vec_id", "embedding", K, 1,
+          literalMaxCells = threshold)
+      }
+      assert(messages(e).exists(_.contains("codebook dimension")),
+        s"wrong failure for len=$badLen threshold=$threshold: $e")
     }
   }
 

@@ -61,28 +61,10 @@ object ScaleCheck {
             .as("text"))
     }
 
-    /** The minhash-LSH pair pipeline over an explicit corpus — same
-      * shape as queries/Text.minhashPairs (band self-join, shingle
-      * sets riding through, exact-Jaccard verification). */
-    def dedupPairs(c: DataFrame): DataFrame = {
-      import graft.functions.TextHash
-      val bands = c
-        .withColumn("t", split(col("text"), " "))
-        .withColumn("sh", TextHash.shingleSet(col("t"), 3))
-        .withColumn("mh", TextHash.minhash(col("sh"), 8))
-        .filter(col("mh").isNotNull)
-        .withColumn("bkey", explode(expr(
-          "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
-        .select("doc_id", "sh", "bkey")
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("sa"), col("b.sh").as("sb"))
-        .distinct()
-        .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
-        .filter(col("jaccard") >= 0.5)
-    }
+    // the PRODUCTION pair pipeline (queries/Text), not a re-spelling —
+    // the probe measures exactly what x_dedup_minhash_lsh executes
+    def dedupPairs(c: DataFrame): DataFrame =
+      graft.queries.Text.minhashPairsOver(c)
 
     // warm
     Interpolate.densify(GoldModel.factDensifyInput(moreDates(1)))

@@ -32,16 +32,36 @@ class ScaleToolkitSpec extends SparkTestBase {
 
     val joined = spark.read.parquet(s"$base/fact")
       .join(dim.filter(col("yesterday") === 1), Seq("date_id"))
-    assert(joined.count() === 100)
+    // execute THIS dataframe's plan (df.count() would build a separate
+    // aggregate plan and leave joined's AQE plan unfinalized)
+    assert(joined.queryExecution.toRdd.count() === 100)
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning in:\n$plan")
-    // when the executed scan reports its selected partitions, it must
-    // have read ONE, not 30
-    "partition count: (\\d+)".r
-      .findFirstMatchIn(plan.replace("\n", " "))
-      .foreach(m => assert(m.group(1).toInt === 1,
-        s"fact scan read ${m.group(1)} partitions"))
+    // the fact scan's own metric must report ONE partition read, not
+    // 30 — found via the final adaptive plan, and REQUIRED to exist so
+    // a pruning regression can't hide behind a missing metric
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // AQE wraps materialized stages in QueryStageExec LEAF nodes, so a
+    // plain collect stops at the stage boundary — descend through them
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val factScans = allNodes(finalPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f
+    }
+    assert(factScans.nonEmpty, s"no fact FileSourceScanExec in:\n$finalPlan")
+    val partsRead = factScans.head.metrics.getOrElse("numPartitions",
+      fail("fact scan reports no numPartitions metric")).value
+    assert(partsRead === 1, s"fact scan read $partsRead partitions")
   }
 
   test("salted aggregation equals direct aggregation on a 90%-skewed key") {
