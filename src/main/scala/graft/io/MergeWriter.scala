@@ -43,9 +43,9 @@ object MergeWriter {
     val touched = incoming.select(partitionCol).distinct()
       .collect().map(_.get(0))
     val nonNull = touched.filter(_ != null)
-    if (nonNull.length == touched.length) col(partitionCol).isin(nonNull: _*)
+    if (nonNull.length == touched.length) col(partitionCol).isin(nonNull.toIndexedSeq: _*)
     else if (nonNull.isEmpty) col(partitionCol).isNull
-    else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+    else col(partitionCol).isin(nonNull.toIndexedSeq: _*) || col(partitionCol).isNull
   }
 
   def upsertPartitioned(

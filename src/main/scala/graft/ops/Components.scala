@@ -122,7 +122,7 @@ object Components {
     // two consecutive nulls read as "sum unchanged ⟹ converged".
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(
-        sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+        sum(col("label").cast("decimal(38,0)")), count(lit(1))).head()
       val v = row.get(0)
       if (v == null) {
         require(row.getLong(1) == 0L,
@@ -213,7 +213,7 @@ object Components {
       val r = df.agg(
         count(lit(1)),
         coalesce(bit_xor(h), lit(0L)),
-        sum(h.cast("decimal(38,0)"))).head
+        sum(h.cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getLong(1), r.get(2))
     }
 

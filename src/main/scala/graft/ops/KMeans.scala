@@ -139,7 +139,7 @@ object KMeans {
     def assigned(): DataFrame =
       if (centroids.length.toLong * dim <= literalMaxCells)
         withCell(vecs.withColumn("_cents",
-          array(centroids.map(c => array(c.map(lit): _*)): _*)))
+          array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)))
       else
         withCell(vecs.crossJoin(broadcast(codebookRow())))
 

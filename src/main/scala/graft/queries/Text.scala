@@ -43,7 +43,7 @@ object Text {
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val off: Long = offCache.computeIfAbsent(dir,
-      _ => d.agg(max("doc_id")).head.getLong(0) + 1L)
+      _ => d.agg(max("doc_id")).head().getLong(0) + 1L)
     d.unionByName(
         d.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + off).as("doc_id"), col("text")))

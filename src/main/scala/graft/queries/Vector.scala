@@ -59,7 +59,7 @@ object Vector {
   private def corpusE(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val off: Long = offCache.computeIfAbsent(dir,
-      _ => e.agg(max("vec_id")).head.getLong(0) + 1L)
+      _ => e.agg(max("vec_id")).head().getLong(0) + 1L)
     e.unionByName(
         e.filter(col("vec_id") % 25 === 0)
           .select((col("vec_id") + off).as("vec_id"),
