@@ -27,7 +27,7 @@ class ReportSpec extends SparkTestBase {
 
   private def dateId: Int = {
     val e = Tables.events(spark, sfSmoke)
-    GoldModel.fact(e).agg(min("date_id")).head.getInt(0)
+    GoldModel.fact(e).agg(min("date_id")).head().getInt(0)
   }
 
   for (rankCol <- Seq("cheap", "expensive")) {

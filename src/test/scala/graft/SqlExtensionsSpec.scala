@@ -31,10 +31,10 @@ class SqlExtensionsSpec extends SparkTestBase {
       .getOrCreate()
     try {
       val got = s2.sql(
-        "SELECT simhash60(split('the quick brown fox', ' ')) AS h").head.getLong(0)
+        "SELECT simhash60(split('the quick brown fox', ' ')) AS h").head().getLong(0)
       val want = s2.range(1)
         .select(TextHash.simhash(split(lit("the quick brown fox"), " ")).as("h"))
-        .head.getLong(0)
+        .head().getLong(0)
       assert(got == want)
     } finally {
       SparkSession.clearActiveSession()
@@ -74,11 +74,11 @@ class SqlExtensionsSpec extends SparkTestBase {
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
         |       jaccard_sim(array('a','b'), array('b','c')) AS j,
-        |       hyperplane_sig(array(CAST(1.0 AS FLOAT)), 4) AS s""".stripMargin).head
+        |       hyperplane_sig(array(CAST(1.0 AS FLOAT)), 4) AS s""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-15)
     val wantSig = spark.range(1)
-      .select(VectorOps.sig(array(lit(1.0f)), 4)).head.getLong(0)
+      .select(VectorOps.sig(array(lit(1.0f)), 4)).head().getLong(0)
     assert(r.getLong(2) == wantSig)
   }
 
@@ -108,7 +108,7 @@ class SqlExtensionsSpec extends SparkTestBase {
       """SELECT time_id, price FROM (SELECT 1)
         |LATERAL VIEW linear_interpolate(
         |  array(100100), array(CAST(NULL AS DOUBLE)),
-        |  array(100200)) g AS time_id, price""".stripMargin).head
+        |  array(100200)) g AS time_id, price""".stripMargin).head()
     assert(flat.getInt(0) == 100200 && flat.isNullAt(1))
   }
 }
