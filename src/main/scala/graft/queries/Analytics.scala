@@ -297,6 +297,44 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Cohort retention — the classic warehouse activity matrix: users
+    // grouped by first-seen date, counted by day-offset of each active
+    // day in the following week. Two aggregation grains (per-user
+    // first-seen; distinct user-days) meet in a user-keyed join whose
+    // build side is one row per user — at lake scale both grains
+    // partial-aggregate map-side and the join shuffles user-grain rows,
+    // never raw events.
+    "a18_cohort_retention" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstSeen = e
+          .groupBy(col("user_id").cast("int").as("uid"))
+          .agg(min(to_date(col("ts"))).as("cohort"))
+        val activity = e
+          .select(col("user_id").cast("int").as("uid"),
+            to_date(col("ts")).as("d"))
+          .distinct()
+        activity.join(firstSeen, Seq("uid"))
+          .withColumn("day_offset", datediff(col("d"), col("cohort")))
+          .filter(col("day_offset").between(0, 7))
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"))
+          .agg(countDistinct(col("uid")).as("n_users"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      """WITH first_seen AS (
+        |  SELECT CAST(user_id AS INT) AS uid, MIN(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT CAST(user_id AS INT) AS uid, CAST(ts AS DATE) AS d
+        |  FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+        |       COUNT(DISTINCT a.uid) AS n_users
+        |FROM activity a JOIN first_seen f USING (uid)
+        |WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Bivariate statistics from exact moments: Pearson correlation and
     // OLS slope/intercept of extendedprice on quantity per returnflag.
     // The five moments aggregate in decimal (order-independent, one
