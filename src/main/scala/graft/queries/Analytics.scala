@@ -472,5 +472,160 @@ object Analytics {
         |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN bands
         |  ON l_discount >= lo AND l_discount < hi
-        |GROUP BY band ORDER BY band""".stripMargin))
+        |GROUP BY band ORDER BY band""".stripMargin),
+
+    // Explicit GROUPING SETS — the general form a11's ROLLUP and a14's
+    // CUBE are sugar for: two independent one-key breakdowns plus the
+    // grand total, NOT the cross product. Catalyst plans the same single
+    // Expand + hash aggregate (3 replicas per row vs cube's 4) — at lake
+    // scale choosing sets over cube is a 25% input-volume cut per
+    // dropped set. Via SQL text: the DataFrame API has no grouping-sets
+    // verb (rollup/cube only), so the SQL surface IS the Spark-first
+    // spelling.
+    "a19_grouping_sets" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql(
+          """SELECT event_type, CAST(user_id AS INT) AS uid, COUNT(*) AS n,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |  CAST(GROUPING(event_type) AS INT) AS g_t,
+            |  CAST(GROUPING(user_id) AS INT) AS g_u
+            |FROM events
+            |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+            |ORDER BY g_t, g_u, event_type, uid""".stripMargin)
+      },
+      """SELECT event_type, CAST(user_id AS INT) AS uid, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(event_type) AS INT) AS g_t,
+        |  CAST(GROUPING(user_id) AS INT) AS g_u
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        |ORDER BY g_t, g_u, event_type, uid""".stripMargin),
+
+    // Full-outer join (§2.3 notes the reference never needs one — Spark
+    // gives it free): reconcile two aggregates with disjoint-ish key
+    // sets, keeping unmatched rows from BOTH sides. Both inputs are
+    // pre-aggregated to user grain before the join, so the full-outer
+    // shuffles user-grain rows, never raw events; the USING form
+    // coalesces the key like the SQL standard.
+    "j14_full_outer" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def grain(t: String) = e
+          .filter(col("event_type") === t)
+          .groupBy(col("user_id").cast("int").as("uid"))
+          .agg(dsum(col("value")).as(s"${t}_total"),
+            count(lit(1)).as(s"n_${t}s"))
+        grain("signup").join(grain("purchase"), Seq("uid"), "full_outer")
+          .withColumn("tag",
+            when(col("signup_total").isNull, "purchase_only")
+              .when(col("purchase_total").isNull, "signup_only")
+              .otherwise("both"))
+          .orderBy(col("uid"))
+      },
+      """WITH s AS (
+        |  SELECT CAST(user_id AS INT) AS uid,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS signup_total,
+        |    COUNT(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(user_id AS INT) AS uid,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,
+        |    COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT uid, signup_total, n_signups, purchase_total, n_purchases,
+        |  CASE WHEN signup_total IS NULL THEN 'purchase_only'
+        |       WHEN purchase_total IS NULL THEN 'signup_only'
+        |       ELSE 'both' END AS tag
+        |FROM s FULL OUTER JOIN p USING (uid)
+        |ORDER BY uid""".stripMargin),
+
+    // Time-series resample to 15-minute OHLC bars — the financial-tick
+    // reduction the gold-price domain (SURVEY §0) reaches for next.
+    // open/close are min_by/max_by on the (ts, event_id) struct: a
+    // sort-free argmax aggregate, one hash-agg pass for all six stats
+    // (vs the window formulation's shuffle + per-partition sort — the
+    // oracle spells it that way precisely to prove the cheap plan
+    // computes the same bars). Bucket = integer epoch-µs division;
+    // unique (ts, event_id) makes every bar deterministic.
+    "t9_resample_ohlc" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("user_id").cast("int").as("uid"),
+            expr("unix_micros(ts) div 900000000").as("bucket"),
+            col("ts"), col("event_id"), col("value"))
+          .groupBy(col("uid"), col("bucket"))
+          .agg(
+            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            count(lit(1)).as("n_ticks"),
+            dsum(col("value")).as("volume"))
+          .withColumn("bar_start", date_format(
+            timestamp_micros(col("bucket") * 900000000L), "yyyy-MM-dd HH:mm:ss"))
+          .orderBy(col("uid"), col("bucket")),
+      """WITH t AS (
+        |  SELECT CAST(user_id AS INT) AS uid,
+        |         epoch_us(ts) // 900000000 AS bucket, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 900000000
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 900000000
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT uid, bucket,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  strftime(CAST(to_timestamp(bucket * 900) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bar_start
+        |FROM t
+        |GROUP BY uid, bucket
+        |ORDER BY uid, bucket""".stripMargin),
+
+    // SCD2-style version history via gaps-and-islands: each maximal run
+    // of consecutive equal event_type per user becomes one versioned row
+    // [valid_from, valid_to]. The island id is the running sum of
+    // change flags — one window (shuffle+sort on user) feeding one
+    // aggregate on (user, version): the standard two-pass history build
+    // a warehouse uses to reconstruct dimension versions from a change
+    // log, with no self-join.
+    "s16_scd2_history" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("uid")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id").cast("int").as("uid"),
+            col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("version",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("uid"), col("version"))
+          .agg(
+            min(col("event_type")).as("state"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("uid"), col("version"))
+      },
+      """WITH flagged AS (
+        |  SELECT CAST(user_id AS INT) AS uid, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY CAST(user_id AS INT) ORDER BY ts, event_id)
+        |), islands AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY uid ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM flagged)
+        |SELECT uid, version, MIN(event_type) AS state,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  COUNT(*) AS n_events
+        |FROM islands
+        |GROUP BY uid, version
+        |ORDER BY uid, version""".stripMargin))
 }

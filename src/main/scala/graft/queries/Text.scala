@@ -546,6 +546,42 @@ object Text {
          |JOIN s sa ON sa.doc_id = p.a_id
          |JOIN s sb ON sb.doc_id = p.b_id
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // Text normalization — the cleaning pass that precedes every
+    // dedup/tokenize stage in a training-data pipeline: lowercase,
+    // strip URLs, strip non-alphanumerics, collapse runs of spaces,
+    // trim. Pure per-row regexp_replace chain (one codegen'd map stage,
+    // no shuffle); patterns stay in the RE2 ∩ Java-regex common subset
+    // so the oracle is the same chain verbatim.
+    "x_text_clean" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("cleaned", trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("text")),
+            "https?://[^ ]+", " "),
+            "[^a-z0-9 ]", " "),
+            " +", " ")))
+          .select(
+            col("doc_id"),
+            substring(col("cleaned"), 1, 80).as("clean_prefix"),
+            length(col("cleaned")).as("clean_len"),
+            (length(col("text")) - length(col("cleaned"))).as("removed_chars"),
+            (size(split(col("cleaned"), " "))).as("n_clean_tokens"))
+          .orderBy(col("doc_id")),
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text),
+        |      'https?://[^ ]+', ' ', 'g'),
+        |      '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(cleaned, 1, 80) AS clean_prefix,
+        |  CAST(length(cleaned) AS INT) AS clean_len,
+        |  CAST(length(text) - length(cleaned) AS INT) AS removed_chars,
+        |  CAST(len(string_split(cleaned, ' ')) AS INT) AS n_clean_tokens
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 }

@@ -281,6 +281,46 @@ object Vector {
         |SELECT vec_id, scale, array_to_string(q, ',') AS q_str,
         |  list_reduce([0] || q, (a, v) -> a + v) AS sum_q,
         |  CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT) AS n_sat
-        |FROM qz ORDER BY vec_id""".stripMargin)
+        |FROM qz ORDER BY vec_id""".stripMargin),
+
+    // Higher-order array-function surface in one per-row pass:
+    // size/filter/aggregate (fold)/index-zip/element access over the
+    // embedding column — the vocabulary every vector kernel here is
+    // built from, exercised directly. All folds run in index order with
+    // double accumulators (float→double per element is exact), so every
+    // value is bit-identical to the oracle's list_transform/list_reduce
+    // spelling. Pure map stage: no shuffle, codegen end-to-end.
+    "f_array_kitchen" -> Q(
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .select(
+            col("vec_id"),
+            expr("size(embedding)").as("dim"),
+            expr("CAST(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DOUBLE)")
+              .as("sum_all"),
+            expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+            expr("CAST(array_max(embedding) AS DOUBLE)").as("max_v"),
+            expr("CAST(array_min(embedding) AS DOUBLE)").as("min_v"),
+            expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("first_v"),
+            expr("""CAST(aggregate(
+                   |  transform(sequence(1, size(embedding)),
+                   |    i -> CAST(element_at(embedding, i) AS DOUBLE)
+                   |       * CAST(element_at(embedding, size(embedding) - i + 1) AS DOUBLE)),
+                   |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DOUBLE)""".stripMargin)
+              .as("rev_dot"))
+          .orderBy(col("vec_id")),
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |              (acc, x) -> acc + x) AS sum_all,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_v,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_v,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)),
+        |    (acc, x) -> acc + x) AS rev_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
   )
 }
