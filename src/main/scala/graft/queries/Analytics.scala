@@ -542,12 +542,14 @@ object Analytics {
 
     // Time-series resample to 15-minute OHLC bars — the financial-tick
     // reduction the gold-price domain (SURVEY §0) reaches for next.
-    // open/close are min_by/max_by on the (ts, event_id) struct: a
-    // sort-free argmax aggregate, one hash-agg pass for all six stats
-    // (vs the window formulation's shuffle + per-partition sort — the
-    // oracle spells it that way precisely to prove the cheap plan
-    // computes the same bars). Bucket = integer epoch-µs division;
-    // unique (ts, event_id) makes every bar deterministic.
+    // open/close are min_by/max_by on the (ts, event_id) struct: an
+    // argmax AGGREGATE, so ticks collapse to bar grain map-side and
+    // only bar rows cross the shuffle (the struct ordering key costs a
+    // SortAggregate — group-key sort, still partial+final — vs the
+    // window formulation, which materializes and sorts every tick per
+    // partition; the oracle spells it that way precisely to prove the
+    // cheap plan computes the same bars). Bucket = integer epoch-µs
+    // division; unique (ts, event_id) makes every bar deterministic.
     "t9_resample_ohlc" -> Q(
       (s, dir) =>
         Tables.events(s, dir)

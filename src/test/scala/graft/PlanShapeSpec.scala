@@ -98,6 +98,35 @@ class PlanShapeSpec extends SparkTestBase {
       "quantization plans a hash exchange — the pass stopped being map-only")
   }
 
+  test("grouping sets plan a single Expand + two-phase aggregate") {
+    val plan = executedPlanString("a19_grouping_sets")
+    assert(plan.contains("Expand"), "grouping sets lost their Expand")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      "grouping sets multiplied into per-set aggregation passes")
+  }
+
+  test("OHLC resample is one partial-aggregated argmax pass, never a window") {
+    // open/close via min_by/max_by must stay argmax AGGREGATES: partial
+    // aggregation collapses ticks to bar grain before the one shuffle.
+    // (The struct ordering key makes Spark pick SortAggregate — sorted
+    // by group key, still partial+final — which beats the window
+    // formulation's full-partition materialization.) A WindowExec here
+    // would mean every tick crosses the exchange.
+    val plan = executedPlanString("t9_resample_ohlc")
+    assert(!plan.contains("Window"), "OHLC resample regressed to a window plan")
+    assert(plan.contains("partial_min_by"),
+      "OHLC resample lost its map-side partial argmax aggregation")
+  }
+
+  test("full-outer reconciliation joins pre-aggregated grains") {
+    // both sides must aggregate BELOW the join (user-grain rows cross
+    // the full-outer, never raw events): the plan has two aggregates
+    // under the join, and the join itself is hash/sort-merge full outer
+    val plan = executedPlanString("j14_full_outer")
+    assert(plan.contains("FullOuter"), "reconciliation lost its full-outer join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("column pruning reaches the parquet scan") {
     // x_fingerprint touches only doc_id and text of the 5-column table
     val df = SparkEntry.queries("x_fingerprint")(spark, sfSmoke)
