@@ -64,6 +64,75 @@ class ScaleToolkitSpec extends SparkTestBase {
     assert(partsRead === 1, s"fact scan read $partsRead partitions")
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // DPP (above) prunes PARTITIONS through a join; the runtime bloom
+    // filter is its row-level sibling for non-partition join keys: the
+    // filtered dim side builds a bloom filter that is pushed into the
+    // fact scan, so most fact rows die at the scan instead of crossing
+    // the join's exchange. On a 100 TB fact joined on a non-layout key
+    // this is the only scan-side reduction available. Thresholds are
+    // lowered because the lake-sized defaults (10 GB application side)
+    // would never fire on test data.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_bloom").toString
+    (1 to 50000).map(i => (i.toLong % 1000, i * 1.5)).toDF("k", "v")
+      .write.parquet(s"$base/fact")
+    (0 until 1000).map(d => (d.toLong, if (d < 10) 1 else 0)).toDF("k", "sel")
+      .write.parquet(s"$base/dim")
+
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    // broadcast disabled: the bloom filter targets shuffle joins (a
+    // broadcast join already filters at the probe)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val joined = spark.read.parquet(s"$base/fact")
+        .join(spark.read.parquet(s"$base/dim").filter(col("sel") === 1), Seq("k"))
+      assert(joined.queryExecution.toRdd.count() === 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter reached the fact side:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // Salting (below) is the MANUAL skew tool for aggregation; for
+    // joins the engine's first line of defense is AQE's skew-join
+    // splitting — one oversized partition is divided among several
+    // tasks, each re-reading a slice against the full build side.
+    // Thresholds are lowered to make a local corpus register as skewed;
+    // at lake scale the 256 MB defaults do the same job.
+    val s = spark
+    import s.implicits._
+    // key 0 carries 95% of the left side
+    val left = (1 to 40000).map(i =>
+      (if (i % 20 == 0) (i % 7 + 1).toLong else 0L, i.toLong)).toDF("k", "l")
+    val right = (0 to 7).map(k => (k.toLong, s"r$k")).toDF("k", "r")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      val joined = left.join(right, Seq("k"))
+      assert(joined.queryExecution.toRdd.count() === 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted aggregation equals direct aggregation on a 90%-skewed key") {
     val s = spark
     import s.implicits._
