@@ -45,6 +45,42 @@ object Merge {
       .drop("_prio", "_rn")
   }
 
+  /** CDC apply — the general MERGE INTO shape with all three actions in
+    * one keyed pass: a change log of (key, op ∈ I/U/D, seq, payload…)
+    * is collapsed to the latest change per key (seq argmax, content-hash
+    * tie-break like [[upsertLatestWins]]), then reconciled with the
+    * target in ONE full-outer join: unmatched target rows pass through,
+    * I/U rows take the change payload, D rows delete (drop the key
+    * whether or not it existed). Both sides are key-grain at the join,
+    * so the shuffle moves one row per touched key plus the target —
+    * and on a date-partitioned lake the write pairs with dynamic
+    * partition overwrite exactly like the simple upsert.
+    *
+    * @param target  current table state; columns = key +: payload
+    * @param changes change log; columns = key, op, seq +: payload
+    * @param opCol   column holding "I" | "U" | "D"
+    * @param seqCol  change ordering (log sequence / commit timestamp)
+    */
+  def applyCdc(
+      target: DataFrame, changes: DataFrame,
+      key: String, opCol: String, seqCol: String): DataFrame = {
+    val payloadCols = target.columns.filterNot(_ == key).toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seqCol).desc, xxhash64(payloadCols.map(col): _*).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(key) +: col(opCol).as("_op") +: payloadCols.map(c =>
+        col(c).as(s"_c_$c")): _*)
+    val t = target.select(col(key) +: payloadCols.map(c =>
+      col(c).as(s"_t_$c")): _*)
+    t.join(latest, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(key) +: payloadCols.map(c =>
+        when(col("_op").isNotNull, col(s"_c_$c"))
+          .otherwise(col(s"_t_$c")).as(c)): _*)
+  }
+
   /** Column-merging upsert keyed by name: keep existing non-null column
     * values, fill from incoming otherwise; insert unmatched incoming
     * rows (S8, ON CONFLICT(name) DO UPDATE SET color =

@@ -217,6 +217,61 @@ object Relational {
         |                        WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin),
 
+    // S5/S8 generalized — CDC apply, the full MERGE INTO action set
+    // (insert + update + delete) in one keyed pass (ops/Merge.applyCdc):
+    // a deterministic change log derived from orders (updates on %5,
+    // deletes on %7, a higher-seq update on %20 overriding both, inserts
+    // in the disjoint negative keyspace on %11) collapses to
+    // latest-per-key and reconciles with the target in one full-outer
+    // join. Arithmetic stays double-exact (+100, +500, /2), so values
+    // hash-match the oracle's spelling.
+    "s17_cdc_apply" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val changes = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("U").as("op"), lit(1).as("seq"),
+            col("o_custkey"), (col("o_totalprice") + 100).as("o_totalprice"))
+          .unionByName(o.filter(col("o_orderkey") % 7 === 3)
+            .select(col("o_orderkey"), lit("D").as("op"), lit(2).as("seq"),
+              col("o_custkey"), col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 20 === 0)
+            .select(col("o_orderkey"), lit("U").as("op"), lit(3).as("seq"),
+              col("o_custkey"), (col("o_totalprice") + 500).as("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+            .select((-col("o_orderkey")).as("o_orderkey"), lit("I").as("op"),
+              lit(1).as("seq"), col("o_custkey"),
+              (col("o_totalprice") / 2).as("o_totalprice")))
+        graft.ops.Merge.applyCdc(o, changes, "o_orderkey", "op", "seq")
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_custkey,
+        |         o_totalprice + 100 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 3, o_custkey, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I', 1, o_custkey, o_totalprice / 2
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |FROM target t FULL OUTER JOIN latest c USING (o_orderkey)
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin),
+
     // P12 id-exclusion: != on a nullable key silently drops NULLs —
     // reference quirk preserved (fact_gold_price_temp.py:252-254).
     "p12_id_exclusion" -> Q(
