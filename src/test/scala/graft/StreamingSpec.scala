@@ -217,4 +217,59 @@ class StreamingSpec extends SparkTestBase {
         (2L, "2024-01-01 09:00:00.0", 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs within the horizon and matches batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = s.sqlContext
+
+    // trades enriched with the quotes that precede them by <= 600s
+    val tradeData = Seq(
+      (1L, 100L, ts("2024-01-01 10:10:00"), 5.0),
+      (1L, 101L, ts("2024-01-01 10:30:00"), 7.0),
+      (2L, 102L, ts("2024-01-01 10:10:00"), 9.0))
+    val quoteData = Seq(
+      (1L, 900L, ts("2024-01-01 10:05:00"), 101.0), // pairs with trade 100
+      (1L, 901L, ts("2024-01-01 10:25:00"), 102.0), // pairs with trade 101
+      (1L, 902L, ts("2024-01-01 09:30:00"), 103.0), // out of horizon: never pairs
+      (2L, 903L, ts("2024-01-01 10:10:00"), 104.0)) // equal ts pairs (<=)
+
+    val trades = MemoryStream[(Long, Long, Timestamp, Double)]
+    val quotes = MemoryStream[(Long, Long, Timestamp, Double)]
+    def named(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.toDF("key", s"${a}_id", s"${a}_ts", b)
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      named(trades.toDF(), "trade", "qty"), "trade_ts", "1 minute",
+      named(quotes.toDF(), "quote", "px"), "quote_ts", "1 minute",
+      "key", horizonSec = 600)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      quotes.addData(quoteData: _*)
+      trades.addData(tradeData: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("ss_join")
+        .select("key", "trade_id", "quote_id", "px")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed === Set(
+        (1L, 100L, 900L, 101.0),
+        (1L, 101L, 901L, 102.0),
+        (2L, 102L, 903L, 104.0)))
+
+      // the same operator on batch frames computes the same pairs
+      val batch = graft.streaming.StreamJoin.intervalJoin(
+          named(tradeData.toDF("_1", "_2", "_3", "_4"), "trade", "qty"),
+          "trade_ts", "1 minute",
+          named(quoteData.toDF("_1", "_2", "_3", "_4"), "quote", "px"),
+          "quote_ts", "1 minute",
+          "key", horizonSec = 600)
+        .select("key", "trade_id", "quote_id", "px")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
 }
