@@ -49,10 +49,25 @@ object Bench {
     val results = timed.head.keys.map { k =>
       k -> timed.map(_(k)).min
     }.toMap
+    // Host-load calibration: a fixed 400M-step single-thread LCG loop.
+    // Query timings vary run-to-run with machine contention (a loaded
+    // host measured this same suite ~2× slower end-to-end, min-of-3
+    // included, because contention spanned the whole run); calib_s
+    // moves identically, so readings are comparable ACROSS runs via
+    // value/calib_s. min-of-3 after one warm round, like the queries.
+    def lcgPass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 400000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (x == 42) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    lcgPass()
+    val calib = Seq(lcgPass(), lcgPass(), lcgPass()).min
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,12 +66,26 @@ object ScaleCheck {
     def dedupPairs(c: DataFrame): DataFrame =
       graft.queries.Text.minhashPairsOver(c)
 
+    /** t9's argmax-aggregate OHLC shape over a scaled tick stream —
+      * tick growth must collapse map-side (bars, not ticks, shuffle). */
+    def ohlcBars(ev: DataFrame): DataFrame = ev
+      .select(col("user_id").cast("int").as("uid"),
+        expr("unix_micros(ts) div 900000000").as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("uid"), col("bucket"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+
     // warm
     Interpolate.densify(GoldModel.factDensifyInput(moreDates(1)))
       .queryExecution.toRdd.count()
     dedupPairs(moreDocs(1)).queryExecution.toRdd.count()
 
-    println(f"${"mult"}%4s  ${"densify_s"}%10s  ${"rows"}%12s  ${"report_s"}%9s  ${"dedup_s"}%8s  ${"pairs"}%8s")
+    println(f"${"mult"}%4s  ${"densify_s"}%10s  ${"rows"}%12s  ${"report_s"}%9s  ${"dedup_s"}%8s  ${"pairs"}%8s  ${"ohlc_s"}%7s  ${"bars"}%8s")
     for (m <- Seq(1, 2, 4, 8)) {
       val (td, n) = time {
         Interpolate.densify(GoldModel.factDensifyInput(moreDates(m)))
@@ -87,7 +101,8 @@ object ScaleCheck {
           20240115, "cheap").queryExecution.toRdd.count()
       }
       val (tx, np) = time { dedupPairs(moreDocs(m)).queryExecution.toRdd.count() }
-      println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f  $tx%8.2f  $np%8d")
+      val (to, nb) = time { ohlcBars(moreDates(m)).queryExecution.toRdd.count() }
+      println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f  $tx%8.2f  $np%8d  $to%7.2f  $nb%8d")
     }
     spark.stop()
   }
