@@ -582,6 +582,81 @@ object Text {
         |  CAST(length(cleaned) AS INT) AS clean_len,
         |  CAST(length(text) - length(cleaned) AS INT) AS removed_chars,
         |  CAST(len(string_split(cleaned, ' ')) AS INT) AS n_clean_tokens
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Benchmark decontamination — the overlap check every training-data
+    // pipeline runs before a model sees the corpus: flag documents
+    // sharing 8-token shingles with a held-out benchmark set (here the
+    // %50 originals, so the dedup corpus's injected copies are the known
+    // contaminated population). The benchmark shingle set BROADCASTS
+    // (eval benchmarks are small by nature — the corpus is the big
+    // side), so the corpus-sized explode is probed map-side and partial
+    // aggregation collapses hits back to doc grain before the one
+    // doc-keyed exchange. 8-token shingles make random collisions
+    // negligible; overlap ratio is the contamination score.
+    "x_contamination" -> Q(
+      (s, dir) => {
+        val benchDocs = Tables.documents(s, dir)
+          .filter(col("doc_id") % 50 === 0)
+        val benchSh = benchDocs
+          .select(explode(TextHash.shingleSet(split(col("text"), " "), 8)).as("sh"))
+          .distinct()
+          .withColumn("hit", lit(1))
+        corpus(s, dir)
+          .join(benchDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            explode(TextHash.shingleSet(split(col("text"), " "), 8)).as("sh"))
+          .join(broadcast(benchSh), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+          .filter(col("n_hits") > 0)
+          .withColumn("contamination", col("n_hits") / col("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CorpusCte,
+         |bench_sh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |           range(1, len(string_split(text, ' ')) - 6),
+         |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS sh
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |scan AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           range(1, len(string_split(text, ' ')) - 6),
+         |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS sh
+         |  FROM corpus
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0))
+         |SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
+         |       COUNT(b.sh) / COUNT(*) AS contamination
+         |FROM scan s LEFT JOIN bench_sh b USING (sh)
+         |GROUP BY s.doc_id
+         |HAVING COUNT(b.sh) > 0
+         |ORDER BY s.doc_id""".stripMargin),
+
+    // Per-domain cap — the corpus-balancing stage that stops one crawl
+    // domain from dominating training data: keep at most K documents
+    // per source, chosen by deterministic hash order (md5 of the id —
+    // no rand(), so the SAME documents survive at any parallelism, like
+    // x_sample_stratified's buckets). Top-K per partition plans as
+    // WindowGroupLimit: the per-partition rank filter pushes below the
+    // full sort, so only K rows per domain survive each map task.
+    "x_domain_cap" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 15)
+          .orderBy(col("source"), col("rk"))
+      },
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15
+        |ORDER BY source, rk""".stripMargin)
   )
 }
