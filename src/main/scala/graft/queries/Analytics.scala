@@ -586,6 +586,28 @@ object Analytics {
         |GROUP BY uid, bucket
         |ORDER BY uid, bucket""".stripMargin),
 
+    // Fixed-width histogram — the distribution-profiling pass a
+    // training-data pipeline runs over every numeric feature: bin by
+    // integer division, count per bin, share of total via a grand-total
+    // window over the ALREADY-AGGREGATED bin rows (the W2 pattern — the
+    // single-partition window sees ~#bins rows, never the corpus).
+    // Everything before it is one partial+final hash aggregate.
+    "a20_histogram" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(floor(col("value") / 50).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lo", (col("bin") * 50).cast("double"))
+          .withColumn("share", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy()).cast("double"))
+          .orderBy(col("bin")),
+      """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
+        |  CAST(CAST(FLOOR(value / 50) AS INT) * 50 AS DOUBLE) AS lo,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin),
+
     // SCD2-style version history via gaps-and-islands: each maximal run
     // of consecutive equal event_type per user becomes one versioned row
     // [valid_from, valid_to]. The island id is the running sum of
