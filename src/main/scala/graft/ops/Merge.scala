@@ -58,7 +58,11 @@ object Merge {
     *
     * @param target  current table state; columns = key +: payload
     * @param changes change log; columns = key, op, seq +: payload
-    * @param opCol   column holding "I" | "U" | "D"
+    * @param opCol   column holding "I" | "U" | "D". I and U are
+    *                synonyms at apply time (both upsert — an I against
+    *                an existing key overwrites, a U against a missing
+    *                key inserts), matching how CDC appliers tolerate
+    *                replayed/reordered logs; only "D" is distinguished.
     * @param seqCol  change ordering (log sequence / commit timestamp)
     */
   def applyCdc(
