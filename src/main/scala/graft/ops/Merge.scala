@@ -69,8 +69,12 @@ object Merge {
       target: DataFrame, changes: DataFrame,
       key: String, opCol: String, seqCol: String): DataFrame = {
     val payloadCols = target.columns.filterNot(_ == key).toSeq
+    // tie-break hashes op + payload: two equal-seq changes differing
+    // ONLY in op (D vs U, same payload) must still resolve identically
+    // under any partitioning
     val w = Window.partitionBy(col(key))
-      .orderBy(col(seqCol).desc, xxhash64(payloadCols.map(col): _*).desc)
+      .orderBy(col(seqCol).desc,
+        xxhash64(col(opCol) +: payloadCols.map(col): _*).desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -21,6 +21,23 @@ import org.apache.spark.sql.types.DecimalType
 object Analytics {
   private val Dec = DecimalType(18, 2)
 
+  /** t9's OHLC aggregation over an events-shaped frame — shared with
+    * the ScaleCheck probe (same discipline as Text.minhashPairsOver:
+    * scale measurements must exercise the PRODUCTION aggregation, not a
+    * re-spelling that can drift). */
+  private[graft] def ohlcBars(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.select(col("user_id").cast("int").as("uid"),
+        expr("unix_micros(ts) div 900000000").as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("uid"), col("bucket"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"),
+        dsum(col("value")).as("volume"))
+
   val all: Map[String, Q] = Map(
 
     // W3 (beyond W1/W2): explicit ROWS frame — 7-event moving average
@@ -552,18 +569,7 @@ object Analytics {
     // division; unique (ts, event_id) makes every bar deterministic.
     "t9_resample_ohlc" -> Q(
       (s, dir) =>
-        Tables.events(s, dir)
-          .select(col("user_id").cast("int").as("uid"),
-            expr("unix_micros(ts) div 900000000").as("bucket"),
-            col("ts"), col("event_id"), col("value"))
-          .groupBy(col("uid"), col("bucket"))
-          .agg(
-            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-            max(col("value")).as("high"),
-            min(col("value")).as("low"),
-            count(lit(1)).as("n_ticks"),
-            dsum(col("value")).as("volume"))
+        ohlcBars(Tables.events(s, dir))
           .withColumn("bar_start", date_format(
             timestamp_micros(col("bucket") * 900000000L), "yyyy-MM-dd HH:mm:ss"))
           .orderBy(col("uid"), col("bucket")),

@@ -164,6 +164,17 @@ object Text {
     * this via the native graft.functions.TextHash expressions; the DuckDB
     * oracle keeps the equivalent higher-order-function formulation below.
     */
+  /** The x_text_clean normalization chain (lower → URL-strip →
+    * punct-strip → space-collapse → trim) — shared with the idempotence
+    * law in AnalyticsInvariantSpec so the test exercises the PRODUCTION
+    * chain, not a frozen copy. */
+  private[graft] def cleanedText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(c),
+      "https?://[^ ]+", " "),
+      "[^a-z0-9 ]", " "),
+      " +", " "))
+
   private def polyHashDuck(m: Int) =
     s"list_transform(t, w -> list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), (acc, c) -> (acc * $m + c) % 1000000007))"
 
@@ -557,11 +568,7 @@ object Text {
     "x_text_clean" -> Q(
       (s, dir) =>
         Tables.documents(s, dir)
-          .withColumn("cleaned", trim(regexp_replace(regexp_replace(regexp_replace(
-            lower(col("text")),
-            "https?://[^ ]+", " "),
-            "[^a-z0-9 ]", " "),
-            " +", " ")))
+          .withColumn("cleaned", cleanedText(col("text")))
           .select(
             col("doc_id"),
             substring(col("cleaned"), 1, 80).as("clean_prefix"),

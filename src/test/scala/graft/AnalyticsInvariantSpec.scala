@@ -89,12 +89,11 @@ class AnalyticsInvariantSpec extends SparkTestBase {
   test("text cleaning is idempotent and its output alphabet is closed") {
     // law: clean(clean(x)) = clean(x) — a second pass over an already
     // clean string must be a fixpoint, else the chain's stages interact
-    // (e.g. punctuation-strip re-introducing double spaces)
+    // (e.g. punctuation-strip re-introducing double spaces). Uses the
+    // PRODUCTION chain (queries.Text.cleanedText), not a copy.
     val cleaned = Tables.documents(spark, sf)
-      .withColumn("c1", trim(regexp_replace(regexp_replace(regexp_replace(
-        lower(col("text")), "https?://[^ ]+", " "), "[^a-z0-9 ]", " "), " +", " ")))
-      .withColumn("c2", trim(regexp_replace(regexp_replace(regexp_replace(
-        lower(col("c1")), "https?://[^ ]+", " "), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("c1", graft.queries.Text.cleanedText(col("text")))
+      .withColumn("c2", graft.queries.Text.cleanedText(col("c1")))
     assert(cleaned.filter(col("c1") =!= col("c2")).count() == 0,
       "cleaning is not a fixpoint on its own output")
     assert(cleaned.filter(col("c1").rlike("[^a-z0-9 ]|  ")).count() == 0,

@@ -58,4 +58,21 @@ class MergeCdcSpec extends SparkTestBase {
       .filter(col("id") === 2).collect()
     assert(a.sameElements(b), "equal-seq survivor depends on partitioning")
   }
+
+  test("equal-seq D-vs-U with identical payload resolves deterministically") {
+    // the adversarial corner of the tie-break: seq AND payload equal,
+    // only the op differs — the op must participate in the hash or the
+    // key is deleted on one partitioning and upserted on another
+    val s = spark; import s.implicits._
+    val conflict = Seq(
+      (2L, "D", 5L, "b", 20.0),
+      (2L, "U", 5L, "b", 20.0)).toDF("id", "op", "seq", "name", "v")
+    val results = Seq(1, 3, 7, 16).map { p =>
+      Merge.applyCdc(target, conflict.repartition(p), "id", "op", "seq")
+        .filter(col("id") === 2).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    }
+    assert(results.distinct.size == 1,
+      s"D-vs-U survivor depends on partitioning: ${results.distinct}")
+  }
 }

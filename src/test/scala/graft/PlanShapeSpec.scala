@@ -120,11 +120,29 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("full-outer reconciliation joins pre-aggregated grains") {
     // both sides must aggregate BELOW the join (user-grain rows cross
-    // the full-outer, never raw events): the plan has two aggregates
-    // under the join, and the join itself is hash/sort-merge full outer
-    val plan = executedPlanString("j14_full_outer")
-    assert(plan.contains("FullOuter"), "reconciliation lost its full-outer join")
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the full-outer, never raw events) — asserted structurally: every
+    // child subtree of the full-outer join node contains an aggregate
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: unwrap(a.executedPlan)
+      case q: QueryStageExec => p +: unwrap(q.plan)
+      case _ => p +: p.children.flatMap(unwrap)
+    }
+    val df = SparkEntry.queries("j14_full_outer")(spark, sfSmoke)
+    df.count()
+    val joins = unwrap(df.queryExecution.executedPlan).collect {
+      case j: BaseJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(joins.nonEmpty, "reconciliation lost its full-outer join")
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        assert(unwrap(side).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"a full-outer side carries unaggregated rows:\n$side")
+      }
+    }
   }
 
   test("column pruning reaches the parquet scan") {

@@ -66,19 +66,11 @@ object ScaleCheck {
     def dedupPairs(c: DataFrame): DataFrame =
       graft.queries.Text.minhashPairsOver(c)
 
-    /** t9's argmax-aggregate OHLC shape over a scaled tick stream —
-      * tick growth must collapse map-side (bars, not ticks, shuffle). */
-    def ohlcBars(ev: DataFrame): DataFrame = ev
-      .select(col("user_id").cast("int").as("uid"),
-        expr("unix_micros(ts) div 900000000").as("bucket"),
-        col("ts"), col("event_id"), col("value"))
-      .groupBy(col("uid"), col("bucket"))
-      .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-        max(col("value")).as("high"), min(col("value")).as("low"),
-        count(lit(1)).as("n_ticks"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+    // the PRODUCTION t9 aggregation (queries/Analytics), not a
+    // re-spelling — tick growth must collapse map-side (bars, not
+    // ticks, shuffle), measured on exactly what t9_resample_ohlc runs
+    def ohlcBars(ev: DataFrame): DataFrame =
+      graft.queries.Analytics.ohlcBars(ev)
 
     // warm
     Interpolate.densify(GoldModel.factDensifyInput(moreDates(1)))
