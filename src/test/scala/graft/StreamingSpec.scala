@@ -218,6 +218,67 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed OHLC bars match the batch argmax aggregation") {
+    // t9's min_by/max_by argmax aggregates run unchanged inside a
+    // watermarked streaming window — the bars a stream emits when its
+    // window closes are the bars the batch operator computes over the
+    // same ticks
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+
+    val tickData = Seq(
+      (1L, 100L, ts("2024-01-01 10:01:00"), 5.0),  // bar 10:00: open
+      (1L, 101L, ts("2024-01-01 10:07:00"), 9.0),  //   high
+      (1L, 102L, ts("2024-01-01 10:14:00"), 7.0),  //   close
+      (1L, 103L, ts("2024-01-01 10:16:00"), 4.0),  // bar 10:15: single tick
+      (2L, 104L, ts("2024-01-01 10:02:00"), 3.0))  // other instrument
+
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val streamBars = in.toDF().toDF("user_id", "event_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "15 minutes").as("w"),
+        col("user_id").cast("int").as("uid"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("w.start").as("bar_start"), col("uid"),
+        col("open"), col("close"), col("high"), col("low"), col("n_ticks"))
+    val q = streamBars.writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(tickData: _*)
+      q.processAllAvailable()
+      // close every window
+      in.addData((9L, 999L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ohlc_stream")
+        .filter(col("uid") < 9)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toSet
+
+      val batch = graft.queries.Analytics.ohlcBars(
+          tickData.toDF("user_id", "event_id", "ts", "value"))
+        .select(timestamp_micros(col("bucket") * 900000000L).as("bar_start"),
+          col("uid"), col("open"), col("close"), col("high"), col("low"),
+          col("n_ticks"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toSet
+
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("2024-01-01 10:00:00.0", 1, 5.0, 7.0, 9.0, 5.0, 3L),
+        ("2024-01-01 10:15:00.0", 1, 4.0, 4.0, 4.0, 4.0, 1L),
+        ("2024-01-01 10:00:00.0", 2, 3.0, 3.0, 3.0, 3.0, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within the horizon and matches batch") {
     val s = spark
     import s.implicits._
