@@ -100,6 +100,50 @@ class AnalyticsInvariantSpec extends SparkTestBase {
       "cleaned text contains a non-alphanumeric or a double space")
   }
 
+  test("histogram: bins partition the corpus and shares sum to one") {
+    val hist = run("a20_histogram").cache()
+    try {
+      val total = Tables.events(spark, sf).count()
+      assert(hist.agg(sum("n")).head().getLong(0) == total,
+        "histogram bins do not partition the corpus")
+      val shareSum = hist.agg(sum("share")).head().getDouble(0)
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+      assert(hist.filter(col("lo") =!= col("bin") * 50.0).count() == 0,
+        "bin lower bound disagrees with bin index")
+    } finally hist.unpersist()
+  }
+
+  test("domain cap: at most K per source, exactly min(K, domain size) kept") {
+    val capped = run("x_domain_cap").cache()
+    try {
+      val perSource = capped.groupBy("source").agg(count(lit(1)).as("kept"))
+      assert(perSource.filter(col("kept") > 15).count() == 0,
+        "a domain exceeds the cap")
+      val expected = Tables.documents(spark, sf)
+        .groupBy("source").agg(least(count(lit(1)), lit(15L)).as("want"))
+      val mismatch = perSource.join(expected, Seq("source"), "full_outer")
+        .filter(col("kept").isNull || col("want").isNull ||
+          col("kept") =!= col("want"))
+      assert(mismatch.count() == 0,
+        "kept-per-domain differs from min(cap, domain size)")
+    } finally capped.unpersist()
+  }
+
+  test("contamination: every injected copy of a benchmark doc is fully flagged") {
+    // benchmark = %50 originals; the dedup corpus injects an EXACT copy
+    // of each at doc_id + (max+1) — identical text ⟹ identical shingle
+    // set ⟹ contamination must be exactly 1.0 for every one of them
+    val docs = Tables.documents(spark, sf)
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val expectedIds = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + off).as("doc_id"))
+    val flagged = run("x_contamination")
+    val fullHits = flagged.filter(col("contamination") === 1.0)
+      .select("doc_id")
+    assert(expectedIds.exceptAll(fullHits).isEmpty,
+      "an exact benchmark copy escaped full contamination")
+  }
+
   test("array kitchen: folds agree with typed recomputation") {
     // recompute sum_all and rev_dot in plain Scala on the driver for a
     // sample and compare bitwise — pins the fold ORDER the oracle match
