@@ -152,6 +152,39 @@ class ScaleToolkitSpec extends SparkTestBase {
       "salted two-stage aggregation diverges from the direct plan")
   }
 
+  test("sorted layout lets row-group statistics skip most of a range scan") {
+    // SortedWriter's zone-map claim, measured: the same rows written
+    // sorted vs shuffled by the predicate column, same small row groups,
+    // same pushed range filter — the sorted scan must surface a small
+    // fraction of the rows the shuffled scan does, because tight
+    // disjoint min/max stats let the parquet reader skip groups
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sorted").toString
+    val rows = (1 to 300000).map(i => (i.toLong, i.toLong, s"payload_$i"))
+      .toDF("k", "id", "pay")
+    graft.io.SortedWriter.writeSorted(
+      rows.repartition(1), s"$base/sorted", Seq("k"), rowGroupBytes = 1L << 20)
+    // same row groups, adversarial order: k scattered by hash so every
+    // group's min/max spans the whole range
+    rows.repartition(1).sortWithinPartitions(xxhash64(col("k")))
+      .write.option("parquet.block.size", 1L << 20)
+      .mode("overwrite").parquet(s"$base/shuffled")
+
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("k").between(1000, 2000))
+      assert(df.queryExecution.toRdd.count() === 1001) // same answer both layouts
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      scans.head.metrics("numOutputRows").value
+    }
+    val sorted = scannedRows(s"$base/sorted")
+    val shuffled = scannedRows(s"$base/shuffled")
+    assert(sorted * 10 <= shuffled,
+      s"sorted layout surfaced $sorted rows vs $shuffled shuffled — row-group skipping is not engaging")
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val s = spark
     import s.implicits._
