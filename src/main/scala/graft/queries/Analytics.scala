@@ -657,5 +657,43 @@ object Analytics {
         |  COUNT(*) AS n_events
         |FROM islands
         |GROUP BY uid, version
-        |ORDER BY uid, version""".stripMargin))
+        |ORDER BY uid, version""".stripMargin),
+
+    // KMV distinct-count sketch (Bar-Yossef et al., RANDOM'02) — the
+    // ENGINE-PORTABLE mergeable form of COUNT(DISTINCT) for lake-scale
+    // profiling: keep the k=64 smallest values of a uniform 60-bit
+    // hash; distinct ≈ (k−1)·2^60 / h_k. Unlike HLL++ sketch bytes
+    // (implementation-private), every quantity here is a deterministic
+    // function of the input SET, so a profile computed by this engine
+    // reconciles bit-for-bit with one computed anywhere else — which is
+    // what this oracle proves. Plan: the ops/Sketches.KmvDistinct typed
+    // Aggregator partial-aggregates map-side (ObjectHashAggregate, one
+    // ≤64-long array per (partition, group)) through a single exchange
+    // — where the exact form first dedups at (group, value) grain, a
+    // second full-data exchange the sketch never pays. The
+    // oracle spells the same sketch via ROW_NUMBER over distinct
+    // hashes; KmvSketchSpec pins the ~1/√k accuracy against exact.
+    "x_kmv_distinct" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            expr(md5Hash60Spark("l_orderkey")).as("hh"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.ops.Sketches.kmv(64)(col("hh")).as("kmv"))
+          .select(col("l_returnflag"),
+            col("kmv.n_kept").as("n_kept"),
+            col("kmv.kth_hash").as("kth_hash"),
+            col("kmv.est_distinct").as("est_distinct"))
+          .orderBy(col("l_returnflag")),
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |  ${md5Hash60Duck("l_orderkey")} AS hh
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, hh,
+         |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rk
+         |      FROM h)
+         |SELECT l_returnflag, CAST(COUNT(*) AS INT) AS n_kept,
+         |  MAX(hh) AS kth_hash,
+         |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE 63.0 * $Hash60Space / MAX(hh) END AS est_distinct
+         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY 1""".stripMargin))
 }

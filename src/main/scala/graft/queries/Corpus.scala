@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators over the `documents` table —
+  * the stages between raw text and a training shard that the dedup /
+  * analysis families (queries.Text) don't cover: context-window
+  * chunking, repetition-based quality signals (the Gopher-style
+  * filters), BM25 retrieval scoring, and weight-proportional sampling.
+  *
+  * Scale design: every per-document computation is a zero-shuffle map
+  * stage built from codegen'd higher-order array functions; the only
+  * wide operations are a broadcast of one corpus-statistics row (BM25)
+  * and driver-side top-k heaps (TakeOrderedAndProject — never a full
+  * sort). Randomness is banned: sampling keys and sketch hashes come
+  * from the engine-portable md5 construction ([[md5Hash60Spark]]), so
+  * the same documents are chosen at any parallelism, in any engine —
+  * which is also what makes full DuckDB value oracles possible.
+  */
+object Corpus {
+
+  /** BM25 parameters (Robertson-Walker defaults) and the fixed query
+    * term set. k1 = 1.2, b = 0.75 appear pre-folded in the score
+    * fragment: 2.2 = k1 + 1, 0.25 = 1 − b, 0.75 = b. */
+  private val Terms = Seq("spark", "join", "vector")
+
+  /** One BM25 score fragment, shared verbatim by both engines (it only
+    * references SELECT-level aliases: tf_*, df_*, dl, n_docs,
+    * total_tokens). Fixed left-to-right addition, one final round(…,6):
+    * every double op is an IEEE-deterministic scalar expression — no
+    * double ever goes through an order-sensitive aggregation. */
+  private val Bm25Score: String = Terms
+    .map(t => s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)" +
+      s" * (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / (total_tokens / n_docs)))")
+    .mkString("round(", "\n      + ", ", 6)")
+
+  /** Repetition-score fragment over SELECT-level aliases — shared
+    * verbatim by both engines (lateral alias reuse). */
+  private val RepScore =
+    "round(dup_bigram_frac * 0.5 + dup_trigram_frac * 0.3 + (immediate_repeats / (n_tokens - 1)) * 0.2, 6)"
+
+  val all: Map[String, Q] = Map(
+
+    // Context-window chunking — the shard-preparation step that splits
+    // each document into fixed-size token windows with overlap (here
+    // 32-token chunks, stride 24 ⇒ 8-token overlap), the shape a
+    // training pipeline feeds a tokenizer. Chunk count is
+    // 1 + ⌈max(n−32,0)/24⌉, so the final window always reaches the last
+    // token and a short document yields exactly one chunk. Map-side
+    // explode only — output rows never shuffle; each chunk carries a
+    // content hash so downstream chunk-level dedup can run without
+    // re-materializing text.
+    "x_chunking" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("n", size(col("t")))
+          .select(col("doc_id"), col("t"),
+            explode(expr("sequence(0, cast(ceil(greatest(n - 32, 0) / 24.0) AS int))"))
+              .as("chunk_id"))
+          .withColumn("start_tok", col("chunk_id") * 24 + 1)
+          .withColumn("chunk", expr("slice(t, start_tok, 32)"))
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            size(col("chunk")).as("n_chunk_tokens"),
+            element_at(col("chunk"), 1).as("first_token"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id"),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |e AS (SELECT doc_id, t,
+        |        unnest(range(0, 1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT))) AS j
+        |      FROM n),
+        |c AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
+        |        CAST(j * 24 + 1 AS INT) AS start_tok,
+        |        list_slice(t, j * 24 + 1, j * 24 + 32) AS chunk
+        |      FROM e)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  chunk[1] AS first_token,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Repetition-based quality signals — the Gopher-style filters
+    // (Rae et al. 2021 §A1.1: duplicate n-gram fractions, top-n-gram
+    // share) that catch boilerplate and degenerate generation before
+    // training. Duplicate bigram/trigram fractions, the most frequent
+    // bigram's share, and immediate token repeats, composed into one
+    // score. Pure per-row higher-order-function pass, no shuffle; the
+    // O(B²) top-bigram scan is bounded by document length, not corpus
+    // size. Short-input guards keep sequence() ascending (a 1-token
+    // document must yield empty n-gram lists, not a descending range).
+    "x_quality_repetition" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("t")))
+          .withColumn("bg", expr(
+            """CASE WHEN n_tokens >= 2
+              |     THEN transform(sequence(1, n_tokens - 1),
+              |                    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+              |     ELSE cast(array() AS array<string>) END""".stripMargin))
+          .withColumn("tg", expr(
+            """CASE WHEN n_tokens >= 3
+              |     THEN transform(sequence(1, n_tokens - 2),
+              |                    i -> concat_ws(' ', slice(t, i, 3)))
+              |     ELSE cast(array() AS array<string>) END""".stripMargin))
+          .selectExpr(
+            "doc_id", "n_tokens",
+            "size(bg) AS n_bigrams",
+            "1.0 - size(array_distinct(bg)) / size(bg) AS dup_bigram_frac",
+            "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b)))) / size(bg) AS top_bigram_share",
+            "1.0 - size(array_distinct(tg)) / size(tg) AS dup_trigram_frac",
+            """CASE WHEN n_tokens >= 2
+              |     THEN size(filter(sequence(1, n_tokens - 1), i -> element_at(t, i) = element_at(t, i + 1)))
+              |     ELSE 0 END AS immediate_repeats""".stripMargin,
+            s"$RepScore AS repetition_score",
+            "repetition_score > 0.05 AS flagged")
+          .orderBy("doc_id"),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |n AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens FROM d),
+         |g AS (SELECT doc_id, n_tokens,
+         |        CASE WHEN n_tokens >= 2
+         |             THEN list_transform(range(1, n_tokens), i -> t[i] || ' ' || t[i + 1])
+         |             ELSE [] END AS bg,
+         |        CASE WHEN n_tokens >= 3
+         |             THEN list_transform(range(1, n_tokens - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         |             ELSE [] END AS tg,
+         |        CASE WHEN n_tokens >= 2
+         |             THEN CAST(len(list_filter(range(1, n_tokens), i -> t[i] = t[i + 1])) AS INT)
+         |             ELSE 0 END AS immediate_repeats
+         |      FROM n)
+         |SELECT doc_id, n_tokens,
+         |  CAST(len(bg) AS INT) AS n_bigrams,
+         |  1.0 - len(list_distinct(bg)) / len(bg) AS dup_bigram_frac,
+         |  list_max(list_transform(list_distinct(bg), b -> len(list_filter(bg, x -> x = b)))) / len(bg) AS top_bigram_share,
+         |  1.0 - len(list_distinct(tg)) / len(tg) AS dup_trigram_frac,
+         |  immediate_repeats,
+         |  $RepScore AS repetition_score,
+         |  $RepScore > 0.05 AS flagged
+         |FROM g ORDER BY doc_id""".stripMargin),
+
+    // BM25 retrieval scoring — ranking the corpus against a fixed query
+    // term set, the scoring half of the retrieval stack whose index
+    // half is q:x_inverted_index. Corpus statistics (N, Σdl, per-term
+    // document frequencies) reduce to ONE row that broadcast-joins back
+    // to the corpus, so scoring is a map stage over documents — at
+    // 100 TB the stats row is still one row, and top-k is a driver-side
+    // heap (TakeOrderedAndProject), never a full sort. Every double op
+    // is a fixed-order scalar expression; the ln() ulp risk is absorbed
+    // by round(…,6).
+    "x_bm25" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("dl", size(col("t")))
+        val aggCols =
+          Seq(count(lit(1)).as("n_docs"),
+            sum(col("dl")).cast("double").as("total_tokens")) ++
+            Terms.map(t =>
+              sum(when(array_contains(col("t"), t), 1).otherwise(0)).as(s"df_$t"))
+        val stats = d.agg(aggCols.head, aggCols.tail: _*)
+        Terms.foldLeft(d.crossJoin(broadcast(stats))) { (df, t) =>
+            df.withColumn(s"tf_$t", expr(s"size(filter(t, w -> w = '$t'))"))
+          }
+          .withColumn("bm25", expr(Bm25Score))
+          .filter(Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+          .select(col("doc_id") +: Terms.map(t => col(s"tf_$t")) :+ col("bm25"): _*)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(25)
+      }, {
+        val dfAggs = Terms
+          .map(t => s"SUM(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$t")
+          .mkString(",\n         |   ")
+        val tfCols = Terms
+          .map(t => s"CAST(len(list_filter(t, w -> w = '$t')) AS INT) AS tf_$t")
+          .mkString(",\n         |   ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |dd AS (SELECT doc_id, t, CAST(len(t) AS INT) AS dl FROM d),
+           |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_tokens,
+           |   $dfAggs
+           |   FROM dd),
+           |sc AS (SELECT doc_id, dl,
+           |   $tfCols,
+           |   n_docs, total_tokens, ${Terms.map(t => s"df_$t").mkString(", ")}
+           |   FROM dd CROSS JOIN stats)
+           |SELECT doc_id, ${Terms.map(t => s"tf_$t").mkString(", ")},
+           |  $Bm25Score AS bm25
+           |FROM sc
+           |WHERE ${Terms.map(t => s"tf_$t").mkString(" + ")} > 0
+           |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin
+      }),
+
+    // Weight-proportional sampling without replacement — Efraimidis &
+    // Spirtakis (2006): each item draws u ~ Uniform(0,1] and the k
+    // largest u^(1/w) win, giving inclusion probability proportional to
+    // weight w (here n_chars: a byte-budget sample favoring longer
+    // documents). Both the uniform draw (md5-derived, not rand()) and
+    // the comparison key ln(u)/w (same argmax, no pow) are
+    // deterministic, so the SAME sample comes out at any parallelism
+    // and in any engine — reproducibility a rand()-based sampler can't
+    // give. Keys round to 9 dp with doc_id tie-break before the top-k,
+    // so the ln() ulp risk can't flip the selection boundary. Top-50 is
+    // a TakeOrderedAndProject heap, not a sort.
+    "x_weighted_sample" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("es_key", expr(
+            s"round(ln((${md5Hash60Spark("doc_id")} + 1) / $Hash60Space) / n_chars, 9)"))
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(50),
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |        round(ln((${md5Hash60Duck("doc_id")} + 1) / $Hash60Space) / n_chars, 9) AS es_key
+         |      FROM documents)
+         |SELECT doc_id, n_chars, es_key FROM k
+         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin)
+  )
+}

@@ -40,6 +40,26 @@ package object queries {
       |  FROM fact
       |)""".stripMargin
 
+  /** Engine-portable uniform hash: the first 15 hex digits of md5 of
+    * the value's decimal-string form, read as an integer — a uniform
+    * 60-bit hash any engine reproduces bit-for-bit (md5 is md5
+    * everywhere; 15 hex digits keep the value inside a signed int64).
+    * This is the hash for ORDER/PROBABILITY constructions (KMV
+    * sketches, weighted sampling) where the polynomial rolling hash's
+    * non-uniformity on short keys would bias the math: a 5-digit id's
+    * polyhash never exceeds ~52M of the 1e9+7 space, so "k-th smallest
+    * hash" style estimators would be off by orders of magnitude. */
+  def md5Hash60Spark(colExpr: String): String =
+    s"cast(conv(substring(md5(cast($colExpr AS string)), 1, 15), 16, 10) AS bigint)"
+
+  def md5Hash60Duck(colExpr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($colExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** 16^15 = 2^60, the [[md5Hash60Spark]] hash space, exactly
+    * representable in a double — spelled as a plain decimal literal so
+    * both engines parse the identical text to the identical double. */
+  val Hash60Space: String = "1152921504606846976.0"
+
   /** Shared DuckDB oracle fragment: the derived sources dimension
     * (mirrors graft.ops.GoldModel.sourcesDim). */
   val SourcesCte: String =

@@ -1,0 +1,183 @@
+package graft
+
+import graft.ops.Sketches
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-preparation operators (queries.Corpus) and
+  * the KMV sketch (ops.Sketches): accuracy against exact, partition
+  * invariance of the mergeable sketch, chunk-coverage laws, and
+  * end-to-end behavior on an injected corpus (the query functions take
+  * a directory, so edge-case corpora are just temp parquet dirs).
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** Write an ad-hoc documents corpus and return its directory. */
+  private def corpusDir(docs: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_corpus").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("srcX").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- KMV sketch -------------------------------------------------
+
+  test("kmv estimate tracks exact distinct within sketch error") {
+    val est = q("x_kmv_distinct", sfSmoke)
+      .select("l_returnflag", "est_distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.lineitem(spark, sfSmoke)
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (flag, e) =>
+      val x = exact(flag).toDouble
+      // k=64 → relative std ≈ 1/√62 ≈ 12.7%; 4σ bound
+      assert(math.abs(e - x) / x <= 0.5,
+        s"$flag: kmv=$e exact=$x — outside sketch error")
+    }
+  }
+
+  test("kmv sketch is partition-invariant (merge path ≡ single partition)") {
+    val h = expr(queries.md5Hash60Spark("l_orderkey"))
+    def sketch(parts: Int) =
+      Tables.lineitem(spark, sfSmoke)
+        .repartition(parts)
+        .select(col("l_returnflag"), h.as("hh"))
+        .groupBy("l_returnflag")
+        .agg(Sketches.kmv(64)(col("hh")).as("kmv"))
+        .select(col("l_returnflag"), col("kmv.n_kept"), col("kmv.kth_hash"),
+          col("kmv.est_distinct"))
+        .collect().sortBy(_.getString(0)).toSeq
+    assert(sketch(1) === sketch(13),
+      "KMV result depends on partitioning — merge is not associative")
+  }
+
+  test("kmv is exact below k and matches the estimator contract above") {
+    val agg = new Sketches.KmvDistinct(8, hashSpace = 1L << 60)
+    // below k: the sketch IS the distinct set
+    val small = Seq(5L, 3L, 5L, 9L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small) === Sketches.Kmv(3, 9L, 3.0))
+    // above k: k smallest retained, estimate = (k-1)·M/h_k
+    val big = (1L to 100L).map(_ * 1000L).foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(big)
+    assert(out.n_kept === 8 && out.kth_hash === 8000L)
+    assert(out.est_distinct === 7.0 * (1L << 60).toDouble / 8000.0)
+    // merge ≡ reduce-all, any split point
+    val all = (1L to 40L).map(i => (i * 7919L) % 1000L)
+    for (cut <- Seq(0, 7, 20, 40)) {
+      val (l, r) = all.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m.toSeq === all.foldLeft(agg.zero)(agg.reduce).toSeq,
+        s"merge at $cut diverges")
+    }
+  }
+
+  test("kmv plan pays one exchange; exact distinct pays two") {
+    def nExchanges(plan: String) =
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sketch = q("x_kmv_distinct", sfSmoke).queryExecution.executedPlan.toString
+    assert(nExchanges(sketch) === 1, s"sketch plan shuffles more than once:\n$sketch")
+    assert(!sketch.contains("Expand"), "sketch plan should not Expand")
+    // control: the exact form dedups at (group, value) grain first —
+    // a second full-data exchange the sketch never pays
+    val exact = Tables.lineitem(spark, sfSmoke)
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(nExchanges(exact) === 2,
+      s"control: exact distinct expected two exchanges:\n$exact")
+  }
+
+  // ---- chunking ---------------------------------------------------
+
+  test("chunks cover every token exactly and reconstruct the document") {
+    // 1-token, exactly-one-window, one-past-window, and long docs
+    val docs = Seq(
+      1L -> "solo",
+      2L -> (1 to 32).map(i => s"w$i").mkString(" "),
+      3L -> (1 to 33).map(i => s"w$i").mkString(" "),
+      4L -> (1 to 100).map(i => s"t$i").mkString(" "))
+    val dir = corpusDir(docs)
+    val rows = q("x_chunking", dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nTokens = docs.toMap.view.mapValues(_.split(" ").length).toMap
+    docs.foreach { case (id, _) =>
+      val cs = byDoc(id)
+      val n = nTokens(id)
+      // first chunk starts at 1; stride 24; last chunk reaches token n
+      assert(cs.head._3 === 1)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 === 24, s"doc $id stride")
+        case _ =>
+      }
+      assert(cs.last._3 + cs.last._4 - 1 === n, s"doc $id tail coverage")
+      // expected chunk count: 1 + ceil(max(n-32,0)/24)
+      assert(cs.length === 1 + math.ceil(math.max(n - 32, 0) / 24.0).toInt)
+    }
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    assert(byDoc(3L).length === 2)
+  }
+
+  // ---- repetition quality -----------------------------------------
+
+  test("repetitive documents are flagged; diverse ones are not") {
+    val dir = corpusDir(Seq(
+      1L -> Seq.fill(30)("spam ham").mkString(" "),          // one bigram repeated
+      2L -> (1 to 60).map(i => s"u$i").mkString(" ")))       // all distinct
+    val out = q("x_quality_repetition", dir)
+      .select("doc_id", "dup_bigram_frac", "top_bigram_share", "flagged")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val (rep, div) = (out(0), out(1))
+    assert(rep._2 > 0.9 && rep._4, s"repetitive doc not flagged: $rep")
+    assert(div._2 === 0.0 && !div._4, s"diverse doc flagged: $div")
+    assert(rep._3 > div._3, "top-bigram share should rank repetitive higher")
+  }
+
+  // ---- BM25 -------------------------------------------------------
+
+  test("bm25 stats join broadcasts and scores rank term-bearing docs") {
+    val df = q("x_bm25", sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "corpus-stats row should broadcast, not shuffle")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tfSum = r.getInt(1) + r.getInt(2) + r.getInt(3)
+      assert(tfSum > 0, "scored doc carries no query term")
+      assert(r.getDouble(4) > 0.0, "BM25 score must be positive")
+    }
+  }
+
+  // ---- weighted sampling ------------------------------------------
+
+  test("weighted sample is partition-invariant and weight-biased") {
+    val base = q("x_weighted_sample", sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // partition invariance: hash keys are per-row, top-k is global
+    val reparted = Tables.documents(spark, sfSmoke).repartition(17)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("es_key", expr(
+        s"round(ln((${queries.md5Hash60Spark("doc_id")} + 1) / ${queries.Hash60Space}) / n_chars, 9)"))
+      .orderBy(col("es_key").desc, col("doc_id")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(base === reparted, "sample changed under repartitioning")
+    // expectation: P[keep] ∝ n_chars ⇒ sample mean exceeds corpus mean
+    val sampleMean = base.map(_._2).sum.toDouble / base.length
+    val corpusMean = Tables.documents(spark, sfSmoke)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+}

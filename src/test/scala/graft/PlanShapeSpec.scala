@@ -23,9 +23,10 @@ class PlanShapeSpec extends SparkTestBase {
   test("only deliberate tiny-broadcast all-pairs use a nested-loop join") {
     // x_ann_brute: exact baseline scores corpus × (broadcast) queries;
     // x_ann_ivf: quantizer assignment scores corpus × (broadcast)
-    // codebook. Both broadcast a constant-size side; everything else
-    // must plan hash/sort-merge joins.
-    val allPairs = Set("x_ann_brute", "x_ann_ivf")
+    // codebook; x_bm25: corpus × (broadcast) ONE-ROW corpus-statistics
+    // frame. All broadcast a constant-size side; everything else must
+    // plan hash/sort-merge joins.
+    val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
