@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators over the `documents` table —
@@ -190,6 +191,125 @@ object Corpus {
            |WHERE ${Terms.map(t => s"tf_$t").mkString(" + ")} > 0
            |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin
       }),
+
+    // Cross-document repeated-span scrub — the C4/CCNet "line dedup"
+    // adapted to unstructured text: any 5-token span that occurs in ≥2
+    // distinct documents is boilerplate; every token position covered
+    // by such a span is dropped and the surviving tokens are re-joined
+    // in order. Plan: span hashing is a map-side explode (5 grams/row,
+    // bounded by document length); the ONLY data-sized shuffle keys are
+    // the gram hash (for the distinct-document count — partial
+    // map-side combine applies) and doc_id (for reassembly). The
+    // dup-gram set is corpus-repetition-sized, so at 100 TB the
+    // join-back is a broadcast or a gram-keyed shuffle of hashes only —
+    // never a doc × doc comparison. Reassembly sorts WITHIN each
+    // document's collected buffer (array_sort over ≤doc-length
+    // structs), not across rows: no global sort, no window state.
+    "x_span_dedup" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val grams = toks
+          .select(col("doc_id"), col("t"),
+            explode(expr(
+              "CASE WHEN size(t) >= 5 THEN sequence(1, size(t) - 4) ELSE cast(array() AS array<int>) END"))
+              .as("p"))
+          .select(col("doc_id"), col("p"),
+            md5(concat_ws(" ", expr("slice(t, p, 5)"))).as("gram"))
+        val dupGrams = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gram")
+        val covered = grams.join(dupGrams, "gram")
+          .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
+          .distinct()
+        val positions = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("idx", "tok")))
+          .select(col("doc_id"), (col("idx") + 1).as("pos"), col("tok"))
+        val kept = positions
+          .join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+            .as("kept_text"))
+        val removed = covered.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_removed"))
+        toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .join(removed, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            round((col("n_tokens").cast("double") - coalesce(col("n_removed"), lit(0L)))
+              / col("n_tokens"), 6).as("kept_frac"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS p
+        |      FROM tk WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, p,
+        |        md5(array_to_string(list_slice(t, p, p + 4), ' ')) AS gram
+        |      FROM p),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.p + r.o AS pos
+        |        FROM g JOIN dup USING (gram) CROSS JOIN range(0, 5) r(o)),
+        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+        |        FROM tk),
+        |kept AS (SELECT k.doc_id,
+        |           string_agg(k.tok, ' ' ORDER BY k.pos) AS kept_text
+        |         FROM tok k ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+        |         GROUP BY k.doc_id),
+        |rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.t) AS INT) AS n_tokens,
+        |  COALESCE(r.n_removed, 0) AS n_removed,
+        |  round((CAST(len(b.t) AS DOUBLE) - COALESCE(r.n_removed, 0)) / CAST(len(b.t) AS INT), 6) AS kept_frac,
+        |  md5(COALESCE(k.kept_text, '')) AS kept_hash
+        |FROM tk b
+        |LEFT JOIN kept k USING (doc_id)
+        |LEFT JOIN rem r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Trigram language-model counts — the n-gram statistics table (the
+    // classic MapReduce workload) with exact conditional probabilities:
+    // P(w3 | w1 w2) = c(w1 w2 w3) / Σ_w c(w1 w2 w). Map-side explode of
+    // per-document trigram structs feeds ONE partial+final hash
+    // aggregate (map-side combine collapses repeats before the
+    // shuffle); the context normalizer is a window over the
+    // VOCABULARY-sized count table, not the corpus; top-100 is a
+    // TakeOrderedAndProject heap with a total-order tie-break. Both
+    // counts are exact integers, so the probability is one fixed
+    // IEEE division — hash-identical in any engine.
+    "x_ngram_lm" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("w1"), col("w2"))
+        Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("t"))
+          .select(explode(expr(
+            """transform(
+              |  CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2)
+              |       ELSE cast(array() AS array<int>) END,
+              |  i -> struct(element_at(t, i) AS w1,
+              |              element_at(t, i + 1) AS w2,
+              |              element_at(t, i + 2) AS w3))""".stripMargin)).as("g"))
+          .select(col("g.w1"), col("g.w2"), col("g.w3"))
+          .groupBy(col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).as("tri_count"))
+          .withColumn("ctx_count", sum(col("tri_count")).over(w))
+          .withColumn("cond_prob",
+            round(col("tri_count").cast("double") / col("ctx_count"), 6))
+          .orderBy(col("tri_count").desc, col("w1"), col("w2"), col("w3"))
+          .limit(100)
+      },
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |ix AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tk WHERE len(t) >= 3),
+        |tri AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM ix),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS tri_count FROM tri GROUP BY 1, 2, 3)
+        |SELECT w1, w2, w3, tri_count,
+        |  CAST(SUM(tri_count) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx_count,
+        |  round(CAST(tri_count AS DOUBLE)
+        |        / CAST(SUM(tri_count) OVER (PARTITION BY w1, w2) AS BIGINT), 6) AS cond_prob
+        |FROM c3
+        |ORDER BY tri_count DESC, w1, w2, w3 LIMIT 100""".stripMargin),
 
     // Weight-proportional sampling without replacement — Efraimidis &
     // Spirtakis (2006): each item draws u ~ Uniform(0,1] and the k

@@ -160,6 +160,61 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- cross-document span scrub ----------------------------------
+
+  test("span dedup removes shared 5-gram spans and leaves unique text intact") {
+    val shared = "alpha beta gamma delta epsilon" // the cross-doc span
+    val dir = corpusDir(Seq(
+      1L -> s"one two $shared three four",
+      2L -> s"$shared five six seven eight nine",
+      3L -> "ten eleven twelve thirteen fourteen fifteen"))
+    val out = q("x_span_dedup", dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(4))).toMap
+    // doc 3 shares nothing: untouched, hash of its own text
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === java.security.MessageDigest.getInstance("MD5")
+      .digest("ten eleven twelve thirteen fourteen fifteen".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // docs 1 and 2: exactly the 5 shared tokens removed
+    assert(out(1L) === ((9, 5L, md5Hex("one two three four"))))
+    assert(out(2L) === ((10, 5L, md5Hex("five six seven eight nine"))))
+  }
+
+  test("span dedup on identical documents removes everything") {
+    val text = "a b c d e f g"
+    val dir = corpusDir(Seq(1L -> text, 2L -> text))
+    q("x_span_dedup", dir).collect().foreach { r =>
+      assert(r.getLong(2) === 7L, "all tokens should be covered")
+      assert(r.getDouble(3) === 0.0)
+      assert(r.getString(4) === md5Hex(""))
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- trigram LM counts ------------------------------------------
+
+  test("ngram lm counts are exact and conditional probabilities sum to 1") {
+    val dir = corpusDir(Seq(
+      1L -> "x y z x y z x y w",
+      2L -> "x y z"))
+    val rows = q("x_ngram_lm", dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // "x y z" appears 3× in doc1? positions: (x y z) at 1, 4; (x y w) at 7; doc2 adds 1
+    assert(rows(("x", "y", "z"))._1 === 3L)
+    assert(rows(("x", "y", "w"))._1 === 1L)
+    assert(rows(("x", "y", "z"))._2 === 4L, "context count = Σ over w3")
+    assert(rows(("x", "y", "z"))._3 === 0.75)
+    // probabilities within each full context group sum to 1 (±rounding)
+    rows.keys.groupBy(k => (k._1, k._2)).foreach { case (_, ks) =>
+      val s = ks.map(rows(_)._3).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"cond probs sum to $s")
+    }
+  }
+
   // ---- weighted sampling ------------------------------------------
 
   test("weighted sample is partition-invariant and weight-biased") {

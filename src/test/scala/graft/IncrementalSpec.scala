@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Incremental
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws of the mergeable-state pattern (ops.Incremental): merging any
+  * partition of the input reproduces the from-scratch state exactly —
+  * the property that makes incremental maintenance trustworthy — and
+  * the finalized measures are bit-identical either way (decimal sums,
+  * no order sensitivity).
+  */
+class IncrementalSpec extends SparkTestBase {
+
+  private val keys = Seq("day", "event_type")
+
+  private def ev: DataFrame =
+    Tables.events(spark, sfSmoke)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.orderBy(keys.map(col): _*)
+      .collect().map(_.toString).toSeq
+
+  test("merge of an arbitrary split equals the from-scratch state") {
+    val full = Incremental.state(ev, keys, "value")
+    // split on a non-key predicate: slices cut ACROSS groups
+    val a = Incremental.state(ev.filter(col("event_id") % 3 === 0), keys, "value")
+    val b = Incremental.state(ev.filter(col("event_id") % 3 === 1), keys, "value")
+    val c = Incremental.state(ev.filter(col("event_id") % 3 === 2), keys, "value")
+    val merged = Incremental.merge(keys)(a, b, c)
+    assert(canon(Incremental.finalize(merged)) === canon(Incremental.finalize(full)))
+  }
+
+  test("merge is associative: (a ⊎ b) ⊎ c ≡ a ⊎ (b ⊎ c)") {
+    val a = Incremental.state(ev.filter(col("event_id") % 3 === 0), keys, "value")
+    val b = Incremental.state(ev.filter(col("event_id") % 3 === 1), keys, "value")
+    val c = Incremental.state(ev.filter(col("event_id") % 3 === 2), keys, "value")
+    val left = Incremental.merge(keys)(Incremental.merge(keys)(a, b), c)
+    val right = Incremental.merge(keys)(a, Incremental.merge(keys)(b, c))
+    assert(canon(Incremental.finalize(left)) === canon(Incremental.finalize(right)))
+  }
+
+  test("empty delta is the identity") {
+    val full = Incremental.state(ev, keys, "value")
+    val empty = Incremental.state(ev.filter(lit(false)), keys, "value")
+    val merged = Incremental.merge(keys)(full, empty)
+    assert(canon(Incremental.finalize(merged)) === canon(Incremental.finalize(full)))
+  }
+}
