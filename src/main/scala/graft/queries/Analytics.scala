@@ -659,6 +659,36 @@ object Analytics {
         |GROUP BY uid, version
         |ORDER BY uid, version""".stripMargin),
 
+    // Deterministic-sample quantiles — the lake-scale companion to
+    // a12's exact percentiles: a hash-Bernoulli sample (keep rows whose
+    // uniform 60-bit key falls below 2^60/8 — exact integer threshold,
+    // no rand()) makes the order-statistics aggregate buffer 8× smaller
+    // while keeping the estimate reproducible at any parallelism and in
+    // any engine — the properties a reservoir or rand() sample can't
+    // give. The filter is a map-side projection; the sample, not the
+    // corpus, is what shuffles into the per-group percentile agg.
+    // Sampling the ROWS (not per-group) keeps the estimator unbiased
+    // per group; est_total rescales the sampled count by the exact
+    // inverse rate. The oracle runs the identical construction, so this
+    // is value-exact, not tolerance-checked.
+    "x_quantile_sample" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(expr(md5Hash60Spark("event_id")) < lit(144115188075855872L))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_sample"),
+            (count(lit(1)) * 8).as("est_total"),
+            expr("percentile(value, 0.5)").as("p50_sample"),
+            expr("percentile(value, 0.9)").as("p90_sample"))
+          .orderBy(col("event_type")),
+      s"""SELECT event_type, COUNT(*) AS n_sample, COUNT(*) * 8 AS est_total,
+         |  quantile_cont(value, 0.5) AS p50_sample,
+         |  quantile_cont(value, 0.9) AS p90_sample
+         |FROM events
+         |WHERE ${md5Hash60Duck("event_id")} < 144115188075855872
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // KMV distinct-count sketch (Bar-Yossef et al., RANDOM'02) — the
     // ENGINE-PORTABLE mergeable form of COUNT(DISTINCT) for lake-scale
     // profiling: keep the k=64 smallest values of a uniform 60-bit

@@ -196,15 +196,15 @@ object Corpus {
     // adapted to unstructured text: any 5-token span that occurs in ≥2
     // distinct documents is boilerplate; every token position covered
     // by such a span is dropped and the surviving tokens are re-joined
-    // in order. Plan: span hashing is a map-side explode (5 grams/row,
-    // bounded by document length); the ONLY data-sized shuffle keys are
-    // the gram hash (for the distinct-document count — partial
-    // map-side combine applies) and doc_id (for reassembly). The
-    // dup-gram set is corpus-repetition-sized, so at 100 TB the
-    // join-back is a broadcast or a gram-keyed shuffle of hashes only —
-    // never a doc × doc comparison. Reassembly sorts WITHIN each
-    // document's collected buffer (array_sort over ≤doc-length
-    // structs), not across rows: no global sort, no window state.
+    // in order. Scale design: the only rows that ever SHUFFLE are span
+    // hashes (gram-keyed count, with map-side combine) and per-doc
+    // lists of matched span STARTS (repetition-sized — a clean corpus
+    // shuffles almost nothing). Coverage expansion, token filtering and
+    // reassembly all happen INSIDE array expressions on one row per
+    // document — token-position rows never leave the map stage, so the
+    // corpus-sized grain pays zero exchanges. The dup-gram set is
+    // corpus-repetition-sized; its join-back is a broadcast or a
+    // gram-keyed hash join — never a doc × doc comparison.
     "x_span_dedup" -> Q(
       (s, dir) => {
         val toks = Tables.documents(s, dir)
@@ -216,32 +216,28 @@ object Corpus {
               .as("p"))
           .select(col("doc_id"), col("p"),
             md5(concat_ws(" ", expr("slice(t, p, 5)"))).as("gram"))
+        // "≥2 distinct docs" needs only a boolean: min(doc) ≠ max(doc)
+        // is the same predicate for ONE exchange with map-side combine,
+        // where COUNT(DISTINCT doc_id) would pay a second full-grain
+        // dedup exchange to compute a count we'd only compare to 2.
         val dupGrams = grams.groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .filter(col("d0") =!= col("d1"))
           .select("gram")
-        val covered = grams.join(dupGrams, "gram")
-          .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
-          .distinct()
-        val positions = toks
-          .select(col("doc_id"), posexplode(col("t")).as(Seq("idx", "tok")))
-          .select(col("doc_id"), (col("idx") + 1).as("pos"), col("tok"))
-        val kept = positions
-          .join(covered, Seq("doc_id", "pos"), "left_anti")
+        val matched = grams.join(dupGrams, "gram")
           .groupBy(col("doc_id"))
-          .agg(expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-            .as("kept_text"))
-        val removed = covered.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_removed"))
-        toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
-          .join(kept, Seq("doc_id"), "left")
-          .join(removed, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-            round((col("n_tokens").cast("double") - coalesce(col("n_removed"), lit(0L)))
-              / col("n_tokens"), 6).as("kept_frac"),
-            md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
+          .agg(collect_list(col("p")).as("starts"))
+        toks.join(matched, Seq("doc_id"), "left")
+          .withColumn("cov", expr(
+            "array_distinct(flatten(transform(coalesce(starts, cast(array() AS array<int>)), p -> sequence(p, p + 4))))"))
+          .select(col("doc_id"),
+            size(col("t")).as("n_tokens"),
+            size(col("cov")).as("n_removed"),
+            round((size(col("t")).cast("double") - size(col("cov")))
+              / size(col("t")), 6).as("kept_frac"),
+            md5(expr(
+              "array_join(transform(filter(sequence(1, size(t)), i -> NOT array_contains(cov, i)), i -> element_at(t, i)), ' ')"))
+              .as("kept_hash"))
           .orderBy(col("doc_id"))
       },
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -261,7 +257,7 @@ object Corpus {
         |         GROUP BY k.doc_id),
         |rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT b.doc_id, CAST(len(b.t) AS INT) AS n_tokens,
-        |  COALESCE(r.n_removed, 0) AS n_removed,
+        |  CAST(COALESCE(r.n_removed, 0) AS INT) AS n_removed,
         |  round((CAST(len(b.t) AS DOUBLE) - COALESCE(r.n_removed, 0)) / CAST(len(b.t) AS INT), 6) AS kept_frac,
         |  md5(COALESCE(k.kept_text, '')) AS kept_hash
         |FROM tk b

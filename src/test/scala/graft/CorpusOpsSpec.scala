@@ -169,22 +169,22 @@ class CorpusOpsSpec extends SparkTestBase {
       2L -> s"$shared five six seven eight nine",
       3L -> "ten eleven twelve thirteen fourteen fifteen"))
     val out = q("x_span_dedup", dir).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(4))).toMap
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(4))).toMap
     // doc 3 shares nothing: untouched, hash of its own text
-    assert(out(3L)._2 === 0L)
+    assert(out(3L)._2 === 0)
     assert(out(3L)._3 === java.security.MessageDigest.getInstance("MD5")
       .digest("ten eleven twelve thirteen fourteen fifteen".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString)
     // docs 1 and 2: exactly the 5 shared tokens removed
-    assert(out(1L) === ((9, 5L, md5Hex("one two three four"))))
-    assert(out(2L) === ((10, 5L, md5Hex("five six seven eight nine"))))
+    assert(out(1L) === ((9, 5, md5Hex("one two three four"))))
+    assert(out(2L) === ((10, 5, md5Hex("five six seven eight nine"))))
   }
 
   test("span dedup on identical documents removes everything") {
     val text = "a b c d e f g"
     val dir = corpusDir(Seq(1L -> text, 2L -> text))
     q("x_span_dedup", dir).collect().foreach { r =>
-      assert(r.getLong(2) === 7L, "all tokens should be covered")
+      assert(r.getInt(2) === 7, "all tokens should be covered")
       assert(r.getDouble(3) === 0.0)
       assert(r.getString(4) === md5Hex(""))
     }

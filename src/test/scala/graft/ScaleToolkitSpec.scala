@@ -185,6 +185,44 @@ class ScaleToolkitSpec extends SparkTestBase {
       s"sorted layout surfaced $sorted rows vs $shuffled shuffled — row-group skipping is not engaging")
   }
 
+  test("z-order layout skips row groups on BOTH probe dimensions") {
+    // the z-curve claim, measured: one layout, two independent probe
+    // columns, both get row-group skipping — where a single-column sort
+    // gives skipping on its own column and none on the other
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val rows = (1 to 300000).map { i =>
+      val x = (i * 2654435761L) % 100000L        // Knuth-scrambled
+      val y = (i * 1103515245L + 12345L) % 100000L
+      (x, y, s"payload_$i")
+    }.toDF("x", "y", "pay")
+    graft.io.SortedWriter.writeZOrdered(
+      rows, s"$base/zorder", "x", "y", rowGroupBytes = 1L << 20)
+    // control: sorted by x only — perfect on x, blind on y
+    graft.io.SortedWriter.writeSorted(
+      rows.repartition(1), s"$base/xsorted", Seq("x"), rowGroupBytes = 1L << 20)
+
+    def scanned(path: String, c: String): Long = {
+      val df = spark.read.parquet(path).filter(col(c).between(40000, 41000))
+      df.queryExecution.toRdd.count()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      scans.head.metrics("numOutputRows").value
+    }
+    val blindY = scanned(s"$base/xsorted", "y")  // ~full scan: no stats help
+    val zX = scanned(s"$base/zorder", "x")
+    val zY = scanned(s"$base/zorder", "y")
+    assert(zX * 2 <= blindY,
+      s"z-order x-probe surfaced $zX rows vs $blindY unskipped — no x skipping")
+    assert(zY * 2 <= blindY,
+      s"z-order y-probe surfaced $zY rows vs $blindY unskipped — no y skipping")
+    // and the same answers come back
+    assert(spark.read.parquet(s"$base/zorder").filter(col("x").between(40000, 41000)).count() ===
+      spark.read.parquet(s"$base/xsorted").filter(col("x").between(40000, 41000)).count())
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val s = spark
     import s.implicits._
