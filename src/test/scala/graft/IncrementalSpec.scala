@@ -47,4 +47,34 @@ class IncrementalSpec extends SparkTestBase {
     val merged = Incremental.merge(keys)(full, empty)
     assert(canon(Incremental.finalize(merged)) === canon(Incremental.finalize(full)))
   }
+
+  // ---- streaming maintenance (partial-aggregate log) ---------------
+
+  test("streamed partial log merges to the batch recompute; replay and compaction change nothing") {
+    import graft.streaming.IncrementalStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_state").toString + "/state"
+
+    val slices = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      IncrementalStream.applyBatch(slice, i.toLong, keys, "value", dir)
+    }
+    val expected = canon(Incremental.finalize(Incremental.state(ev, keys, "value")))
+    def current() = canon(Incremental.finalize(
+      IncrementalStream.readState(spark, dir, keys)))
+    assert(current() === expected, "merged log diverges from batch recompute")
+
+    // at-least-once delivery: replaying batch 1 must overwrite its own
+    // partition, not double-count
+    IncrementalStream.applyBatch(slices(1), 1L, keys, "value", dir)
+    assert(current() === expected, "replayed micro-batch double-counted")
+
+    // compaction is answer-preserving
+    IncrementalStream.compact(spark, dir, keys)
+    assert(current() === expected, "compaction changed the merged answer")
+    assert(spark.read.parquet(dir).select("batch_id").distinct().count() === 1)
+  }
 }

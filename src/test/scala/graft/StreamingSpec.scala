@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.{HourlyMicroBatch, StatefulOps, StreamDedup}
+import graft.streaming.{HourlyMicroBatch, IncrementalStream, StatefulOps, StreamDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Structured Streaming formulation of the reference's hourly
@@ -87,6 +87,46 @@ class StreamingSpec extends SparkTestBase {
       .select("id", "price").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out === Map(1L -> 100.0, 2L -> 201.0, 3L -> 55.0))
+  }
+
+  case class Evt(day: String, event_type: String, value: Double)
+
+  test("incremental state sink maintains the partial log across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val dir = Files.createTempDirectory("graft_incr_stream").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_incr_ckpt").toString
+    val keys = Seq("day", "event_type")
+
+    val in = MemoryStream[Evt]
+    def runBatch(evts: Evt*): Unit = {
+      in.addData(evts: _*)
+      val q = IncrementalStream.stateSink(in.toDF(), keys, "value", dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    runBatch(
+      Evt("2024-01-01", "click", 10.0),
+      Evt("2024-01-01", "click", 20.0),
+      Evt("2024-01-01", "view", 5.0))
+    runBatch(
+      Evt("2024-01-01", "click", 30.0),
+      Evt("2024-01-02", "view", 7.0))
+
+    val out = IncrementalStream.readState(spark, dir, keys)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3).doubleValue(), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out === Map(
+      ("2024-01-01", "click") -> ((3L, 60.0, 10.0, 30.0)),
+      ("2024-01-01", "view") -> ((1L, 5.0, 5.0, 5.0)),
+      ("2024-01-02", "view") -> ((1L, 7.0, 7.0, 7.0))))
+    // two micro-batches → two partials in the log
+    assert(spark.read.parquet(dir).select("batch_id").distinct().count() === 2)
   }
 
   test("flatMapGroupsWithState carries last-seen state across micro-batches") {
