@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.Top1WindowRewrite)
   }
 }
