@@ -108,6 +108,32 @@ object Multimodal {
         |SELECT doc_id, frame_idx,
         |       CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS INT) AS frame_bytes,
         |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_fp
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Batched model inference (ops/Inference): the "embed every
+    // document" stage, with the model called once per 64-row BATCH
+    // inside mapPartitions (the GPU/Arrow batch shape) and loaded once
+    // per partition. The stub model's coordinates are md5-derived with
+    // an exact power-of-two scale, so the oracle value-checks the whole
+    // batching pipeline — batch composition varies with partitioning,
+    // values never do (a float (b−128)/128 widens to the identical
+    // double the oracle computes).
+    "x_embed_infer" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        graft.ops.Inference
+          .embedDocuments(docs, new graft.ops.Inference.StubModel(4))
+          .toDF()
+          .select(col("doc_id") +:
+            (0 until 4).map(i => col("vec")(i).cast("double").as(s"d$i")): _*)
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+         |${(0 until 4).map(i =>
+            s"  (CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT) - 128) / 128.0 AS d$i")
+            .mkString(",\n")}
+         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

@@ -664,6 +664,50 @@ object Text {
         |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
         |  FROM documents)
         |WHERE rk <= 15
-        |ORDER BY source, rk""".stripMargin)
+        |ORDER BY source, rk""".stripMargin),
+
+    // Link-mass ranking over the syndication graph (ops/PageRank):
+    // near-dup pairs become directed edges newer→older ("the copy
+    // points at the original"), and three integer-arithmetic PageRank
+    // rounds concentrate rank on the most-syndicated originals — the
+    // link-based quality signal corpus curation adds on top of
+    // content-based scores. Every product/quotient of the damping
+    // update is a floor of exact integers, so the rank vector is
+    // bit-identical in any engine — the oracle unrolls the identical
+    // three rounds over the same verified pairs. Per round: one
+    // edge-keyed join + one dst-keyed combine-enabled aggregate;
+    // lineage cut per round (the Components pattern).
+    "x_pagerank" -> Q(
+      (s, dir) =>
+        graft.ops.PageRank.pageRank(
+            minhashPairs(s, dir)
+              .select(col("b_id").as("src"), col("a_id").as("dst")),
+            iters = 3)
+          .select(col("node").as("doc_id"), col("r").as("pr"))
+          .orderBy("doc_id"),
+      {
+        def round(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT nodes.node,
+             |         (SELECT base FROM b) + (17 * COALESCE(m.s, 0)) // 20 AS r
+             |  FROM nodes LEFT JOIN (
+             |    SELECT ed.dst AS node, SUM($prev.r // deg.d) AS s
+             |    FROM ed JOIN $prev ON $prev.node = ed.src
+             |            JOIN deg ON deg.src = ed.src
+             |    GROUP BY ed.dst) m USING (node))""".stripMargin
+        s"""WITH $minhashPairsCte,
+           |ed AS (SELECT b_id AS src, a_id AS dst FROM pairsj),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+           |params AS (SELECT COUNT(*) AS n FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY 1),
+           |b AS (SELECT 3000000000000 // (20 * n) AS base FROM params),
+           |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, params),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
+           |FROM r3 ORDER BY doc_id""".stripMargin
+      })
   )
 }
