@@ -662,32 +662,55 @@ object Analytics {
     // Deterministic-sample quantiles — the lake-scale companion to
     // a12's exact percentiles: a hash-Bernoulli sample (keep rows whose
     // uniform 60-bit key falls below 2^60/8 — exact integer threshold,
-    // no rand()) makes the order-statistics aggregate buffer 8× smaller
-    // while keeping the estimate reproducible at any parallelism and in
-    // any engine — the properties a reservoir or rand() sample can't
-    // give. The filter is a map-side projection; the sample, not the
-    // corpus, is what shuffles into the per-group percentile agg.
-    // Sampling the ROWS (not per-group) keeps the estimator unbiased
-    // per group; est_total rescales the sampled count by the exact
-    // inverse rate. The oracle runs the identical construction, so this
-    // is value-exact, not tolerance-checked.
+    // no rand()) makes the order-statistics buffer 8× smaller while
+    // keeping the estimate reproducible at any parallelism and in any
+    // engine — the properties a reservoir or rand() sample can't give.
+    // The filter is a map-side projection; the sample, not the corpus,
+    // is what shuffles into the per-group buffer. Sampling ROWS (not
+    // per-group) keeps the estimator unbiased per group; est_total
+    // rescales by the exact inverse rate. The interpolation is spelled
+    // EXPLICITLY (identical expression tree in both engines): native
+    // percentile()/quantile_cont() order their lower+frac·span
+    // arithmetic differently and drift a ulp apart on non-integer
+    // values — a12 only escapes because integer quantities make every
+    // formulation exact (measured at sf0.1: 110.04 vs
+    // 110.04000000000002).
     "x_quantile_sample" -> Q(
-      (s, dir) =>
+      (s, dir) => {
+        def q(p: String, alias: String) = {
+          val pos = s"$p * (size(v) - 1)"
+          val lo = s"element_at(v, cast(floor($pos) AS int) + 1)"
+          val hi = s"element_at(v, cast(ceil($pos) AS int) + 1)"
+          expr(s"$lo + ($hi - $lo) * ($pos - floor($pos))").as(alias)
+        }
         Tables.events(s, dir)
           .filter(expr(md5Hash60Spark("event_id")) < lit(144115188075855872L))
           .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n_sample"),
-            (count(lit(1)) * 8).as("est_total"),
-            expr("percentile(value, 0.5)").as("p50_sample"),
-            expr("percentile(value, 0.9)").as("p90_sample"))
-          .orderBy(col("event_type")),
-      s"""SELECT event_type, COUNT(*) AS n_sample, COUNT(*) * 8 AS est_total,
-         |  quantile_cont(value, 0.5) AS p50_sample,
-         |  quantile_cont(value, 0.9) AS p90_sample
-         |FROM events
-         |WHERE ${md5Hash60Duck("event_id")} < 144115188075855872
-         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+          .agg(sort_array(collect_list(col("value"))).as("v"))
+          .select(col("event_type"),
+            size(col("v")).cast("long").as("n_sample"),
+            (size(col("v")).cast("long") * 8).as("est_total"),
+            q("0.5d", "p50_sample"), q("0.9d", "p90_sample"))
+          .orderBy(col("event_type"))
+      }, {
+        def q(p: String, alias: String) = {
+          val pos = s"$p * (len(v) - 1)"
+          val lo = s"v[CAST(floor($pos) AS INT) + 1]"
+          val hi = s"v[CAST(ceil($pos) AS INT) + 1]"
+          s"$lo + ($hi - $lo) * ($pos - floor($pos)) AS $alias"
+        }
+        s"""WITH samp AS (
+           |  SELECT event_type, value FROM events
+           |  WHERE ${md5Hash60Duck("event_id")} < 144115188075855872),
+           |g AS (SELECT event_type, list(value ORDER BY value) AS v
+           |      FROM samp GROUP BY 1)
+           |SELECT event_type,
+           |  CAST(len(v) AS BIGINT) AS n_sample,
+           |  CAST(len(v) AS BIGINT) * 8 AS est_total,
+           |  ${q("CAST(0.5 AS DOUBLE)", "p50_sample")},
+           |  ${q("CAST(0.9 AS DOUBLE)", "p90_sample")}
+           |FROM g ORDER BY event_type""".stripMargin
+      }),
 
     // KMV distinct-count sketch (Bar-Yossef et al., RANDOM'02) — the
     // ENGINE-PORTABLE mergeable form of COUNT(DISTINCT) for lake-scale
