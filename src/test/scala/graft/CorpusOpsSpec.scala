@@ -194,6 +194,37 @@ class CorpusOpsSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("span dedup matches a brute-force reference on a collision-heavy random corpus") {
+    // tiny vocabulary forces genuine cross-doc 5-gram collisions
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // brute force: positions covered by any 5-gram string seen in ≥2 docs
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - 5).map(p => (t.slice(p, p + 5).mkString(" "), id, p))
+    }
+    val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      val cov = (0 to t.length - 5)
+        .filter(p => dup(t.slice(p, p + 5).mkString(" ")))
+        .flatMap(p => p until p + 5).toSet
+      id -> (t.length, cov.size,
+        t.zipWithIndex.collect { case (tok, i) if !cov(i) => tok }.mkString(" "))
+    }.toMap
+
+    val out = q("x_span_dedup", corpusDir(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, (n, removed, kept)) =>
+      assert(out(id) === ((n, removed, md5Hex(kept))), s"doc $id diverges")
+    }
+    assert(expected.values.exists(_._2 > 0), "corpus produced no collisions — test is vacuous")
+  }
+
   // ---- trigram LM counts ------------------------------------------
 
   test("ngram lm counts are exact and conditional probabilities sum to 1") {
@@ -212,6 +243,29 @@ class CorpusOpsSpec extends SparkTestBase {
     rows.keys.groupBy(k => (k._1, k._2)).foreach { case (_, ks) =>
       val s = ks.map(rows(_)._3).sum
       assert(math.abs(s - 1.0) < 1e-5, s"cond probs sum to $s")
+    }
+  }
+
+  test("ngram lm matches brute-force trigram counts on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("p", "q", "r", "s")
+    val docs = (1L to 30L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val brute = docs.flatMap { case (_, text) =>
+      text.split(" ").sliding(3).filter(_.length == 3).map(a => (a(0), a(1), a(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = brute.groupBy { case ((w1, w2, _), _) => (w1, w2) }
+      .view.mapValues(_.values.sum).toMap
+
+    val out = q("x_ngram_lm", corpusDir(docs)).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    // top-100 covers everything here (≤ 4³ = 64 trigram types)
+    assert(out.size === brute.size)
+    out.foreach { case (k, (c3, cc)) =>
+      assert(c3 === brute(k), s"count for $k")
+      assert(cc === ctx((k._1, k._2)), s"context for $k")
     }
   }
 
