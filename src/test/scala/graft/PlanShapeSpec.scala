@@ -119,6 +119,41 @@ class PlanShapeSpec extends SparkTestBase {
       "OHLC resample lost its map-side partial argmax aggregation")
   }
 
+  test("span scrub never shuffles token-position rows") {
+    // the only hash exchanges allowed carry gram hashes or doc-grain
+    // rows; the token-position grain (corpus-sized after explode) must
+    // stay inside the map stage. A hashpartitioning on a 'pos' column
+    // would mean the coverage computation left the array expressions.
+    val plan = executedPlanString("x_span_dedup")
+    assert(!plan.contains("hashpartitioning(doc_id#") ||
+      !plan.contains(", pos#"),
+      "span scrub shuffles (doc_id, pos)-grain rows")
+    // reassembly collects span STARTS per doc: exactly one
+    // ObjectHashAggregate pair (collect_list), nothing position-grain
+    assert("ObjectHashAggregate".r.findAllIn(plan).size == 2,
+      s"expected one partial+final collect of span starts:\n$plan")
+  }
+
+  test("trigram LM counts top-k is a heap, not a global sort") {
+    val plan = executedPlanString("x_ngram_lm")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "x_ngram_lm lost its top-k heap — global sort planned instead")
+  }
+
+  test("incremental merge re-aggregates state tables, not raw slices") {
+    // each state slice pays one partial+final pass; the merge above the
+    // union must be another aggregate pair, never a join of the slices
+    val plan = executedPlanString("x_incr_agg")
+    assert(plan.contains("Union"), "incremental merge lost its state union")
+    assert(!plan.contains("Join"), "incremental merge planned a join")
+  }
+
+  test("batched inference adds no shuffle beyond the scan widening") {
+    val plan = executedPlanString("x_embed_infer")
+    assert(!plan.contains("hashpartitioning"),
+      "inference pass plans a hash exchange — it stopped being map-only")
+  }
+
   test("full-outer reconciliation joins pre-aggregated grains") {
     // both sides must aggregate BELOW the join (user-grain rows cross
     // the full-outer, never raw events) — asserted structurally: every
