@@ -73,6 +73,26 @@ class Top1RewriteSpec extends SparkTestBase {
     assert(got === want && !got.contains("view"))
   }
 
+  test("the reference's dual-rank report shape collapses: pruning drops the unused rank, then the rewrite fires") {
+    // the literal W1 idiom: BOTH directions ranked, ONE selected —
+    // ColumnPruning removes the unreferenced row_number from the Window
+    // in the same optimization batch, leaving the single-rn shape this
+    // rule rewrites. The window formulation thus costs the same as the
+    // hand-written argmax once the extension is installed.
+    val byMinute = Window.partitionBy(col("event_type"))
+    val df = events(s2)
+      .withColumn("cheap", row_number().over(
+        byMinute.orderBy(col("value").asc, col("event_id").asc)))
+      .withColumn("expensive", row_number().over(
+        byMinute.orderBy(col("value").desc, col("event_id").desc)))
+      .filter(col("cheap") === 1)
+      .select("event_type", "event_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"dual-rank report shape kept a window:\n$plan")
+    assert(plan.contains("min_by"), "expected the cheap-direction argmax")
+  }
+
   test("out-of-contract shapes are left to the window planner") {
     val w = Window.partitionBy(col("event_type"))
     // rn = 2 is not top-1
