@@ -223,6 +223,35 @@ class ScaleToolkitSpec extends SparkTestBase {
       spark.read.parquet(s"$base/xsorted").filter(col("x").between(40000, 41000)).count())
   }
 
+  test("parquet bloom filters skip row groups for point probes on unsorted columns") {
+    // the third layout lever, complementing zone maps (sorted/z-order):
+    // a point probe on a HIGH-CARDINALITY column in RANDOM order gets
+    // nothing from min/max stats — every group spans the range — but a
+    // per-group bloom filter rejects groups that cannot contain the key
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_bloom").toString
+    val rows = (1 to 300000).map(i => ((i * 2654435761L) % 1000000L, s"payload_$i"))
+      .toDF("k", "pay")
+    graft.io.SortedWriter.writeWithBloom(
+      rows.repartition(1), s"$base/bloom", Seq("k"),
+      expectedNdv = 300000, rowGroupBytes = 1L << 20)
+    rows.repartition(1).write
+      .option("parquet.block.size", 1L << 20)
+      .mode("overwrite").parquet(s"$base/plain")
+    def scanned(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("k") === 999983L)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numOutputRows").value
+    }
+    val bloom = scanned(s"$base/bloom")
+    val plain = scanned(s"$base/plain")
+    assert(bloom * 5 <= plain,
+      s"bloom-filtered scan surfaced $bloom rows vs $plain plain — bloom row-group skipping is not engaging")
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val s = spark
     import s.implicits._
