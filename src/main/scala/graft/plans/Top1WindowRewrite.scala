@@ -75,6 +75,11 @@ object Top1WindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val allAsc = os.forall(s => s.direction == Ascending && s.nullOrdering == NullsFirst)
     val allDesc = os.forall(s => s.direction == Descending && s.nullOrdering == NullsLast)
     if (!allAsc && !allDesc) return None
+    // grouping/ordering by a nondeterministic expression would make the
+    // rewritten Aggregate illegal (and the window was ill-defined
+    // anyway) — leave such plans alone
+    if (!w.partitionSpec.forall(_.deterministic) || !os.forall(_.child.deterministic))
+      return None
 
     val child = w.child
     val rowStruct = CreateStruct(child.output)
@@ -84,13 +89,21 @@ object Top1WindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       AggregateExpression(aggFn, Complete, isDistinct = false), "_top1")()
 
     val agg = Aggregate(w.partitionSpec, Seq(topAlias), child)
+    // a GLOBAL aggregate over an empty input produces one all-null row,
+    // where the window form produces zero — drop it. (With grouping
+    // keys, empty input means zero groups and no filter is needed; the
+    // min_by struct can only be null on the empty-global case, because
+    // its value/ordering structs are themselves never null.)
+    val aggOrFiltered: LogicalPlan =
+      if (w.partitionSpec.isEmpty) Filter(IsNotNull(topAlias.toAttribute), agg)
+      else agg
     val fields = child.output.zipWithIndex.map { case (a, i) =>
       Alias(GetStructField(topAlias.toAttribute, i, Some(a.name)), a.name)(
         exprId = a.exprId, qualifier = a.qualifier)
     }
     val rnOut = Alias(Literal(1), rnAlias.name)(
       exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
-    val project: LogicalPlan = Project(fields :+ rnOut, agg)
+    val project: LogicalPlan = Project(fields :+ rnOut, aggOrFiltered)
     Some(if (rest.isEmpty) project else Filter(rest.reduce(And), project))
   }
 }

@@ -113,6 +113,44 @@ class Top1RewriteSpec extends SparkTestBase {
     assert(rk.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("global top-1 over an empty input yields zero rows, not a null row") {
+    // a global Aggregate over empty input emits one all-null row; the
+    // rewrite must filter it so the window semantics (no rows) survive
+    val df = events(s2)
+      .filter(lit(false))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("value"), col("event_id"))))
+      .filter(col("rn") === 1)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "global top-1 was not rewritten")
+    assert(df.count() === 0, "rewrite fabricated a row from an empty input")
+    // and a NON-empty global top-1 still returns exactly its winner
+    val one = events(s2)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("value"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select("event_id", "value")
+    val expected = events(spark).orderBy(col("value"), col("event_id"))
+      .select("event_id", "value").limit(1).collect().toSeq
+    assert(one.collect().toSeq === expected)
+  }
+
+  test("nondeterministic ordering is materialized below the window, so the rewrite stays sound") {
+    // the analyzer extracts rand() into a child Project (_w0) before
+    // the Window — the rule therefore sees a deterministic attribute,
+    // and min_by over that materialized column picks the same winner
+    // the window sort would. (The rule's own determinism guard is
+    // defense-in-depth for hand-built plans.) One row per group must
+    // come back, and the rewrite fires.
+    val df = events(s2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(rand(7))))
+      .filter(col("rn") === 1)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val nTypes = events(spark).select("event_type").distinct().count()
+    assert(df.count() === nTypes, "expected one winner per group")
+  }
+
   test("rewrite preserves null-ordering semantics (ASC NULLS FIRST wins nulls)") {
     val s = s2
     import s.implicits._
