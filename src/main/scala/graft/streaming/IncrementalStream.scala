@@ -61,15 +61,30 @@ object IncrementalStream {
       spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
     Incremental.merge(keys)(spark.read.parquet(stateDir).drop("batch_id"))
 
-  /** Compaction: rewrite the whole log as one partial (batch_id = -1 —
-    * below any real micro-batch id, so a later replay of batch N still
-    * lands in its own partition). Changes no merged answer, bounds the
-    * file count; run it like any other maintenance pass. */
+  /** Compaction: fold COMMITTED partials into one `batch_id = -1`
+    * partition (below any real micro-batch id). Changes no merged
+    * answer, bounds the file count; run it like any other maintenance
+    * pass.
+    *
+    * The newest batch in the log is deliberately left OUT of the fold:
+    * under at-least-once delivery it is the one batch that may still
+    * replay (its sink write can land before the checkpoint commit),
+    * and replay-idempotence relies on the replay overwriting a
+    * partition that still holds — only — that batch's partial. Every
+    * batch below the maximum is provably committed, because batch N
+    * only starts after N−1's commit. */
   def compact(
       spark: SparkSession, stateDir: String, keys: Seq[String]): Unit = {
+    // partition-value inference reads batch_id back as INT — normalize
+    val log = spark.read.parquet(stateDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val maxBatch = log.agg(max(col("batch_id"))).head().getLong(0)
+    val foldable = log.filter(col("batch_id") < maxBatch)
+    if (foldable.isEmpty) return // one live batch (or only -1): no-op
     val staging = stateDir + "_compacted"
-    readState(spark, stateDir, keys)
+    Incremental.merge(keys)(foldable.drop("batch_id"))
       .withColumn("batch_id", lit(-1L))
+      .unionByName(log.filter(col("batch_id") === maxBatch))
       .write.partitionBy("batch_id").mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
       .write.partitionBy("batch_id").mode("overwrite").parquet(stateDir)

@@ -72,9 +72,21 @@ class IncrementalSpec extends SparkTestBase {
     IncrementalStream.applyBatch(slices(1), 1L, keys, "value", dir)
     assert(current() === expected, "replayed micro-batch double-counted")
 
-    // compaction is answer-preserving
+    // compaction is answer-preserving and folds only COMMITTED batches:
+    // the newest (the one that may still replay) keeps its partition
     IncrementalStream.compact(spark, dir, keys)
     assert(current() === expected, "compaction changed the merged answer")
-    assert(spark.read.parquet(dir).select("batch_id").distinct().count() === 1)
+    assert(spark.read.parquet(dir)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(-1L, 2L))
+
+    // a crash-replay of the newest batch AFTER compaction must still
+    // overwrite its own partition, not double-count into the fold
+    IncrementalStream.applyBatch(slices(2), 2L, keys, "value", dir)
+    assert(current() === expected, "post-compaction replay double-counted")
+
+    // a second compaction with no new batches is a no-op answer-wise
+    IncrementalStream.compact(spark, dir, keys)
+    assert(current() === expected)
   }
 }
