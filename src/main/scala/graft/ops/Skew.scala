@@ -48,4 +48,39 @@ object Skew {
         min(col("_pmin")).as(s"min_$valueCol"),
         max(col("_pmax")).as(s"max_$valueCol"))
   }
+
+  /** Salted equi-join for ONE pathologically hot key value.
+    *
+    * AQE's skew handling splits an oversized shuffle partition into
+    * several tasks — but every split of a single hot KEY still probes
+    * the same build rows, and in an aggregation-above-join pipeline the
+    * hot key's probe output re-converges on one reducer. Salting splits
+    * the KEY itself: each big-side row takes a deterministic salt from
+    * a within-key discriminator, the small side is replicated once per
+    * salt bucket, and the join key becomes (key, salt) — the hot key's
+    * work spreads over `buckets` genuinely independent partitions.
+    *
+    * Correct for any salt assignment (each big row matches exactly the
+    * replica carrying its salt — the join result is row-identical to
+    * the direct join); deterministic here so reruns shuffle
+    * identically. Cost: the small side is materialized `buckets`× —
+    * this is for star joins whose build side is dimension-sized, the
+    * only place the hot-key pattern arises.
+    *
+    * @param bigKey/smallKey join columns (may differ in name; output
+    *   keeps both, like the direct `big.join(small, bigKey === smallKey)`)
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      discriminator: Column, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(discriminator, buckets))
+    val replicated = small.withColumn("_salt",
+      explode(lit((0 until buckets).toArray)))
+    saltedBig
+      .join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }

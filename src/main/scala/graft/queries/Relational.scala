@@ -46,6 +46,31 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Salted equi-join (ops/Skew.saltedJoin): the hot-KEY mitigation —
+    // the join key becomes (key, salt) with the dimension replicated
+    // per salt bucket, spreading one pathological key over 8
+    // independent partitions where AQE's partition-splitting would
+    // still re-probe and re-converge it. The oracle is the DIRECT
+    // join + rollup: salting must be row-invisible.
+    "j15_salted_join" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+        graft.ops.Skew
+          .saltedJoin(li, p, "l_partkey", "p_partkey",
+            discriminator = col("l_orderkey"), buckets = 8)
+          .groupBy(col("p_type"))
+          .agg(
+            dsum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("p_type"))
+      },
+      """SELECT p_type,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin),
+
     // J1/J3 star join: fact ⋈ mid dims ⋈ broadcast dims, grouped rollup.
     // nation/region are explicitly broadcast (tiny); customer/orders
     // joins shuffle on their keys and AQE handles the rest.

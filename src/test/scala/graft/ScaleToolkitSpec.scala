@@ -223,6 +223,24 @@ class ScaleToolkitSpec extends SparkTestBase {
       spark.read.parquet(s"$base/xsorted").filter(col("x").between(40000, 41000)).count())
   }
 
+  test("salted join is row-identical to the direct join on a skewed key") {
+    val s = spark
+    import s.implicits._
+    // 90% of big-side rows hit key 1 — the hot-key shape
+    val big = (1 to 20000).map { i =>
+      (if (i % 10 == 0) (i % 50).toLong else 1L, i.toLong)
+    }.toDF("k", "payload")
+    val dim = (0L to 49L).map(k => (k, s"name_$k")).toDF("dk", "name")
+    val salted = graft.ops.Skew
+      .saltedJoin(big, dim, "k", "dk", discriminator = col("payload"), buckets = 16)
+    val direct = big.join(dim, col("k") === col("dk"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salted join diverges from the direct join")
+    // the physical join key must carry the salt (two equi-conditions)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt column missing from the join plan:\n$plan")
+  }
+
   test("parquet bloom filters skip row groups for point probes on unsorted columns") {
     // the third layout lever, complementing zone maps (sorted/z-order):
     // a point probe on a HIGH-CARDINALITY column in RANDOM order gets
