@@ -84,6 +84,31 @@ object Vector {
       |           i -> CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END)
       |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
 
+  /** Verified near-dup pairs (a_id < b_id, cosine ≥ threshold) —
+    * shared by the pair listing and the cluster assembly. */
+  private def embedPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = corpusE(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.sig(col("embedding"), Bits).as("sig"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+  }
+
+  /** DuckDB CTE chain producing the same verified pairs as
+    * [[embedPairs]] (names: pairse(a_id, b_id, cosine)). */
+  private def EmbedPairsCte: String =
+    s"""$CorpusECte,
+       |es AS (SELECT vec_id, embedding, ${dSig("embedding")} AS sig FROM ecorpus),
+       |pairse AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         ${dCos("a.embedding", "b.embedding")} AS cosine
+       |  FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE ${dCos("a.embedding", "b.embedding")} >= $NearDupThreshold)""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // Brute-force cosine top-k: the exact-recall ANN baseline. The
@@ -226,25 +251,36 @@ object Vector {
     // verification. Scaled duplicates land in the same bucket by
     // construction (signatures are scale-invariant).
     "x_dedup_embed" -> Q(
-      (s, dir) => {
-        val e = corpusE(s, dir)
-          .select(col("vec_id"), col("embedding"),
-            VectorOps.sig(col("embedding"), Bits).as("sig"))
-        e.as("a")
-          .join(e.as("b"),
-            col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
-          .filter(col("cosine") >= NearDupThreshold)
-          .orderBy("a_id", "b_id")
-      },
-      s"""WITH $CorpusECte,
-         |es AS (SELECT vec_id, embedding, ${dSig("embedding")} AS sig FROM ecorpus)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |       ${dCos("a.embedding", "b.embedding")} AS cosine
-         |FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id
-         |WHERE ${dCos("a.embedding", "b.embedding")} >= $NearDupThreshold
+      (s, dir) => embedPairs(s, dir).orderBy("a_id", "b_id"),
+      s"""WITH $EmbedPairsCte
+         |SELECT a_id, b_id, cosine FROM pairse
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // Semantic dedup clusters (SemDeDup-shaped): the embedding near-dup
+    // pairs roll up to connected components exactly like the text-side
+    // x_dedup_clusters — the cluster id (min vec_id reachable) is the
+    // canonical representative a curation pass keeps. Pair generation
+    // stays bucket-local (signature shuffle key); cluster assembly is
+    // ops/Components' iterative min-label propagation over the
+    // repetition-sized pair set, never the corpus. Oracle: recursive-CTE
+    // transitive closure over the same verified pairs.
+    "x_dedup_semantic" -> Q(
+      (s, dir) =>
+        graft.ops.Components.connectedComponents(
+            embedPairs(s, dir)
+              .select(col("a_id").as("src"), col("b_id").as("dst")))
+          .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+          .orderBy("vec_id"),
+      s"""WITH RECURSIVE $EmbedPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairse
+         |          UNION SELECT b_id, a_id FROM pairse),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT node AS vec_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin),
 
     // Int8 scalar quantization — the storage/bandwidth half of ANN at
     // scale (a 64-float vector becomes 64 bytes + one scale): per-vector
