@@ -146,6 +146,50 @@ object Gold {
     // fn/InterpGenerator) doing the per-group kernel via LATERAL VIEW
     // over collect_list'd points. Same oracle as t3 — the two
     // formulations must agree to the bit.
+    // Gap REPORT — the reference's completeness gate
+    // (/root/reference/dags/etl/fact_gold_price.py:433-440 expects
+    // sources × sides × 60 rows/hour) generalized into a queryable
+    // per-key coverage profile: observed/missing minute counts plus the
+    // largest intra-key gap. One distinct pass at minute grain, one
+    // window (lag over the SAME key partitioning — EnsureRequirements
+    // rides the distinct's exchange), one aggregate. This is the
+    // monitoring query a densify pipeline runs to decide WHERE
+    // interpolation is even defensible.
+    "t10_gap_report" -> Q(
+      (s, dir) => {
+        val minuteIdx = expr(
+          "CAST((rounded_time_id div 10000) * 60 + (rounded_time_id div 100) % 100 AS INT)")
+        val w = Window
+          .partitionBy(col("source_id"), col("side_id"), col("date_id"))
+          .orderBy(col("m"))
+        GoldModel.factDensifyInput(Tables.events(s, dir))
+          .select(col("source_id"), col("side_id"), col("date_id"),
+            minuteIdx.as("m"))
+          .distinct()
+          .withColumn("gap", col("m") - lag(col("m"), 1).over(w))
+          .groupBy(col("source_id"), col("side_id"), col("date_id"))
+          .agg(
+            count(lit(1)).as("observed_minutes"),
+            (lit(1440) - count(lit(1))).as("missing_minutes"),
+            max(col("gap")).as("largest_gap"),
+            min(col("m")).as("first_minute"),
+            max(col("m")).as("last_minute"))
+          .orderBy(col("source_id"), col("side_id"), col("date_id"))
+      },
+      s"""WITH $FactDensifyCte,
+         |m AS (SELECT DISTINCT source_id, side_id, date_id,
+         |        CAST((rounded_time_id // 10000) * 60 + (rounded_time_id // 100) % 100 AS INT) AS m
+         |      FROM factd),
+         |g AS (SELECT *, m - lag(m) OVER (PARTITION BY source_id, side_id, date_id
+         |                                 ORDER BY m) AS gap
+         |      FROM m)
+         |SELECT source_id, side_id, date_id,
+         |  COUNT(*) AS observed_minutes,
+         |  1440 - COUNT(*) AS missing_minutes,
+         |  MAX(gap) AS largest_gap,
+         |  MIN(m) AS first_minute, MAX(m) AS last_minute
+         |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
     "t8_interp_sql" -> Q(
       (s, dir) =>
         Interpolate.densifySql(s,
