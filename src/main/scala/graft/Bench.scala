@@ -67,7 +67,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"sf":"$sfDir"}""")
+    val metricJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"sf":"$sfDir"}"""
+    // The metric JSON is the bench contract. With 90+ queries the line
+    // outgrew the harness's log-tail capture (r4's official total was
+    // lost to truncation), so it is persisted to its own file — the
+    // durable artifact — and printed as the first/only stdout line.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outFile, metricJson.getBytes("UTF-8"))
+    println(metricJson)
     spark.stop()
   }
 }
