@@ -109,24 +109,30 @@ object SortedWriter {
   def writeZOrdered(
       df: DataFrame, path: String, xCol: String, yCol: String,
       rowGroupBytes: Long = 32L * 1024 * 1024): Unit = {
-    val stats = df.agg(
-      min(col(xCol)).cast("double").as("xmin"),
-      max(col(xCol)).cast("double").as("xmax"),
-      min(col(yCol)).cast("double").as("ymin"),
-      max(col(yCol)).cast("double").as("ymax"))
-    def bucket(c: Column, lo: Column, hi: Column): Column =
-      when(hi > lo,
-        floor((c.cast("double") - lo) / (hi - lo) * 65535).cast("int"))
-        .otherwise(lit(0))
-    df.crossJoin(broadcast(stats))
-      .withColumn("__z", zvalue(
-        bucket(col(xCol), col("xmin"), col("xmax")),
-        bucket(col(yCol), col("ymin"), col("ymax"))))
-      .drop("xmin", "xmax", "ymin", "ymax")
+    // Bounds are collected on the driver (one 4-value row — at lake
+    // scale they'd come from table metadata) and inlined as literals:
+    // no stats cross-join, and no internal stat-column names that
+    // could collide with or shadow the user's schema.
+    val statsRow = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def bound(i: Int): Double =
+      if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
+    val (xmin, xmax, ymin, ymax) = (bound(0), bound(1), bound(2), bound(3))
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535).cast("int")
+      else lit(0)
+    // internal clustering column: name guaranteed absent from the schema
+    val zCol = Iterator.from(0).map(i => s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zCol, zvalue(
+        bucket(col(xCol), xmin, xmax),
+        bucket(col(yCol), ymin, ymax)))
       .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
-        col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+        col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
       .write
       .option("parquet.block.size", rowGroupBytes)
       .mode("overwrite")

@@ -25,6 +25,15 @@ object Skew {
   private def salt(discriminator: Column, buckets: Int): Column =
     pmod(hash(discriminator), lit(buckets))
 
+  /** Internal column name guaranteed absent from `taken`: a bare
+    * `"_salt"` would silently shadow (and then drop) a user column of
+    * the same name, making the salted result no longer row-identical
+    * to the direct plan. */
+  private def fresh(base: String, taken: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
   /** Salted sum/count/min/max of `valueCol` grouped by `keys`.
     * Output: keys ++ (sum_<v>, cnt_<v>, min_<v>, max_<v>) — identical
     * rows to the direct single-stage aggregation, by construction. */
@@ -32,21 +41,24 @@ object Skew {
       df: DataFrame, keys: Seq[String], valueCol: String,
       discriminator: Column, buckets: Int): DataFrame = {
     val v = col(valueCol)
+    val saltCol = fresh("_salt", df.columns)
+    val Seq(psum, pcnt, pmin, pmax) =
+      Seq("_psum", "_pcnt", "_pmin", "_pmax").map(fresh(_, keys))
     val partial = df
-      .withColumn("_salt", salt(discriminator, buckets))
-      .groupBy((keys :+ "_salt").map(col): _*)
+      .withColumn(saltCol, salt(discriminator, buckets))
+      .groupBy((keys :+ saltCol).map(col): _*)
       .agg(
-        sum(v.cast("decimal(28,10)")).as("_psum"),
-        count(v).as("_pcnt"),
-        min(v).as("_pmin"),
-        max(v).as("_pmax"))
+        sum(v.cast("decimal(28,10)")).as(psum),
+        count(v).as(pcnt),
+        min(v).as(pmin),
+        max(v).as(pmax))
     partial
       .groupBy(keys.map(col): _*)
       .agg(
-        sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
-        sum(col("_pcnt")).as(s"cnt_$valueCol"),
-        min(col("_pmin")).as(s"min_$valueCol"),
-        max(col("_pmax")).as(s"max_$valueCol"))
+        sum(col(psum)).cast("double").as(s"sum_$valueCol"),
+        sum(col(pcnt)).as(s"cnt_$valueCol"),
+        min(col(pmin)).as(s"min_$valueCol"),
+        max(col(pmax)).as(s"max_$valueCol"))
   }
 
   /** Salted equi-join for ONE pathologically hot key value.
@@ -74,13 +86,14 @@ object Skew {
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       discriminator: Column, buckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", salt(discriminator, buckets))
-    val replicated = small.withColumn("_salt",
+    val saltCol = fresh("_salt", big.columns ++ small.columns)
+    val saltedBig = big.withColumn(saltCol, salt(discriminator, buckets))
+    val replicated = small.withColumn(saltCol,
       explode(lit((0 until buckets).toArray)))
     saltedBig
       .join(replicated,
         saltedBig(bigKey) === replicated(smallKey) &&
-          saltedBig("_salt") === replicated("_salt"))
-      .drop("_salt")
+          saltedBig(saltCol) === replicated(saltCol))
+      .drop(saltCol)
   }
 }

@@ -97,9 +97,20 @@ object Top1WindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val aggOrFiltered: LogicalPlan =
       if (w.partitionSpec.isEmpty) Filter(IsNotNull(topAlias.toAttribute), agg)
       else agg
+    // The aliases keep the ORIGINAL attributes' exprIds, so operators
+    // above still hold AttributeReference copies with the original
+    // nullability. A bare GetStructField over the (nullable) min_by
+    // result is nullable — a latent mismatch for downstream rules when
+    // the original attribute was not. Non-null is sound here: with
+    // grouping keys every group holds ≥1 row so the argmax struct is
+    // never null, and the global case sits above the IsNotNull filter —
+    // so a non-nullable original's field is provably non-null, and
+    // KnownNotNull records that fact for the optimizer (no runtime
+    // check, unlike AssertNotNull).
     val fields = child.output.zipWithIndex.map { case (a, i) =>
-      Alias(GetStructField(topAlias.toAttribute, i, Some(a.name)), a.name)(
-        exprId = a.exprId, qualifier = a.qualifier)
+      val field = GetStructField(topAlias.toAttribute, i, Some(a.name))
+      val withNullability = if (a.nullable) field else KnownNotNull(field)
+      Alias(withNullability, a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }
     val rnOut = Alias(Literal(1), rnAlias.name)(
       exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)

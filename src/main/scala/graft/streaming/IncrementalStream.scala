@@ -1,6 +1,9 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import graft.ops.Incremental
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
@@ -72,21 +75,117 @@ object IncrementalStream {
     * and replay-idempotence relies on the replay overwriting a
     * partition that still holds — only — that batch's partial. Every
     * batch below the maximum is provably committed, because batch N
-    * only starts after N−1's commit. */
+    * only starts after N−1's commit.
+    *
+    * CRASH-SAFE, partition-scoped swap (the same manifest protocol as
+    * [[graft.io.Compaction]]): the fold is staged into a sibling
+    * dot-directory, a `_manifest.tmp` → `_manifest` rename inside
+    * staging is the commit point (listing exactly the folded
+    * `batch_id=` partitions), and only then are the superseded
+    * partition directories deleted and the staged `batch_id=-1` moved
+    * in. A crash before the commit leaves the log untouched (the next
+    * run discards the unvalidated staging); a crash after it is
+    * finished idempotently by the next run's recovery. Live partitions
+    * are never rewritten, so a micro-batch that commits WHILE the fold
+    * runs lands as a new `batch_id=` partition the manifest doesn't
+    * list and is never touched — compact is safe to run concurrently
+    * with an active [[stateSink]] stream (the one partition a replay
+    * may overwrite, the maximum batch, is excluded from the fold). */
   def compact(
       spark: SparkSession, stateDir: String, keys: Seq[String]): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    recover(fs, root) // finish/discard any interrupted swap first
     // partition-value inference reads batch_id back as INT — normalize
     val log = spark.read.parquet(stateDir)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val maxBatch = log.agg(max(col("batch_id"))).head().getLong(0)
-    val foldable = log.filter(col("batch_id") < maxBatch)
-    if (foldable.isEmpty) return // one live batch (or only -1): no-op
-    val staging = stateDir + "_compacted"
-    Incremental.merge(keys)(foldable.drop("batch_id"))
+    // bounded collect: one id per partition directory of the log
+    val ids = log.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (ids.isEmpty) return
+    val maxBatch = ids.max
+    val foldIds = ids.filter(_ < maxBatch)
+    // nothing beyond a previous fold (and the live batch): no-op
+    if (!foldIds.exists(_ >= 0)) return
+    val staging = stagingPath(root)
+    fs.delete(staging, true)
+    Incremental.merge(keys)(
+        log.filter(col("batch_id") < maxBatch).drop("batch_id"))
       .withColumn("batch_id", lit(-1L))
-      .unionByName(log.filter(col("batch_id") === maxBatch))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.partitionBy("batch_id").mode("overwrite").parquet(stateDir)
+      .write.partitionBy("batch_id").parquet(staging.toString)
+    // validate the staged fold before committing: exactly one row per
+    // key group of the folded partials
+    val expected = log.filter(col("batch_id") < maxBatch)
+      .select(keys.map(col): _*).distinct().count()
+    val staged = spark.read.parquet(staging.toString).count()
+    require(staged == expected,
+      s"incremental compaction staged $staged rows, expected $expected — aborting swap")
+    commitManifest(fs, staging, foldIds)
+    recover(fs, root) // the committed swap and its recovery are one path
+  }
+
+  private val StagingSuffix = "-compact-staging"
+  private val ManifestName = "_manifest"
+
+  /** Sibling dot-directory: invisible to any reader of the log itself
+    * and outside it, so the staging write never races the read. */
+  private def stagingPath(root: Path): Path =
+    new Path(root.getParent, "." + root.getName + StagingSuffix)
+
+  /** Finish or discard an interrupted swap (idempotent; no-op without a
+    * staging directory). After the manifest commit the staged fold is
+    * authoritative: delete whatever superseded `batch_id=` partitions
+    * remain, move the staged `batch_id=-1` in (unless a previous
+    * recovery already did), drop staging. Every FileSystem call is
+    * checked — an unchecked false here would lose the only copy. */
+  private def recover(fs: FileSystem, root: Path): Unit = {
+    val staging = stagingPath(root)
+    if (!fs.exists(staging)) return
+    val manifest = new Path(staging, ManifestName)
+    if (!fs.exists(manifest)) {
+      // crash before the commit point: log intact, staging unvalidated
+      fs.delete(staging, true)
+      return
+    }
+    val foldedIds: Seq[Long] = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toList
+      finally in.close()
+    }
+    // superseded real-batch partitions: their content lives in staging
+    foldedIds.filter(_ >= 0).foreach { id =>
+      val p = new Path(root, s"batch_id=$id")
+      if (fs.exists(p))
+        require(fs.delete(p, true),
+          s"incremental compaction recovery: could not delete superseded $p")
+    }
+    val stagedPart = new Path(staging, "batch_id=-1")
+    if (fs.exists(stagedPart)) {
+      // the staged fold supersedes any live batch_id=-1 (the old fold
+      // it absorbed); once the staged copy is moved, a re-run takes the
+      // else-branch and never touches the live partition again
+      val live = new Path(root, "batch_id=-1")
+      if (fs.exists(live))
+        require(fs.delete(live, true),
+          s"incremental compaction recovery: could not delete old fold $live")
+      require(fs.rename(stagedPart, live),
+        s"incremental compaction recovery: could not move $stagedPart into $root")
+    }
+    require(fs.delete(staging, true),
+      s"incremental compaction recovery: could not remove staging $staging")
+  }
+
+  /** Manifest commit: write under a temp name, atomically rename into
+    * place — a torn manifest can never be observed. */
+  private def commitManifest(
+      fs: FileSystem, staging: Path, foldedIds: Seq[Long]): Unit = {
+    val tmp = new Path(staging, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(foldedIds.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(staging, ManifestName)),
+      s"could not commit incremental compaction manifest in $staging")
   }
 }

@@ -89,4 +89,50 @@ class IncrementalSpec extends SparkTestBase {
     IncrementalStream.compact(spark, dir, keys)
     assert(current() === expected)
   }
+
+  test("interrupted compaction swap is recovered (or discarded) without losing state") {
+    import graft.streaming.IncrementalStream
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incr_crash").toString + "/state"
+    val slices = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      IncrementalStream.applyBatch(slice, i.toLong, keys, "value", root)
+    }
+    val expected = canon(Incremental.finalize(Incremental.state(ev, keys, "value")))
+    def current() = canon(Incremental.finalize(
+      IncrementalStream.readState(spark, root, keys)))
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val staging = new Path(
+      new Path(root).getParent, "." + new Path(root).getName + "-compact-staging")
+
+    // crash BEFORE the manifest commit: an unvalidated staging copy is
+    // junk — the next compact discards it and the log is untouched
+    fs.mkdirs(new Path(staging, "batch_id=-1"))
+    IncrementalStream.compact(spark, root, keys)
+    assert(!fs.exists(staging), "uncommitted staging was not discarded")
+    assert(current() === expected)
+
+    // crash AFTER the manifest commit, before the move: fabricate the
+    // exact mid-swap state by taking a completed fold apart — staged
+    // copy holds batch_id=-1, the live partition is gone, manifest
+    // lists the (already deleted) folded ids
+    assert(fs.rename(new Path(root, "batch_id=-1"),
+      new Path(staging, "batch_id=-1")))
+    val out = fs.create(new Path(staging, "_manifest"), true)
+    out.write("0\n1".getBytes("UTF-8")); out.close()
+    // a micro-batch that committed DURING the interrupted swap must
+    // survive recovery untouched (its id is not in the manifest)
+    IncrementalStream.applyBatch(slices(0), 7L, keys, "value", root)
+    IncrementalStream.compact(spark, root, keys) // recovery path
+    assert(!fs.exists(staging), "recovered staging was not removed")
+    assert(current() === canon(Incremental.finalize(Incremental.merge(keys)(
+      Incremental.state(ev, keys, "value"),
+      Incremental.state(slices(0), keys, "value")))),
+      "recovery lost a fold or the concurrent batch")
+  }
 }

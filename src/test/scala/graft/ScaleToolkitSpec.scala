@@ -241,6 +241,52 @@ class ScaleToolkitSpec extends SparkTestBase {
     assert(plan.contains("_salt"), s"salt column missing from the join plan:\n$plan")
   }
 
+  test("writeZOrdered tolerates user columns named like its internals") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_zcollide").toString
+    // xmin / __z0 used to be internal names — must survive as user data
+    val rows = (1 to 5000).map(i => (i.toLong, (i * 7 % 5000).toLong,
+      s"xmin_$i", i % 3)).toDF("x", "y", "xmin", "__z0")
+    graft.io.SortedWriter.writeZOrdered(
+      rows, s"$base/z", "x", "y", rowGroupBytes = 1L << 20)
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.columns.sorted.toSeq === Seq("__z0", "x", "xmin", "y"))
+    assert(back.count() === 5000)
+    assert(back.exceptAll(rows).isEmpty && rows.exceptAll(back).isEmpty,
+      "z-order write corrupted rows under colliding column names")
+  }
+
+  test("salted ops never shadow a user column named _salt") {
+    val s = spark
+    import s.implicits._
+    // the user's own `_salt` column must ride through the join intact —
+    // a fixed internal name would silently replace then drop it
+    val big = (1 to 1000).map(i => (i % 5L, i.toLong, s"u$i"))
+      .toDF("k", "payload", "_salt")
+    val dim = (0L to 4L).map(k => (k, s"name_$k")).toDF("dk", "name")
+    val salted = graft.ops.Skew
+      .saltedJoin(big, dim, "k", "dk", discriminator = col("payload"), buckets = 4)
+    assert(salted.columns.count(_ == "_salt") === 1,
+      "user _salt column was dropped or duplicated")
+    val direct = big.join(dim, col("k") === col("dk"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salted join with user _salt diverges from the direct join")
+    // and saltedStats stays correct when the GROUPING KEY collides with
+    // an internal partial-aggregate alias (and _salt is also taken)
+    val statsDf = big.withColumnRenamed("k", "_psum")
+    val stats = graft.ops.Skew.saltedStats(
+      statsDf, Seq("_psum"), "payload",
+      discriminator = col("payload"), buckets = 4)
+    val want = statsDf.groupBy("_psum").agg(
+      sum(col("payload").cast("double")).as("sum_payload"),
+      count(col("payload")).as("cnt_payload"),
+      min(col("payload")).as("min_payload"),
+      max(col("payload")).as("max_payload"))
+    assert(stats.exceptAll(want).isEmpty && want.exceptAll(stats).isEmpty,
+      "saltedStats diverges when internal names collide")
+  }
+
   test("parquet bloom filters skip row groups for point probes on unsorted columns") {
     // the third layout lever, complementing zone maps (sorted/z-order):
     // a point probe on a HIGH-CARDINALITY column in RANDOM order gets

@@ -167,4 +167,49 @@ class Top1RewriteSpec extends SparkTestBase {
     // default ASC = NULLS FIRST: the null-valued row is rank 1 in group a
     assert(out === Map("a" -> 2L, "b" -> 4L))
   }
+
+  test("rewrite preserves null-ordering semantics (DESC NULLS LAST skips nulls)") {
+    // the max_by mirror with actual nulls in the ordering key: default
+    // DESC = NULLS LAST, so the null-valued row must NOT win its group
+    val s = s2
+    import s.implicits._
+    val df = Seq(
+      ("a", Some(3.0), 1L), ("a", None, 2L), ("a", Some(1.0), 3L),
+      ("b", None, 4L), // group whose ONLY row is null-keyed still wins
+      ("c", Some(2.0), 5L), ("c", Some(7.0), 6L))
+      .toDF("g", "v", "id")
+    val q = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").desc)))
+      .filter(col("rn") === 1)
+      .select("g", "id")
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"),
+      "DESC top-1 was not rewritten")
+    val out = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 1L, "b" -> 4L, "c" -> 6L))
+  }
+
+  test("rewritten output preserves the original attributes' nullability") {
+    // operators above the rewritten Project still hold attribute copies
+    // with the ORIGINAL nullability; the rule must not widen a
+    // non-nullable column to nullable (KnownNotNull over the argmax
+    // struct field). event_id / event_type are non-nullable in the
+    // parquet-derived schema only if the source says so — so build an
+    // explicitly non-nullable frame instead.
+    val s = s2
+    import s.implicits._
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L))
+      .toDF("g", "v", "id") // Scala primitives: all non-nullable
+    val before = df.schema.map(f => f.name -> f.nullable).toMap
+    val q = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select("g", "v", "id")
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+    val after = q.schema.map(f => f.name -> f.nullable).toMap
+    assert(after === before,
+      s"rewrite changed nullability: $before -> $after")
+    assert(q.count() === 2)
+  }
 }
