@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the `documents` table (SURVEY.md
@@ -97,35 +98,168 @@ object Text {
     "round(stop_ratio * 0.3 + type_token_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3, 6)"
 
   /** Verified MinHash+LSH near-dup pairs (a_id < b_id, Jaccard ≥ 0.5) —
-    * shared by the pair query and the cluster query. Shingle sets ride
-    * along through the band join (same pattern as the simhash query):
-    * the pair row holds both sides' shingles, so no verification joins
-    * and ReuseExchange computes the corpus scan once for both band
-    * sides. */
+    * shared by the pair query and the cluster query. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOver(corpus(s, dir))
 
+  /** Per-band-bucket candidate cap (session-configurable). A real web
+    * corpus has degenerate buckets — millions of boilerplate-identical
+    * pages landing in one band bucket — and within-bucket pair
+    * generation is quadratic in bucket size. Exact duplicates are
+    * collapsed BEFORE banding (see below), which removes the identical
+    * case entirely; the cap bounds the residual near-identical case.
+    * Buckets at the cap drop candidates (approximate recall, like any
+    * production LSH dedup) — [[minhashBandDrops]] reports exactly how
+    * many, so the loss is measured, never silent. */
+  private[graft] def bandCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.bandCap").map(_.toInt).getOrElse(4096)
+
   /** The same pipeline over an explicit (doc_id, text) corpus — shared
     * with the ScaleCheck probe so scale measurements can never drift
-    * from the production query's band construction. */
-  private[graft] def minhashPairsOver(c: DataFrame): DataFrame = {
-    val bands = c
+    * from the production query's band construction.
+    *
+    * Scale hardening (the three degenerate-bucket defenses, in order):
+    *  1. EXACT-COLLAPSE: identical texts form one class keyed by
+    *     md5(text); only the class representative (min doc_id) enters
+    *     band construction, so a million identical documents cost one
+    *     band row instead of a quadratic bucket. Doc-level pairs are
+    *     re-expanded from the class map afterwards (intra-class pairs
+    *     have Jaccard exactly 1.0 — identical shingle sets — and
+    *     cross-class pairs inherit their representatives' Jaccard,
+    *     making the expansion value-identical to the naive all-docs
+    *     self-join).
+    *  2. COMPACT SHUFFLE: the band self-join carries (rep_id, bkey)
+    *     only — the raw shingle arrays stay OUT of the band exchange
+    *     and are joined back by rep_id once per side for verification.
+    *  3. PER-BAND CAP: buckets larger than [[bandCap]] keep their
+    *     first `cap` members (deterministic rep_id order, so reruns
+    *     and the oracle agree below the cap); the dropped-candidate
+    *     count is queryable via [[minhashBandDrops]]. */
+  private[graft] def minhashPairsOver(c: DataFrame): DataFrame =
+    expandPairs(c, sigFrame(c).select("rep_id"), minhashRepPairsOver(c), lit(1.0))
+
+  /** Representative-level signature frame: one row per exact-text
+    * class, with shingle set and minhash — the input to band
+    * construction and verification. */
+  private def sigFrame(c: DataFrame): DataFrame =
+    exactClasses(c)
       .withColumn("t", split(col("text"), " "))
       .withColumn("sh", TextHash.shingleSet(col("t"), 3))
       .withColumn("mh", TextHash.minhash(col("sh"), 8))
       .filter(col("mh").isNotNull)
-      .withColumn("bkey", explode(expr(
-        "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
-      .select("doc_id", "sh", "bkey")
+
+  /** Verified near-dup pairs BETWEEN exact-text classes (ra < rb,
+    * Jaccard ≥ 0.5) — the bounded-size graph that cluster assembly
+    * consumes directly (see [[minhashClustersOver]]): its node count is
+    * the number of DISTINCT texts, immune to the
+    * million-identical-documents corpus. */
+  private[graft] def minhashRepPairsOver(c: DataFrame): DataFrame = {
+    val cap = bandCap(c.sparkSession)
+    val sigs = sigFrame(c)
+    val bands = bandRows(sigs, cap)
     bands.as("a")
       .join(bands.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+        col("a.bkey") === col("b.bkey") && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
       .distinct()
+      .join(sigs.select(col("rep_id").as("ra"), col("sh").as("sa")), "ra")
+      .join(sigs.select(col("rep_id").as("rb"), col("sh").as("sb")), "rb")
       .withColumn("jaccard", TextHash.jaccardSim(col("sa"), col("sb")))
       .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
+      .select("ra", "rb", "jaccard")
+  }
+
+  /** Duplicate clusters assembled WITHOUT ever materializing the
+    * doc-level pair set: connected components run on the
+    * class-representative graph (distinct-text-sized), then the class
+    * map carries each member to its component. The cluster id — min doc_id
+    * reachable in the doc-level graph — equals the rep-level component
+    * id exactly, because each representative IS its class's minimum
+    * doc_id and Components labels by minimum. On a corpus of a million
+    * identical documents the doc-level edge set is ~5·10¹¹ pairs; this
+    * path touches one class row and a million membership rows. */
+  private[graft] def minhashClustersOver(c: DataFrame): DataFrame = {
+    val repComp = graft.ops.Components.connectedComponents(
+      minhashRepPairsOver(c)
+        .select(col("ra").as("src"), col("rb").as("dst")))
+    val members = classMembers(c)
+    // multi-member classes that banded but have no cross-class pair
+    // still form a cluster of their own (their docs pair intra-class)
+    val isolatedMulti = members.groupBy("rep_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .join(sigFrame(c).select("rep_id"), "rep_id")
+      .join(repComp.select(col("node").as("rep_id")), Seq("rep_id"), "left_anti")
+      .select(col("rep_id").as("node"), col("rep_id").as("component"))
+    members
+      .join(repComp.unionByName(isolatedMulti)
+        .withColumnRenamed("node", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** Exact-duplicate classes of a (doc_id, text) corpus: one row per
+    * distinct text, keyed by its minimum doc_id. `first(text)` is
+    * deterministic here — every row in a class carries the identical
+    * text. */
+  private def exactClasses(c: DataFrame): DataFrame =
+    c.withColumn("ek", md5(col("text")))
+      .groupBy("ek")
+      .agg(min("doc_id").as("rep_id"), first("text").as("text"))
+      .drop("ek")
+
+  /** (doc_id → rep_id) class membership map. */
+  private def classMembers(c: DataFrame): DataFrame =
+    c.withColumn("ek", md5(col("text")))
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ek")))
+      .select("doc_id", "rep_id")
+
+  /** Band rows (rep_id, bkey) of the signature frame, capped per
+    * bucket. The row_number runs on the band-key exchange the self-join
+    * needs anyway — no extra shuffle. */
+  private def bandRows(sigs: DataFrame, cap: Int): DataFrame =
+    sigs
+      .withColumn("bkey", explode(expr(
+        "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
+      .select("rep_id", "bkey")
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy("bkey").orderBy("rep_id")))
+      .filter(col("_rnk") <= cap)
+      .drop("_rnk")
+
+  /** Expand representative-level pairs back to document-level pairs:
+    * cross-class pairs inherit the representatives' similarity;
+    * intra-class pairs (only classes that actually banded — `reps`)
+    * get `selfSim` (exactly 1.0 for identical shingle sets). */
+  private def expandPairs(
+      c: DataFrame, reps: DataFrame, repPairs: DataFrame,
+      selfSim: org.apache.spark.sql.Column): DataFrame = {
+    val members = classMembers(c)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("jaccard"))
+    val intra = members.join(reps, "rep_id").as("a")
+      .join(members.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        selfSim.as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Dropped-candidate report for [[minhashPairsOver]]'s per-band cap:
+    * one row per overflowing bucket is aggregated to (overflow_buckets,
+    * dropped_members). Empty on any corpus whose buckets fit the cap —
+    * i.e. capping provably changed nothing. */
+  private[graft] def minhashBandDrops(c: DataFrame): DataFrame = {
+    val cap = bandCap(c.sparkSession)
+    sigFrame(c)
+      .withColumn("bkey", explode(expr(
+        "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
+      .groupBy("bkey").count()
+      .filter(col("count") > cap)
+      .agg(count(lit(1)).as("overflow_buckets"),
+        sum(col("count") - cap).as("dropped_members"))
+      .filter(col("overflow_buckets") > 0)
   }
 
   /** DuckDB CTE chain producing the same verified pairs as
@@ -367,14 +501,15 @@ object Text {
     // an undirected graph; connected components (ops/Components,
     // iterative min-label propagation) turn them into duplicate
     // clusters — (doc_id, cluster_id = min reachable doc_id), the form a
-    // curation pipeline consumes (keep min id, drop the rest). Oracle:
-    // recursive-CTE transitive closure over the same pairs.
+    // curation pipeline consumes (keep min id, drop the rest). Runs on
+    // the CLASS-REPRESENTATIVE graph (minhashClustersOver): the
+    // doc-level pair set is never materialized, so a corpus dominated
+    // by identical documents costs membership rows, not pair rows.
+    // Oracle: recursive-CTE transitive closure over the doc-level pairs
+    // — value-identical by the rep-is-minimum argument in the Scaladoc.
     "x_dedup_clusters" -> Q(
       (s, dir) =>
-        graft.ops.Components.connectedComponents(
-            minhashPairs(s, dir)
-              .select(col("a_id").as("src"), col("b_id").as("dst")))
-          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        minhashClustersOver(corpus(s, dir))
           .orderBy("doc_id"),
       s"""WITH RECURSIVE $minhashPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsj
@@ -442,10 +577,7 @@ object Text {
             expr(StopRatioSpark).as("stop_ratio"),
             expr(TypeTokenSpark).as("type_token_ratio"))
           .withColumn("quality_score", expr(QualityScore))
-        val clusters = graft.ops.Components.connectedComponents(
-            minhashPairs(s, dir)
-              .select(col("a_id").as("src"), col("b_id").as("dst")))
-          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val clusters = minhashClustersOver(corpus(s, dir))
         feats.join(clusters, Seq("doc_id"), "left")
           .withColumn("is_canonical",
             col("cluster_id").isNull || col("cluster_id") === col("doc_id"))

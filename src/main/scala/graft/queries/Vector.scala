@@ -85,17 +85,113 @@ object Vector {
       |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
 
   /** Verified near-dup pairs (a_id < b_id, cosine ≥ threshold) —
-    * shared by the pair listing and the cluster assembly. */
-  private def embedPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = corpusE(s, dir)
-      .select(col("vec_id"), col("embedding"),
+    * shared by the pair listing and the cluster assembly.
+    *
+    * Scale hardening, mirroring Text.minhashPairsOver's three
+    * degenerate-bucket defenses: (1) bit-identical embeddings collapse
+    * to one class representative before bucketing, so a corpus of
+    * mostly-identical vectors never builds a quadratic bucket;
+    * (2) the signature self-join shuffles (rep_id, sig) only — the
+    * embedding arrays are joined back by rep_id for the cosine
+    * verification, not carried through the bucket exchange; (3) buckets
+    * larger than spark.graft.dedup.bandCap are capped in deterministic
+    * rep_id order ([[embedBucketDrops]] reports what a cap dropped).
+    * Doc-level pairs re-expand from the class map: cross-class pairs
+    * inherit their representatives' cosine (identical arrays ⇒
+    * identical value), intra-class pairs compute cosine(v, v)
+    * numerically — NOT a literal 1.0 — so the sqrt round-trip matches
+    * the oracle's per-pair arithmetic bit-for-bit. */
+  /** Representative-level signature frame: one row per distinct
+    * embedding, keyed by its minimum vec_id. */
+  private def sigFrameE(c: DataFrame): DataFrame =
+    c.groupBy(col("embedding")).agg(min("vec_id").as("rep_id"))
+      .select(col("rep_id"), col("embedding"),
         VectorOps.sig(col("embedding"), Bits).as("sig"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+
+  /** (vec_id → rep_id) exact-embedding class membership. */
+  private def classMembersE(c: DataFrame): DataFrame =
+    c.withColumn("rep_id", min("vec_id").over(Window.partitionBy("embedding")))
+      .select("vec_id", "rep_id")
+
+  /** Verified near-dup pairs BETWEEN exact-embedding classes (ra < rb,
+    * cosine ≥ threshold) — the distinct-vector-sized graph cluster
+    * assembly consumes directly. */
+  private def embedRepPairs(c: DataFrame): DataFrame = {
+    val cap = Text.bandCap(c.sparkSession)
+    val sigs = sigFrameE(c)
+    val buckets = sigs.select("rep_id", "sig")
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy("sig").orderBy("rep_id")))
+      .filter(col("_rnk") <= cap)
+      .drop("_rnk")
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.sig") === col("b.sig") && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
+      .join(sigs.select(col("rep_id").as("ra"), col("embedding").as("ea")), "ra")
+      .join(sigs.select(col("rep_id").as("rb"), col("embedding").as("eb")), "rb")
+      .select(col("ra"), col("rb"),
+        VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
+  }
+
+  private def embedPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = corpusE(s, dir)
+    val members = classMembersE(c)
+    val cross = embedRepPairs(c)
+      .join(members.select(col("rep_id").as("ra"), col("vec_id").as("da")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("vec_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("cosine"))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.rep_id").as("rep_id"))
+      .join(sigFrameE(c).select(col("rep_id"),
+        VectorOps.cosine(col("embedding"), col("embedding")).as("cosine")), "rep_id")
+      .filter(col("cosine") >= NearDupThreshold)
+      .select("a_id", "b_id", "cosine")
+    cross.unionByName(intra)
+  }
+
+  /** Semantic-dedup clusters on the class-representative graph — the
+    * mirror of Text.minhashClustersOver: the vec-level pair set is
+    * never materialized; cluster_id (min vec_id reachable) equals the
+    * rep-level component id because each representative is its class
+    * minimum and Components labels by minimum. Intra-class edges only
+    * exist where cosine(v, v) passes the threshold (it is NaN for the
+    * zero vector), so the multi-member guard applies the same test. */
+  private def embedClusters(c: DataFrame): DataFrame = {
+    val repComp = graft.ops.Components.connectedComponents(
+      embedRepPairs(c)
+        .select(col("ra").as("src"), col("rb").as("dst")))
+    val members = classMembersE(c)
+    val selfPaired = sigFrameE(c)
+      .filter(VectorOps.cosine(col("embedding"), col("embedding")) >= NearDupThreshold)
+      .select("rep_id")
+    val isolatedMulti = members.groupBy("rep_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .join(selfPaired, "rep_id")
+      .join(repComp.select(col("node").as("rep_id")), Seq("rep_id"), "left_anti")
+      .select(col("rep_id").as("node"), col("rep_id").as("component"))
+    members
+      .join(repComp.unionByName(isolatedMulti)
+        .withColumnRenamed("node", "rep_id"), "rep_id")
+      .select(col("vec_id"), col("component").as("cluster_id"))
+  }
+
+  /** Dropped-candidate report for [[embedPairs]]'s bucket cap — empty
+    * when capping changed nothing (every bucket fit). */
+  private[graft] def embedBucketDrops(s: SparkSession, dir: String): DataFrame = {
+    val cap = Text.bandCap(s)
+    corpusE(s, dir).groupBy(col("embedding")).agg(min("vec_id").as("rep_id"))
+      .select(VectorOps.sig(col("embedding"), Bits).as("sig"))
+      .groupBy("sig").count()
+      .filter(col("count") > cap)
+      .agg(count(lit(1)).as("overflow_buckets"),
+        sum(col("count") - cap).as("dropped_members"))
+      .filter(col("overflow_buckets") > 0)
   }
 
   /** DuckDB CTE chain producing the same verified pairs as
@@ -266,10 +362,7 @@ object Vector {
     // transitive closure over the same verified pairs.
     "x_dedup_semantic" -> Q(
       (s, dir) =>
-        graft.ops.Components.connectedComponents(
-            embedPairs(s, dir)
-              .select(col("a_id").as("src"), col("b_id").as("dst")))
-          .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+        embedClusters(corpusE(s, dir))
           .orderBy("vec_id"),
       s"""WITH RECURSIVE $EmbedPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairse

@@ -96,6 +96,42 @@ object ScaleCheck {
       val (to, nb) = time { ohlcBars(moreDates(m)).queryExecution.toRdd.count() }
       println(f"$m%4d  $td%10.2f  $n%12d  $tr%9.2f  $tx%8.2f  $np%8d  $to%7.2f  $nb%8d")
     }
+
+    // ---- adversarial corpora: the degenerate-bucket defenses --------
+    // (a) a MILLION IDENTICAL documents. Pre-hardening this built one
+    // band bucket of 10⁶ members and a ~5·10¹¹-pair join; now the
+    // corpus collapses to ONE exact-text class before banding, so
+    // candidate generation touches one band row and cluster assembly
+    // touches membership rows only. The probe runs the PRODUCTION
+    // pipeline (queries/Text) — linear seconds, or the defense failed.
+    {
+      import org.apache.spark.sql.functions.{concat_ws, lit => flit}
+      val n = 1 << 20
+      val identical = spark.range(1, n + 1)
+        .select(col("id").as("doc_id"),
+          flit("the same boilerplate page text repeated verbatim across every mirror of this site").as("text"))
+      val (trp, nrp) = time {
+        graft.queries.Text.minhashRepPairsOver(identical).queryExecution.toRdd.count() }
+      val (tcl, ncl) = time {
+        graft.queries.Text.minhashClustersOver(identical).queryExecution.toRdd.count() }
+      println(f"adversarial identical-docs n=$n%d: rep_pairs=$nrp%d in $trp%.2fs, clusters=$ncl%d in $tcl%.2fs")
+
+      // (b) NEAR-identical boilerplate (all distinct classes, shared
+      // band buckets): the per-band cap bounds the candidate join, and
+      // the dropped-candidate count is reported, not silent.
+      spark.conf.set("spark.graft.dedup.bandCap", "256")
+      val nearIdentical = spark.range(1, 20001)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            flit("shared boilerplate tokens fill this synthetic page body end to end while"),
+            concat_ws("", flit("variant"), col("id").cast("string"))).as("text"))
+      val (tnp, nnp) = time {
+        graft.queries.Text.minhashRepPairsOver(nearIdentical).queryExecution.toRdd.count() }
+      val drops = graft.queries.Text.minhashBandDrops(nearIdentical).collect()
+      val dropped = if (drops.isEmpty) 0L else drops.head.getLong(1)
+      println(f"adversarial near-identical n=20000 cap=256: rep_pairs=$nnp%d in $tnp%.2fs, dropped_members=$dropped%d")
+      spark.conf.unset("spark.graft.dedup.bandCap")
+    }
     spark.stop()
   }
 }
