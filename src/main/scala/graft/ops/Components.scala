@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    driver. Near-dup edge lists are corpus-tiny by construction — LSH
   *    banding emits pairs only for colliding documents, a vanishing
   *    fraction of a deduplicated corpus — so even a 100 TB run's pair
-  *    list usually fits in driver memory (2²¹ edges ≈ 32 MB of longs).
+  *    list usually fits in driver memory. The cutover is BYTES-aware:
+  *    by default it spends at most 1/16 of the driver's max heap on
+  *    collected edges (at a pessimistic 96 B per boxed edge tuple),
+  *    overridable via [[LocalEdgeBudgetBytesKey]] — a fixed edge COUNT
+  *    would OOM a small driver and waste a big one.
   *    One Spark job (an early-stopping `limit` collect), zero shuffles,
   *    zero iterations — versus 3+ scheduled rounds of join+agg jobs
   *    whose fixed overhead dwarfs the work at this size.
@@ -46,18 +50,55 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Session conf key bounding the DRIVER HEAP the union-find path may
+    * spend on collected edges, in bytes. The edge-count threshold is
+    * derived from it, so the cutover scales with the memory actually
+    * available instead of a fixed 2²¹ count that could overwhelm a
+    * small driver or waste a big one. */
+  val LocalEdgeBudgetBytesKey = "spark.graft.components.localEdgeBudgetBytes"
+
+  /** On-heap cost of one collected edge: a boxed (Long,Long) Tuple2
+    * (~56 B) plus union-find hash-map entry slack. Deliberately
+    * pessimistic — underestimating here is what causes driver OOMs. */
+  private val EdgeHeapBytes = 96L
+
+  /** Edge-count cutover derived from the byte budget: conf value if
+    * set, else 1/16 of the driver's max heap. Capped at 2²⁴ edges —
+    * past that the distributed loop's fixed overhead is already
+    * amortized, so there is no reason to strain the driver. */
+  private[graft] def resolvedLocalEdgeThreshold(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val budgetBytes = spark.conf
+      .getOption(LocalEdgeBudgetBytesKey)
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 16)
+    math.min(math.max(budgetBytes / EdgeHeapBytes, 0L), (1 << 24).toLong).toInt
+  }
+
   /** @param edges DataFrame with two long columns `src`, `dst`
     *              (undirected; direction and duplicates don't matter)
     * @param localEdgeThreshold edge count at or below which the
-    *              driver-side union-find path runs (set 0 to force the
-    *              distributed loop)
+    *              driver-side union-find path runs; 0 forces the
+    *              distributed loop, negative (the default) derives the
+    *              threshold from [[LocalEdgeBudgetBytesKey]] / driver heap
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
       edges: DataFrame, maxIter: Int = 50,
-      localEdgeThreshold: Int = 1 << 21): DataFrame = {
+      localEdgeThreshold: Int = -1): DataFrame =
+    connectedComponentsImpl(edges, maxIter, localEdgeThreshold)._1
+
+  /** Same as [[connectedComponents]] but also reports which path ran
+    * ("local" | "distributed") so specs can pin the cutover boundary. */
+  private[graft] def connectedComponentsImpl(
+      edges: DataFrame, maxIter: Int = 50,
+      localEdgeThreshold: Int = -1): (DataFrame, String) = {
     val spark = edges.sparkSession
     import spark.implicits._
+
+    val threshold =
+      if (localEdgeThreshold >= 0) localEdgeThreshold
+      else resolvedLocalEdgeThreshold(spark)
 
     // Null endpoints are dropped up front on BOTH paths: a null id is
     // not a node, and leaving them in would make the paths diverge
@@ -66,16 +107,16 @@ object Components {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .na.drop(Seq("src", "dst"))
 
-    if (localEdgeThreshold > 0) {
+    if (threshold > 0) {
       // early-stopping probe: collects at most threshold+1 rows, so a
       // billion-edge graph pays one truncated scan, not a full collect
       val probe = clean
-        .limit(localEdgeThreshold + 1)
+        .limit(threshold + 1)
         .as[(Long, Long)].collect()
-      if (probe.length <= localEdgeThreshold)
-        return unionFindLocal(spark, probe)
+      if (probe.length <= threshold)
+        return (unionFindLocal(spark, probe), "local")
     }
-    propagateDistributed(clean, maxIter)
+    (propagateDistributed(clean, maxIter), "distributed")
   }
 
   /** Path-compressed union-find with union-by-min: the component root is

@@ -112,4 +112,41 @@ class ComponentsSpec extends SparkTestBase {
     val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
     assert(Components.connectedComponents(empty).count() == 0L)
   }
+
+  test("path cutover sits exactly at the edge threshold — threshold±1") {
+    // 10 edges: at threshold 10 the probe fits and union-find runs; at
+    // threshold 9 the probe overflows and the distributed loop runs.
+    // Both must produce the oracle labeling.
+    val edges = (0L until 10L).map(i => (i, i + 1L))
+    val expected = unionFind(edges)
+    for ((threshold, wantPath) <- Seq(10 -> "local", 9 -> "distributed")) {
+      val (df, path) = Components.connectedComponentsImpl(
+        edges.toDF("src", "dst"), localEdgeThreshold = threshold)
+      assert(path == wantPath, s"threshold $threshold")
+      assert(df.as[(Long, Long)].collect().toMap == expected)
+    }
+  }
+
+  test("default threshold derives from the byte-budget conf") {
+    // 96 B per edge: a 960 B budget admits exactly 10 edges; 864 B
+    // admits only 9 — the same ±1 boundary, driven through the conf.
+    val edges = (0L until 10L).map(i => (i, i + 1L))
+    val expected = unionFind(edges)
+    try {
+      for ((budget, wantPath) <- Seq(960L -> "local", 864L -> "distributed")) {
+        spark.conf.set(Components.LocalEdgeBudgetBytesKey, budget.toString)
+        assert(Components.resolvedLocalEdgeThreshold(spark) == (budget / 96L).toInt)
+        val (df, path) = Components.connectedComponentsImpl(edges.toDF("src", "dst"))
+        assert(path == wantPath, s"budget $budget")
+        assert(df.as[(Long, Long)].collect().toMap == expected)
+      }
+    } finally spark.conf.unset(Components.LocalEdgeBudgetBytesKey)
+  }
+
+  test("unset budget falls back to a heap fraction, capped at 2^24") {
+    val t = Components.resolvedLocalEdgeThreshold(spark)
+    val uncapped = Runtime.getRuntime.maxMemory() / 16 / 96L
+    assert(t == math.min(uncapped, (1L << 24)).toInt)
+    assert(t > 0)
+  }
 }
