@@ -269,6 +269,68 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // Multi-probe LSH ANN: same 8-bit hyperplane signature index as
+    // x_ann_lsh, but each query probes its own bucket PLUS every bucket
+    // at Hamming distance 1 and 2 (8 single-bit + 28 double-bit flips =
+    // 37 probes of the 256 buckets). Multi-probe is the standard
+    // recall-vs-cost knob for signature LSH: neighbors whose hyperplane
+    // side flipped on one or two planes — the dominant miss mode of the
+    // single-probe variant — are recovered without adding hash tables
+    // or re-indexing. Scale shape is unchanged: the probe set is a
+    // 37×|queries| broadcast, candidates join on the signature (the
+    // only shuffle key), and exact cosine re-scores inside the probed
+    // buckets. Probe signatures are pairwise distinct, so each
+    // (query, candidate) pair surfaces at most once — no distinct
+    // needed before ranking. AnnSpec pins recall@5 vs x_ann_brute for
+    // this and the single-probe variant, and asserts multi-probe ≥
+    // single-probe.
+    "x_ann_lsh_mp" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.sig(col("embedding"), Bits).as("sig"))
+        val probeSigs = expr(
+          s"""concat(
+             |  array(sig),
+             |  transform(sequence(0, ${Bits - 1}),
+             |    h -> sig ^ shiftleft(CAST(1 AS BIGINT), h)),
+             |  flatten(transform(sequence(0, ${Bits - 2}), i ->
+             |    transform(sequence(i + 1, ${Bits - 1}),
+             |      j -> sig ^ shiftleft(CAST(1 AS BIGINT), i)
+             |             ^ shiftleft(CAST(1 AS BIGINT), j)))))""".stripMargin)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(probeSigs).as("sig"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(q), Seq("sig"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH es AS (SELECT vec_id, embedding, ${dSig("embedding")} AS sig FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, sig FROM es WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, q_emb,
+         |         unnest([sig]
+         |           || list_transform(range(0, $Bits), h -> xor(sig, CAST(1 AS BIGINT) << h))
+         |           || flatten(list_transform(range(0, ${Bits - 1}), i ->
+         |                list_transform(range(i + 1, $Bits),
+         |                  j -> xor(xor(sig, CAST(1 AS BIGINT) << i), CAST(1 AS BIGINT) << j))))) AS sig
+         |  FROM q),
+         |sc AS (
+         |  SELECT p.q_id, e.vec_id, ${dCos("p.q_emb", "e.embedding")} AS cosine
+         |  FROM es e JOIN probes p ON e.sig = p.sig
+         |  WHERE e.vec_id != p.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
+
     // IVF (inverted-file) ANN: the second scale path, structurally
     // different from LSH — a coarse quantizer partitions the corpus
     // into cells (argmax-cosine assignment against a fixed centroid
