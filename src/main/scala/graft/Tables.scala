@@ -23,16 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as a
-    * raw long and truncate to microseconds with integer division —
-    * exactly what DuckDB's reader does, so oracle comparisons stay
-    * bit-identical. (A double division here would lose precision:
-    * epoch-nanos ≈ 1.7e18 > 2^53.) */
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (loads as raw `LongType`
+    * nanos under `nanosAsLong`, which we truncate to micros with
+    * integer division — a double division would lose precision:
+    * epoch-nanos ≈ 1.7e18 > 2^53) and parquet `timestamp[us]` with no
+    * timezone (loads as `TIMESTAMP_NTZ`). The reference's extract reads
+    * whatever the source column is (reference
+    * dags/etl/fact_gold_price.py:52-71), so this reader dispatches on
+    * the LOADED schema instead of assuming one encoding. The session
+    * timezone is pinned to UTC everywhere (Verify/Bench/specs), so the
+    * NTZ→session-zone cast is value-preserving and downstream Tehran
+    * keying (`from_utc_timestamp` in GoldModel) is unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-zone timestamp
+    }
   }
   /** Round-robin repartition a small scan to the session's parallelism.
     * A parquet file is splittable only at row-group boundaries, so a
