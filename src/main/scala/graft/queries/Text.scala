@@ -140,13 +140,19 @@ object Text {
 
   /** Representative-level signature frame: one row per exact-text
     * class, with shingle set and minhash — the input to band
-    * construction and verification. */
+    * construction and verification. Materialized via [[graft.ops.PlanCache]]:
+    * this subtree appears up to 5× per query DAG (band self-join sides,
+    * two verification join-backs, the reps filter) with different
+    * column pruning per use, so Catalyst cannot merge the copies — the
+    * collapse + shingling + minhash would otherwise run once per
+    * reference. */
   private def sigFrame(c: DataFrame): DataFrame =
-    exactClasses(c)
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("sh", TextHash.shingleSet(col("t"), 3))
-      .withColumn("mh", TextHash.minhash(col("sh"), 8))
-      .filter(col("mh").isNotNull)
+    graft.ops.PlanCache.materialized(
+      exactClasses(c)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+        .withColumn("mh", TextHash.minhash(col("sh"), 8))
+        .filter(col("mh").isNotNull))
 
   /** Verified near-dup pairs BETWEEN exact-text classes (ra < rb,
     * Jaccard ≥ 0.5) — the bounded-size graph that cluster assembly
@@ -206,11 +212,15 @@ object Text {
       .agg(min("doc_id").as("rep_id"), first("text").as("text"))
       .drop("ek")
 
-  /** (doc_id → rep_id) class membership map. */
+  /** (doc_id → rep_id) class membership map. Materialized
+    * ([[graft.ops.PlanCache]]): referenced 4× by [[expandPairs]] and
+    * again by cluster assembly — without it the md5 + window pass over
+    * the full corpus repeats per reference. */
   private def classMembers(c: DataFrame): DataFrame =
-    c.withColumn("ek", md5(col("text")))
-      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ek")))
-      .select("doc_id", "rep_id")
+    graft.ops.PlanCache.materialized(
+      c.withColumn("ek", md5(col("text")))
+        .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ek")))
+        .select("doc_id", "rep_id"))
 
   /** Band rows (rep_id, bkey) of the signature frame, capped per
     * bucket. The row_number runs on the band-key exchange the self-join

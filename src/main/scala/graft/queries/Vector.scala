@@ -104,14 +104,17 @@ object Vector {
   /** Representative-level signature frame: one row per distinct
     * embedding, keyed by its minimum vec_id. */
   private def sigFrameE(c: DataFrame): DataFrame =
-    c.groupBy(col("embedding")).agg(min("vec_id").as("rep_id"))
-      .select(col("rep_id"), col("embedding"),
-        VectorOps.sig(col("embedding"), Bits).as("sig"))
+    graft.ops.PlanCache.materialized(
+      c.groupBy(col("embedding")).agg(min("vec_id").as("rep_id"))
+        .select(col("rep_id"), col("embedding"),
+          VectorOps.sig(col("embedding"), Bits).as("sig")))
 
-  /** (vec_id → rep_id) exact-embedding class membership. */
+  /** (vec_id → rep_id) exact-embedding class membership — materialized
+    * like the Text mirror (multiple references per query DAG). */
   private def classMembersE(c: DataFrame): DataFrame =
-    c.withColumn("rep_id", min("vec_id").over(Window.partitionBy("embedding")))
-      .select("vec_id", "rep_id")
+    graft.ops.PlanCache.materialized(
+      c.withColumn("rep_id", min("vec_id").over(Window.partitionBy("embedding")))
+        .select("vec_id", "rep_id"))
 
   /** Verified near-dup pairs BETWEEN exact-embedding classes (ra < rb,
     * cosine ≥ threshold) — the distinct-vector-sized graph cluster
@@ -281,9 +284,10 @@ object Vector {
     // only shuffle key), and exact cosine re-scores inside the probed
     // buckets. Probe signatures are pairwise distinct, so each
     // (query, candidate) pair surfaces at most once — no distinct
-    // needed before ranking. AnnSpec pins recall@5 vs x_ann_brute for
-    // this and the single-probe variant, and asserts multi-probe ≥
-    // single-probe.
+    // needed before ranking. AnnSpec pins recall vs x_ann_brute at
+    // sf0.1 — recall@5 for this variant, recall@3 for the single-probe
+    // variant (which emits top-3) — and asserts multi-probe ≥
+    // single-probe at matched k=3.
     "x_ann_lsh_mp" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
