@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Recall of the approximate-nearest-neighbor queries against the exact
+  * brute-force baseline, at sf0.1 (2000 vectors, 8 queries).
+  *
+  * The CORRECTNESS oracle only proves engine parity (Spark == DuckDB on
+  * the same approximate plan); it would pass even if a probe-generation
+  * typo silently collapsed multi-probe to single-probe. This spec pins
+  * the QUALITY claim: recall@k against x_ann_brute, with multi-probe ≥
+  * single-probe at matched k — the entire point of probing Hamming-1/2
+  * neighbor buckets.
+  *
+  * k per variant follows what each query emits: x_ann_lsh_mp returns
+  * top-5 (recall@5), x_ann_lsh returns top-3 (recall@3; its recall@5 is
+  * not computable from its registered output). Floors are pinned ~5pts
+  * under the measured sf0.1 values so a real regression trips the
+  * assert but re-generated fixtures with the same distribution don't.
+  */
+class AnnSpec extends SparkTestBase {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  /** (q_id, vec_id) result pairs of a registered query, rank-limited. */
+  private def hits(name: String, maxRnk: Int): Set[(Long, Long)] = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf01)
+    df.filter(df("rnk") <= maxRnk)
+      .select("q_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+  }
+
+  /** |approx ∩ exact| / |exact| — both sides already rank-limited. */
+  private def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+    approx.intersect(exact).size.toDouble / exact.size
+
+  test("multi-probe recall@5, single-probe recall@3, and mp >= sp at k=3") {
+    val brute5 = hits("x_ann_brute", 5)
+    val brute3 = hits("x_ann_brute", 3)
+    val mp5 = hits("x_ann_lsh_mp", 5)
+    val mp3 = hits("x_ann_lsh_mp", 3)
+    val sp3 = hits("x_ann_lsh", 3)
+
+    assert(brute5.size == 40, s"brute baseline must be full top-5: ${brute5.size}")
+
+    val mpRecall5 = recall(mp5, brute5)
+    val mpRecall3 = recall(mp3, brute3)
+    val spRecall3 = recall(sp3, brute3)
+    info(f"recall@5 mp=$mpRecall5%.3f  recall@3 mp=$mpRecall3%.3f sp=$spRecall3%.3f")
+
+    // Hamming-1/2 probing must not LOSE neighbors versus probing the
+    // query's own bucket only (the probe set is a superset).
+    assert(mpRecall3 >= spRecall3,
+      f"multi-probe recall@3 $mpRecall3%.3f < single-probe $spRecall3%.3f")
+    // Pinned floors (sf0.1 measured: mp@5=0.425, mp@3=0.375, sp@3=0.042
+    // — 8-bit signatures over 2000 vectors put ~8 vectors per bucket,
+    // so single-probe recall is tiny by design and gets no floor). A
+    // probe-generation bug (e.g. an XOR typo) collapses mp toward sp's
+    // ~0.04 and trips both floors.
+    assert(mpRecall5 >= 0.35, f"multi-probe recall@5 $mpRecall5%.3f below floor 0.35")
+    assert(mpRecall3 >= 0.25, f"multi-probe recall@3 $mpRecall3%.3f below floor 0.25")
+  }
+}
