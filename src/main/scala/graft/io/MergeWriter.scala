@@ -48,9 +48,28 @@ object MergeWriter {
     else col(partitionCol).isin(nonNull.toIndexedSeq: _*) || col(partitionCol).isNull
   }
 
+  /** Sort within tasks by (partitionCol, layout.sortCols): the leading
+    * partition column satisfies FileFormatWriter's required ordering,
+    * so the writer inserts no second (order-destroying) sort and the
+    * secondary sort survives into the files' row-group stats. */
+  private def laidOut(df: DataFrame, partitionCol: String, layout: Layout): DataFrame =
+    if (layout.sortCols.isEmpty) df
+    else df.sortWithinPartitions((partitionCol +: layout.sortCols).map(col): _*)
+
+  private def configured(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      layout: Layout) = {
+    val w1 = layout.rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b))
+    layout.bloomCols.foldLeft(w1) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", layout.bloomNdv.toString)
+    }
+  }
+
   def upsertPartitioned(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
-      key: String, version: String, partitionCol: String): Unit = {
+      key: String, version: String, partitionCol: String,
+      layout: Layout = Layout.none): Unit = {
     val exists = new java.io.File(targetDir).exists()
     val merged =
       if (!exists) incoming
@@ -62,10 +81,12 @@ object MergeWriter {
     // localCheckpoint truncates the lineage so the write no longer
     // references the path it reads (Spark rejects self-overwrite plans);
     // it also materializes the merged partitions exactly once.
-    merged.localCheckpoint(true)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+    configured(
+      laidOut(merged.localCheckpoint(true), partitionCol, layout)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic"),
+      layout)
       .partitionBy(partitionCol)
       .parquet(targetDir)
   }
@@ -92,17 +113,20 @@ object MergeWriter {
     * parameters, which makes that true by construction. */
   def replaceWindow(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
-      partitionCol: String, windowPred: org.apache.spark.sql.Column): Unit = {
+      partitionCol: String, windowPred: org.apache.spark.sql.Column,
+      layout: Layout = Layout.none): Unit = {
     val exists = new java.io.File(targetDir).exists()
     val merged =
       if (!exists) incoming
       else spark.read.parquet(targetDir)
         .filter(touchedPartitions(incoming, partitionCol) && !windowPred)
         .unionByName(incoming)
-    merged.localCheckpoint(true)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+    configured(
+      laidOut(merged.localCheckpoint(true), partitionCol, layout)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic"),
+      layout)
       .partitionBy(partitionCol)
       .parquet(targetDir)
   }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.io.MergeWriter
+import graft.io.{Compaction, Layout, MergeWriter}
 import graft.ops.{GoldModel, Interpolate, Validation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,12 +49,26 @@ object FactPipeline {
     * @param dateId       processing date, Tehran wall-clock YYYYMMDD
     * @param hour         closed hour 0–23 (Tehran)
     * @param runVersion   merge priority for replays (e.g. attempt no.)
+    * @param layout       physical layout applied to BOTH table writes
+    *                     (sorted row groups / blooms / group size —
+    *                     graft.io.Layout); default writes as before
+    * @param compactTargetBytes when set, run small-file compaction on
+    *                     the interpolated table after the write — the
+    *                     hourly cadence accumulates a few files per
+    *                     run, so steady state without it is thousands
+    *                     of small files per hot partition. Compaction
+    *                     rewrites whole leaves via concatenation, so
+    *                     per-file sort order coarsens to per-run runs;
+    *                     zone-map-critical tables should recluster with
+    *                     SortedWriter in their maintenance window
     */
   def runHour(
       spark: SparkSession, events: DataFrame, warehouseDir: String,
       dateId: Int, hour: Int, runVersion: Long,
       onSuccess: HourRun => Unit = _ => (),
-      onFailure: Throwable => Unit = _ => ()): Try[HourRun] = {
+      onFailure: Throwable => Unit = _ => (),
+      layout: Layout = Layout.none,
+      compactTargetBytes: Option[Long] = None): Try[HourRun] = {
     val result = Try {
       // extract + normalize + key derivation (S1: P1/P2/P3), the closed
       // hour only — on a date-partitioned lake the predicate prunes to
@@ -68,7 +82,8 @@ object FactPipeline {
       // S5: keyed latest-wins upsert into the raw fact — replay-safe
       val factDir = s"$warehouseDir/fact_gold_price"
       MergeWriter.upsertPartitioned(spark, factDir, hourFacts,
-        key = "id", version = "etl_version", partitionCol = "date_id")
+        key = "id", version = "etl_version", partitionCol = "date_id",
+        layout = layout.restrictedTo(hourFacts.columns.toSeq))
 
       // T1–T3: read-back the hour (read-your-writes, like the
       // reference's interpolation task re-selecting from the warehouse),
@@ -87,7 +102,9 @@ object FactPipeline {
       MergeWriter.replaceWindow(spark, interpDir, densified,
         partitionCol = "date_id",
         windowPred = col("date_id") === dateId &&
-          floor(col("rounded_time_id") / 10000) === hour)
+          floor(col("rounded_time_id") / 10000) === hour,
+        layout = layout.restrictedTo(densified.columns.toSeq))
+      compactTargetBytes.foreach(t => Compaction.compact(spark, interpDir, t))
 
       // §2.12 gates on what was just written, scoped to the window
       val window = spark.read.parquet(interpDir)

@@ -102,6 +102,83 @@ class FactPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(interpDir).count() == 7L)
   }
 
+  test("layout options: sorted row groups skip on a time probe, blooms exist, compaction merges") {
+    import scala.jdk.CollectionConverters._
+    val wh = Files.createTempDirectory("graft_pipeline_layout").toString
+    // 20 sources with ticks at wall 10:00 and 10:59 → 60-minute grid ×
+    // 20 groups = 1200 interpolated rows: enough for several row groups
+    // under a tiny parquet block size
+    val many = (1 to 20).flatMap { u =>
+      Seq(
+        (u * 100L, u.toString, "click", 100.0 + u, "2024-01-15 06:30:05"),
+        (u * 100L + 1, u.toString, "click", 200.0 + u, "2024-01-15 07:29:55"))
+    }
+    val layout = graft.io.Layout(
+      sortCols = Seq("rounded_time_id"),
+      bloomCols = Seq("id"), bloomNdv = 4096L,
+      rowGroupBytes = Some(1024L))
+    FactPipeline.runHour(spark, evts(many: _*), wh, D, hour = 10,
+      runVersion = 1L, layout = layout).get
+
+    val leaf = new java.io.File(s"$wh/fact_gold_price_interpolated/date_id=$D")
+    val files = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+
+    val conf = spark.sessionState.newHadoopConf()
+    def footerBlocks[A](fs: Seq[java.io.File])(
+        f: (org.apache.parquet.hadoop.ParquetFileReader,
+            org.apache.parquet.hadoop.metadata.BlockMetaData) => A): Seq[A] =
+      fs.flatMap { file =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map(b => f(r, b))
+        finally r.close()
+      }
+    // zone maps live on the INTERPOLATED table (sortCols survives its
+    // canonical 7-column projection)
+    val blocks = footerBlocks(files.toSeq) { (_, b) =>
+      val st = b.getColumns.asScala
+        .find(_.getPath.toDotString == "rounded_time_id").get
+        .getStatistics
+        .asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+      (st.getMin, st.getMax)
+    }
+    assert(blocks.size >= 4, s"expected several row groups, got ${blocks.size}")
+    // the bloom column `id` exists only on the FACT table — densify's
+    // canonical projection drops the tick id, and Layout.restrictedTo
+    // drops the bloom from the interpolated write accordingly
+    val factLeaf = new java.io.File(s"$wh/fact_gold_price/date_id=$D")
+    val factFiles = factLeaf.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    assert(factFiles.nonEmpty)
+    val factBlooms = footerBlocks(factFiles) { (r, b) =>
+      val idChunk = b.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      r.getBloomFilterDataReader(b).readBloomFilter(idChunk) != null
+    }
+    assert(factBlooms.nonEmpty && factBlooms.forall(identity),
+      "id bloom filter missing from a fact row group")
+    // the sorted layout makes min/max stats selective: a one-minute
+    // probe (wall 10:03) must be skippable by most row groups
+    val probe = 100300
+    val matching = blocks.count { case (mn, mx) => mn <= probe && probe <= mx }
+    assert(matching < blocks.size,
+      s"no row group is skippable: $matching of ${blocks.size} match")
+    assert(matching <= blocks.size / 2,
+      s"sorted zone maps too loose: $matching of ${blocks.size} match the 1-minute probe")
+
+    // replay the hour with compaction on: the leaf's small files merge
+    // to one, with the window-replaced rows intact
+    val rowsBefore = spark.read.parquet(s"$wh/fact_gold_price_interpolated").count()
+    FactPipeline.runHour(spark, evts(many: _*), wh, D, hour = 10,
+      runVersion = 2L, layout = layout,
+      compactTargetBytes = Some(128L << 20)).get
+    val filesAfter = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(filesAfter.length == 1,
+      s"compaction left ${filesAfter.length} files")
+    assert(spark.read.parquet(s"$wh/fact_gold_price_interpolated").count() == rowsBefore)
+  }
+
   test("a gate violation fails the run and fires the failure hook") {
     val wh = Files.createTempDirectory("graft_pipeline_bad").toString
     // source 9 has ONE tick → ineligible → its group generates nothing
