@@ -152,7 +152,11 @@ object Text {
         .withColumn("t", split(col("text"), " "))
         .withColumn("sh", TextHash.shingleSet(col("t"), 3))
         .withColumn("mh", TextHash.minhash(col("sh"), 8))
-        .filter(col("mh").isNotNull))
+        .filter(col("mh").isNotNull)
+        // a persisted frame stores ALL its columns — prune text/tokens
+        // (the wide ones, no downstream consumer) BEFORE materializing,
+        // not at the InMemoryTableScans after
+        .select("rep_id", "sh", "mh"))
 
   /** Verified near-dup pairs BETWEEN exact-text classes (ra < rb,
     * Jaccard ≥ 0.5) — the bounded-size graph that cluster assembly

@@ -50,4 +50,21 @@ class PageRankSpec extends SparkTestBase {
     assert(pr(1L) > pr(2L) * 5, s"hub not dominant: $pr")
     assert((2L to 20L).map(pr).toSet.size === 1, "leaves should tie exactly")
   }
+
+  test("driver-local path is bit-identical to the distributed loop and the cutover pins") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 300L).map(i => ((i * 7919L) % 40L, (i * 104729L) % 40L))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    // integer arithmetic: the two paths must agree exactly, not approximately
+    val (localDf, p1) = PageRank.pageRankImpl(edges, iters = 3, localEdgeThreshold = 100000)
+    val (distDf, p2) = PageRank.pageRankImpl(edges, iters = 3, localEdgeThreshold = 0)
+    assert(p1 === "local" && p2 === "distributed")
+    val l = localDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === d, "local and distributed rank vectors diverge")
+    // default threshold (heap-derived) routes a tiny graph local
+    assert(PageRank.pageRankImpl(edges, iters = 1)._2 === "local")
+  }
 }
