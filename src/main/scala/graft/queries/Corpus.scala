@@ -41,6 +41,16 @@ object Corpus {
   private val RepScore =
     "round(dup_bigram_frac * 0.5 + dup_trigram_frac * 0.3 + (immediate_repeats / (n_tokens - 1)) * 0.2, 6)"
 
+  /** PII regexes — RE2 ∩ java.util.regex common subset, and zero
+    * backslashes: Spark SQL string literals process backslash escapes
+    * while DuckDB's don't, so any `\.`-style regex would need
+    * per-engine escaping. `[.]` character classes sidestep the whole
+    * divergence — the interpolated literal is byte-identical in both
+    * engines. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val PhoneRe = "555-[0-9]{3}-[0-9]{4}"
+
   val all: Map[String, Q] = Map(
 
     // Context-window chunking — the shard-preparation step that splits
@@ -330,6 +340,85 @@ object Corpus {
          |        round(ln((${md5Hash60Duck("doc_id")} + 1) / $Hash60Space) / n_chars, 9) AS es_key
          |      FROM documents)
          |SELECT doc_id, n_chars, es_key FROM k
-         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin)
+         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin),
+
+    // PII detection + redaction — the compliance pass every
+    // web-scraped training corpus runs before a document may enter a
+    // shard: find emails / IPv4s / phone numbers, count them, replace
+    // with typed placeholders. Pure map stage (regexp kernels fused
+    // into whole-stage codegen, zero shuffles). The fixture text is
+    // synthetic word-salad with no natural PII, so each document is
+    // first ENRICHED with PII spans derived deterministically from
+    // doc_id — identical construction in both engines — which makes
+    // the counts nonzero and the redaction regression-testable. The
+    // regexes stay in the RE2 ∩ java.util.regex common subset (no
+    // lookaround, no backrefs) so both engines match identically.
+    "x_pii_redact" -> Q(
+      (s, dir) => {
+        val enrich =
+          "concat(substr(text, 1, 40), ' user', CAST(doc_id AS STRING), '@ex', CAST(doc_id % 10 AS STRING), '.com ', " +
+            "'10.', CAST(doc_id % 200 AS STRING), '.', CAST((doc_id * 7) % 250 AS STRING), '.', CAST(doc_id % 254 + 1 AS STRING), " +
+            "' 555-', lpad(CAST(100 + doc_id % 900 AS STRING), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+            "CASE WHEN doc_id % 3 = 0 THEN concat(' alt', CAST(doc_id AS STRING), '@corp.org') ELSE '' END)"
+        Tables.documents(s, dir)
+          .withColumn("enriched", expr(enrich))
+          .select(col("doc_id"),
+            expr(s"size(regexp_extract_all(enriched, '$EmailRe', 0))").as("n_emails"),
+            expr(s"size(regexp_extract_all(enriched, '$Ipv4Re', 0))").as("n_ips"),
+            expr(s"size(regexp_extract_all(enriched, '$PhoneRe', 0))").as("n_phones"),
+            expr(s"""regexp_replace(regexp_replace(regexp_replace(enriched,
+               | '$EmailRe', '[EMAIL]'), '$Ipv4Re', '[IP]'), '$PhoneRe', '[PHONE]')""".stripMargin)
+              .as("redacted"))
+          .orderBy("doc_id")
+      },
+      s"""WITH e AS (SELECT doc_id,
+         |    concat(substr(text, 1, 40), ' user', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 10 AS VARCHAR), '.com ',
+         |           '10.', CAST(doc_id % 200 AS VARCHAR), '.', CAST((doc_id * 7) % 250 AS VARCHAR), '.', CAST(doc_id % 254 + 1 AS VARCHAR),
+         |           ' 555-', lpad(CAST(100 + doc_id % 900 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |           CASE WHEN doc_id % 3 = 0 THEN concat(' alt', CAST(doc_id AS VARCHAR), '@corp.org') ELSE '' END) AS enriched
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(enriched, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(enriched, '$Ipv4Re')) AS n_ips,
+         |  len(regexp_extract_all(enriched, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(enriched,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'), '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM e ORDER BY doc_id""".stripMargin),
+
+    // Deterministic train/val/test split — shard assignment must be a
+    // pure function of a stable document key, never of partitioning,
+    // sampling order, or a seed that varies by engine: re-running the
+    // pipeline (or running it in two engines) must send every document
+    // to the same split, or evaluation leaks training data. Split by
+    // the first hex nibble of md5(doc_id || ':v1'): 0–b → train
+    // (12/16), c–d → val, e–f → test. Output is the per-(split, lang)
+    // stratification diagnostic a corpus report shows, with each
+    // split's share of the corpus. One map stage + one tiny
+    // aggregation; at 100 TB the map assignment runs shard-local and
+    // only (split, lang) partials shuffle.
+    "x_split_assign" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("nib",
+            expr("substr(md5(CAST(concat(CAST(doc_id AS STRING), ':v1') AS BINARY)), 1, 1)"))
+          .withColumn("split",
+            when(col("nib") <= "b", "train")
+              .when(col("nib") <= "d", "val").otherwise("test"))
+        val total = d.count()
+        d.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("corpus_share",
+            round(col("n_docs").cast("double") / lit(total.toDouble), 6))
+          .orderBy("split", "lang")
+      },
+      """WITH a AS (SELECT lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM a), 6) AS corpus_share
+        |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin)
   )
+
 }
