@@ -21,8 +21,12 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  // orders/lineitem are FACT scans: [[parallelized]] so a
+  // single-row-group fixture file (1 scan task, however many cores)
+  // doesn't serialize the partial aggregation / join build fed by the
+  // scan; a real lake's many-split scan passes through untouched.
+  def orders(s: SparkSession, d: String): DataFrame     = parallelized(load(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame   = parallelized(load(s, d, "lineitem"))
   /** `events.ts` has shipped in two physical encodings across fixture
     * generations: parquet TIMESTAMP(NANOS) (loads as raw `LongType`
     * nanos under `nanosAsLong`, which we truncate to micros with
@@ -38,13 +42,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+    parallelized(raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw // already a session-zone timestamp
-    }
+    })
   }
   /** Round-robin repartition a small scan to the session's parallelism.
     * A parquet file is splittable only at row-group boundaries, so a
