@@ -62,4 +62,18 @@ class AnnSpec extends SparkTestBase {
     assert(mpRecall5 >= 0.35, f"multi-probe recall@5 $mpRecall5%.3f below floor 0.35")
     assert(mpRecall3 >= 0.25, f"multi-probe recall@3 $mpRecall3%.3f below floor 0.25")
   }
+
+  test("IVF recall@k vs brute force holds its floor") {
+    // x_ann_ivf emits top-3 per query (rnk <= 3) over nprobe=2 cells
+    // of a 16-centroid coarse quantizer. Measured 1.000 at sf0.1 (two
+    // probed cells of sixteen cover the true top-3 for every query);
+    // floor 0.7 leaves room for fixture regeneration while any cell-
+    // assignment bug (argmax sign flip, probe-cell off-by-one) drops
+    // recall toward 1/8 and trips it.
+    val brute3 = hits("x_ann_brute", 3)
+    val ivf3 = hits("x_ann_ivf", 3)
+    val r = recall(ivf3, brute3)
+    info(f"IVF recall@3 = $r%.3f")
+    assert(r >= 0.70, f"IVF recall@3 $r%.3f below floor 0.70")
+  }
 }
