@@ -134,6 +134,53 @@ object Multimodal {
          |${(0 until 4).map(i =>
             s"  (CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT) - 128) / 128.0 AS d$i")
             .mkString(",\n")}
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Audio-frame energy profile — the audio kernel of the modality
+    // family (decode is x_mm_decode's stub; frames are x_mm_frames'
+    // byte windows): audio rows split into fixed 256-byte frames (the
+    // PCM-chunk shape), each frame's energy is the exact integer sum
+    // of its byte values, and the per-document profile reports frame
+    // count, total/peak energy and the loudest frame's index (min
+    // index on ties — array_position's first match in both engines).
+    // A real PCM RMS kernel slots into the same frame→reduce shape;
+    // integer arithmetic end-to-end means the oracle matches
+    // bit-for-bit with no float-order caveats. Zero shuffles before
+    // the presentation sort.
+    "x_mm_audio_energy" -> Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 1)
+          .withColumn("n", length(col("text")))
+          .withColumn("nw", expr("CAST(ceil(n / 256.0) AS INT)"))
+          .withColumn("energies", expr(
+            """transform(sequence(0, nw - 1), w ->
+              |  aggregate(
+              |    transform(sequence(1 + w * 256, least(n, (w + 1) * 256)),
+              |              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+              |    0L, (a, c) -> a + c))""".stripMargin))
+          .select(col("doc_id"),
+            col("nw").as("n_frames"),
+            expr("aggregate(energies, 0L, (a, c) -> a + c)").as("total_energy"),
+            expr("array_max(energies)").as("peak_energy"),
+            expr("CAST(array_position(energies, array_max(energies)) - 1 AS INT)")
+              .as("peak_frame"))
+          .orderBy("doc_id"),
+      """WITH a AS (SELECT doc_id, text, length(text) AS n,
+        |             CAST(ceil(length(text) / 256.0) AS INT) AS nw
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |e AS (SELECT doc_id, nw,
+        |        list_transform(range(0, nw), w ->
+        |          list_reduce(
+        |            [CAST(0 AS BIGINT)] || list_transform(
+        |              range(1 + w * 256, 1 + least(n, (w + 1) * 256)),
+        |              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |            (acc, c) -> acc + c)) AS energies
+        |      FROM a)
+        |SELECT doc_id, nw AS n_frames,
+        |  list_reduce([CAST(0 AS BIGINT)] || energies, (acc, c) -> acc + c) AS total_energy,
+        |  list_max(energies) AS peak_energy,
+        |  CAST(list_position(energies, list_max(energies)) - 1 AS INT) AS peak_frame
+        |FROM e ORDER BY doc_id""".stripMargin)
   )
 }
