@@ -342,6 +342,52 @@ object Corpus {
          |SELECT doc_id, n_chars, es_key FROM k
          |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin),
 
+    // Sequence packing — the shard-assembly step that concatenates
+    // documents into fixed 2048-token context windows for training
+    // efficiency (padding waste ∝ unpacked tail). True global
+    // first-fit is inherently sequential, so the scalable form packs
+    // CONTIGUOUSLY per stream: docs in stable doc_id order, each
+    // window takes consecutive docs, a document starting before a
+    // 2048 boundary may straddle it (its tokens spill; the bin is the
+    // one its START offset lands in). Packing runs per language —
+    // independent streams, so the window's partition key parallelizes
+    // it — and the only shuffle is the (lang)-keyed exchange the
+    // running sum needs anyway. Per-doc bin assignment plus each
+    // bin's fill fraction (exact integer token counts; the fill is
+    // one final double division).
+    "x_pack_sequences" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val assigned = Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("start_tok",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin_id", expr("CAST(start_tok div 2048 AS INT)"))
+        assigned
+          .groupBy("lang", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .withColumn("fill",
+            round(least(col("bin_tokens").cast("double") / 2048.0, lit(1.0)), 6))
+          .orderBy("lang", "bin_id")
+      },
+      """WITH t AS (SELECT lang, doc_id,
+        |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |      FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+        |      FROM t)
+        |SELECT lang, CAST(start_tok // 2048 AS INT) AS bin_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  round(least(CAST(SUM(n_tokens) AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE)), 6) AS fill
+        |FROM a GROUP BY lang, CAST(start_tok // 2048 AS INT)
+        |ORDER BY lang, bin_id""".stripMargin),
+
     // PII detection + redaction — the compliance pass every
     // web-scraped training corpus runs before a document may enter a
     // shard: find emails / IPv4s / phone numbers, count them, replace
