@@ -92,11 +92,14 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("quantization stays a map-only pass (no data-sized shuffle)") {
-    // the only exchanges allowed: the small-scan widening round-robin
-    // and the final presentation sort — no hash exchange of vectors
+    // the only exchanges allowed: the small-scan widening exchange
+    // (Tables.parallelized — an explicit REPARTITION_BY_NUM, now hash
+    // on the table key) and the final presentation sort — no
+    // requirement-inserted hash exchange of vectors
     val plan = executedPlanString("x_embed_quantize")
-    assert(!plan.contains("hashpartitioning"),
-      "quantization plans a hash exchange — the pass stopped being map-only")
+    assert(!"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(plan).hasNext,
+      "quantization plans a requirement-driven hash exchange — the pass stopped being map-only")
   }
 
   test("grouping sets plan a single Expand + two-phase aggregate") {
@@ -149,9 +152,13 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("batched inference adds no shuffle beyond the scan widening") {
+    // the widening exchange (Tables.parallelized, REPARTITION_BY_NUM)
+    // is the one allowed shuffle; a requirement-inserted hash exchange
+    // would mean the inference stage demanded a distribution
     val plan = executedPlanString("x_embed_infer")
-    assert(!plan.contains("hashpartitioning"),
-      "inference pass plans a hash exchange — it stopped being map-only")
+    assert(!"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(plan).hasNext,
+      "inference pass plans a requirement-driven hash exchange — it stopped being map-only")
   }
 
   test("full-outer reconciliation joins pre-aggregated grains") {
