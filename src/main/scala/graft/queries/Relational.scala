@@ -380,7 +380,12 @@ object Relational {
     // into one codegen'd pass over the scan.
     "f_json_extract" -> Q(
       (s, dir) =>
-        Tables.events(s, dir)
+        // JSON parsing is the compute-dominant case the events loader
+        // deliberately does NOT widen (the widening exchange would tax
+        // every slim query with the props column) — so widen HERE,
+        // after pruning to exactly the columns the parse needs
+        Tables.parallelized(
+            Tables.events(s, dir).select("event_id", "props"), "event_id")
           .select(
             col("event_id"),
             expr("get_json_object(props, '$.k')").as("k_str"),

@@ -82,15 +82,23 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
   test("kmv plan pays one exchange; exact distinct pays two") {
+    // count only requirement-driven hash exchanges: the widening
+    // exchange the loaders add (REPARTITION_BY_NUM) is input-sized and
+    // not part of the aggregation strategy under test
     def nExchanges(plan: String) =
-      plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
     val sketch = q("x_kmv_distinct", sfSmoke).queryExecution.executedPlan.toString
     assert(nExchanges(sketch) === 1, s"sketch plan shuffles more than once:\n$sketch")
     assert(!sketch.contains("Expand"), "sketch plan should not Expand")
     // control: the exact form dedups at (group, value) grain first —
-    // a second full-data exchange the sketch never pays
+    // a second full-data exchange the sketch never pays. The distinct
+    // value must NOT be the loader's widening key (l_orderkey): hash
+    // distribution by the key already co-locates that dedup grain and
+    // the exchange legitimately disappears — countDistinct(l_partkey)
+    // keeps the control un-co-located
     val exact = Tables.lineitem(spark, sfSmoke)
-      .groupBy("l_returnflag").agg(countDistinct("l_orderkey"))
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey"))
       .queryExecution.executedPlan.toString
     assert(nExchanges(exact) === 2,
       s"control: exact distinct expected two exchanges:\n$exact")
