@@ -254,19 +254,28 @@ object Relational {
       (s, dir) => {
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        val changes = o.filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_orderkey"), lit("U").as("op"), lit(1).as("seq"),
-            col("o_custkey"), (col("o_totalprice") + 100).as("o_totalprice"))
-          .unionByName(o.filter(col("o_orderkey") % 7 === 3)
-            .select(col("o_orderkey"), lit("D").as("op"), lit(2).as("seq"),
-              col("o_custkey"), col("o_totalprice")))
-          .unionByName(o.filter(col("o_orderkey") % 20 === 0)
-            .select(col("o_orderkey"), lit("U").as("op"), lit(3).as("seq"),
-              col("o_custkey"), (col("o_totalprice") + 500).as("o_totalprice")))
-          .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-            .select((-col("o_orderkey")).as("o_orderkey"), lit("I").as("op"),
-              lit(1).as("seq"), col("o_custkey"),
-              (col("o_totalprice") / 2).as("o_totalprice")))
+        // all four change branches generated in ONE scan pass: a
+        // 4-way self-union re-reads (and, with the widened loader,
+        // re-shuffles) the table once per branch because each branch's
+        // filter pushes below the shared exchange and splits it — the
+        // array+explode form is branch-count-invariant at any scale
+        def branch(cond: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column,
+                   op: String, seq: Int, price: org.apache.spark.sql.Column) =
+          when(cond, struct(k.as("o_orderkey"), lit(op).as("op"),
+            lit(seq).as("seq"), col("o_custkey"),
+            price.as("o_totalprice")))
+        val changes = o.select(explode(filter(array(
+            branch(col("o_orderkey") % 5 === 0, col("o_orderkey"), "U", 1,
+              col("o_totalprice") + 100),
+            branch(col("o_orderkey") % 7 === 3, col("o_orderkey"), "D", 2,
+              col("o_totalprice")),
+            branch(col("o_orderkey") % 20 === 0, col("o_orderkey"), "U", 3,
+              col("o_totalprice") + 500),
+            branch(col("o_orderkey") % 11 === 0, -col("o_orderkey"), "I", 1,
+              col("o_totalprice") / 2)),
+            c => c.isNotNull)).as("c"))
+          .select(col("c.o_orderkey"), col("c.op"), col("c.seq"),
+            col("c.o_custkey"), col("c.o_totalprice"))
         graft.ops.Merge.applyCdc(o, changes, "o_orderkey", "op", "seq")
           .orderBy(col("o_orderkey"))
       },
