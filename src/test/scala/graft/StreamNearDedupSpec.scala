@@ -103,4 +103,41 @@ class StreamNearDedupSpec extends SparkTestBase {
     assert(!capped.exists(p => p._1 == 2L && p._2 == 3L),
       s"cap=1 retained more than one member (2,3) paired: $capped")
   }
+
+  test("randomized differential: stream pairs == batch pairs across seeds and batch splits") {
+    val s = spark
+    import s.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    for (seed <- Seq(11L, 42L, 1337L)) {
+      val rnd = new scala.util.Random(seed)
+      // shared 12-token prefixes force families of near-dups; a unique
+      // trailing uid token keeps every text distinct, so the batch
+      // operator's exact-collapse is identity and its rep-level pairs
+      // ARE doc-level pairs
+      val prefixes = (0 until 4).map(_ =>
+        Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val docs = (1L to 24L).map { id =>
+        val base = prefixes(rnd.nextInt(prefixes.length))
+        val mutated =
+          if (rnd.nextInt(3) == 0)
+            base.split(" ").updated(rnd.nextInt(12), vocab(rnd.nextInt(vocab.length))).mkString(" ")
+          else base
+        id -> s"$mutated uid$id"
+      }
+      val batch = graft.queries.Text.minhashRepPairsOver(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // random arrival order, random split into 1-3 micro-batches, all
+      // inside one horizon
+      val shuffled = rnd.shuffle(docs).zipWithIndex.map { case ((id, t), i) =>
+        Doc(id, t, ts(f"2024-01-15 10:${i % 60}%02d:00")) }
+      val nSplits = 1 + rnd.nextInt(3)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nSplits - 1) / nSplits)).toSeq
+      val streamed = streamPairs(Nil, horizon = "6 hours", batches = batches)
+      assert(streamed === batch,
+        s"seed $seed: stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+    }
+  }
 }
