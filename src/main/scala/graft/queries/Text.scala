@@ -536,6 +536,77 @@ object Text {
          |SELECT node AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Incremental dedup admission — the nightly-ingest shape: a NEW
+    // batch of documents (doc_id % 4 = 0, a deterministic stand-in
+    // for the arrival partition) is admitted against the EXISTING
+    // corpus without ever self-joining the history. Per new document:
+    // the minimum existing doc it near-duplicates (same
+    // shingle/minhash/band/Jaccard construction as the batch operator;
+    // an exact copy scores 1.0 and needs no separate path) or NULL +
+    // admit=true. Scale shape: new-side bands probe existing-side
+    // bands on the band key — the join is collision-sized, the
+    // existing side caps per bucket like the batch plan
+    // ([[bandCap]]), and at 100 TB the existing bands live as a
+    // pre-built index table instead of being recomputed. Per-doc
+    // grain (no exact-collapse): admission is a per-document verdict.
+    "x_dedup_incremental" -> Q(
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val isNew = col("doc_id") % 4 === 0
+        val sigs = graft.ops.PlanCache.materialized(
+          c.withColumn("t", split(col("text"), " "))
+            .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+            .withColumn("mh", TextHash.minhash(col("sh"), 8))
+            .filter(col("mh").isNotNull)
+            .select("doc_id", "sh", "mh"))
+        val bands = sigs
+          .withColumn("bkey", explode(expr(
+            "transform(sequence(0, 3), b -> concat(cast(b AS string), ':', cast(element_at(mh, 2*b+1) AS string), ':', cast(element_at(mh, 2*b+2) AS string)))")))
+          .select("doc_id", "bkey")
+        val cap = bandCap(s)
+        val exBands = bands.filter(!isNew)
+          .withColumn("_rnk", row_number().over(
+            Window.partitionBy("bkey").orderBy("doc_id")))
+          .filter(col("_rnk") <= cap).drop("_rnk")
+        val cand = bands.filter(isNew).select(col("doc_id").as("new_id"), col("bkey"))
+          .join(exBands.select(col("doc_id").as("ex_id"), col("bkey")), "bkey")
+          .select("new_id", "ex_id").distinct()
+        val dups = cand
+          .join(sigs.select(col("doc_id").as("new_id"), col("sh").as("sn")), "new_id")
+          .join(sigs.select(col("doc_id").as("ex_id"), col("sh").as("se")), "ex_id")
+          .filter(TextHash.jaccardSim(col("sn"), col("se")) >= 0.5)
+          .groupBy("new_id").agg(min("ex_id").as("dup_of"))
+        c.filter(isNew).select(col("doc_id"))
+          .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("admit"))
+          .orderBy("doc_id")
+      },
+      s"""WITH $CorpusCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
+         |mh AS (SELECT doc_id, sh,
+         |         list_transform(range(0, 8), k ->
+         |           list_min(list_transform(sh, s ->
+         |             ((2*k+3) * (list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)) + (5*k+7)) % 1000000007))) AS mh
+         |       FROM sh),
+         |bands AS (SELECT doc_id,
+         |            unnest(list_transform(range(0, 4), b ->
+         |              CAST(b AS VARCHAR) || ':' || CAST(mh[2*b+1] AS VARCHAR) || ':' || CAST(mh[2*b+2] AS VARCHAR))) AS bkey
+         |          FROM mh),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+         |         FROM bands n JOIN bands e ON n.bkey = e.bkey
+         |         WHERE n.doc_id % 4 = 0 AND e.doc_id % 4 != 0),
+         |dups AS (SELECT c.new_id, MIN(c.ex_id) AS dup_of
+         |         FROM cand c
+         |         JOIN sh sn ON sn.doc_id = c.new_id
+         |         JOIN sh se ON se.doc_id = c.ex_id
+         |         WHERE len(list_intersect(sn.sh, se.sh)) / len(list_distinct(list_concat(sn.sh, se.sh))) >= 0.5
+         |         GROUP BY c.new_id)
+         |SELECT c.doc_id, d2.dup_of, d2.dup_of IS NULL AS admit
+         |FROM corpus c LEFT JOIN dups d2 ON d2.new_id = c.doc_id
+         |WHERE c.doc_id % 4 = 0
+         |ORDER BY c.doc_id""".stripMargin),
+
     // Deterministic stratified sampling — the reproducible form of
     // corpus downsampling: a doc's sampling bucket is a pure hash of
     // its id (the portable polyhash construction, not rand() and not an
