@@ -104,6 +104,43 @@ class StreamNearDedupSpec extends SparkTestBase {
       s"cap=1 retained more than one member (2,3) paired: $capped")
   }
 
+  test("bucket state survives a query restart from the checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString
+    // the memory sink refuses checkpoint recovery (not fault-tolerant);
+    // the parquet file sink is, and is what a production run would use
+    val out = java.nio.file.Files.createTempDirectory("graft_neardup_out").toString + "/hits"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    def runQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+      StreamNearDedup.nearDupHits(in.toDF(), "arrived", "6 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: only the base document arrives, then the query STOPS
+    val q1 = runQuery()
+    try {
+      in.addData(Doc(1, corpusDocs.head._2, ts("2024-01-15 10:00:00")))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 0)
+    } finally q1.stop()
+
+    // run 2, same checkpoint: a near-dup arrives — pairing requires the
+    // bucket members written by run 1 to come back from the state store
+    val q2 = runQuery()
+    try {
+      in.addData(Doc(2, corpusDocs.head._2 + " today", ts("2024-01-15 10:05:00")))
+      q2.processAllAvailable()
+      val hits = spark.read.parquet(out)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((1L, 2L)),
+        s"state lost across restart — expected pair (1,2), got $hits")
+    } finally q2.stop()
+  }
+
   test("randomized differential: stream pairs == batch pairs across seeds and batch splits") {
     val s = spark
     import s.implicits._
