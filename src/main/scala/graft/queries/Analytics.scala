@@ -748,5 +748,49 @@ object Analytics {
          |  MAX(hh) AS kth_hash,
          |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
          |       ELSE 63.0 * $Hash60Space / MAX(hh) END AS est_distinct
-         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Table profiling — the first query anyone runs against an unknown
+    // 100 TB table: per-column row/null/distinct counts and value
+    // range, as (column, metrics) rows. ONE scan pass computes every
+    // column's aggregates side by side (a per-column loop would scan
+    // the table once per column); the pivot to row-per-column happens
+    // on the single 1-row aggregate result, so the explode costs
+    // nothing. Exact distincts: Spark plans one Expand over the scan
+    // (grouping-id per distinct column) — still a single pass of the
+    // data; a 100 TB profile that can tolerate error swaps in the KMV
+    // sketch (a20_kmv) per column. Averages via the engine's exact
+    // decimal construction; all metrics cast to double for one uniform
+    // schema.
+    "a21_profile" -> Q(
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+        val agg1 = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"),
+            (sum(col(c).cast("decimal(28,8)")).cast("double") / count(col(c)))
+              .as(s"av_$c"))): _*)
+        agg1.select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col("n_rows"),
+            col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"),
+            round(col(s"av_$c"), 6).as("avg_val"))): _*)).as("p"))
+          .select("p.*")
+          .orderBy("col_name")
+      }, {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_val,
+             |  CAST(MAX($c) AS DOUBLE) AS max_val,
+             |  round(CAST(SUM(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / COUNT($c), 6) AS avg_val
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }))
 }
