@@ -317,6 +317,62 @@ object Corpus {
         |FROM c3
         |ORDER BY tri_count DESC, w1, w2, w3 LIMIT 100""".stripMargin),
 
+    // LM quality scoring — the CCNet-style filter: score each document
+    // by its average bigram log-probability under the corpus's own
+    // bigram LM (Laplace-smoothed over the unigram vocabulary); low
+    // scorers are boilerplate/degenerate text. Scale shape: the LM is
+    // two count tables (bigram, context) built with map-side combine;
+    // scoring joins each document's bigrams against them — the
+    // vocabulary-sized sides would broadcast at 100 TB. The per-doc
+    // MEAN of doubles folds in token order (ordered collect, then one
+    // left fold — the a16_list_agg pattern), so the score is
+    // bit-identical at any parallelism and across engines; only the
+    // final mean is rounded.
+    "x_lm_score" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = d.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t) - 1),
+              |  i -> struct(i AS pos, element_at(t, i) AS w1,
+              |              element_at(t, i + 1) AS w2))""".stripMargin)).as("g"))
+          .select(col("doc_id"), col("g.pos"), col("g.w1"), col("g.w2"))
+        val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+        val v = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        bi.join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .withColumn("lp",
+            log((col("c2") + 1.0) / (col("c1") + col("v"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("""round(
+              |  aggregate(
+              |    transform(sort_array(collect_list(struct(pos, lp))), x -> x.lp),
+              |    0D, (acc, x) -> acc + x) / count(1), 6)""".stripMargin)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS w1, t[i + 1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM d WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |lps AS (SELECT bi.doc_id, bi.pos,
+        |          ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+        |        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(list_reduce([CAST(0 AS DOUBLE)] || list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / COUNT(*), 6) AS avg_logprob
+        |FROM lps GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Weight-proportional sampling without replacement — Efraimidis &
     // Spirtakis (2006): each item draws u ~ Uniform(0,1] and the k
     // largest u^(1/w) win, giving inclusion probability proportional to
