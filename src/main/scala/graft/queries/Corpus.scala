@@ -373,6 +373,59 @@ object Corpus {
         |        / COUNT(*), 6) AS avg_logprob
         |FROM lps GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Dataset card — the summary artifact a released training corpus
+    // ships with, as (metric, value) rows: sizes, token volume,
+    // exact-duplication rate, language spread. One full pass computes
+    // the global aggregates (count-distincts share the scan via a
+    // single Expand); the language-share metric adds one tiny
+    // lang-grain aggregation. Integer facts stay exact; ratios are
+    // single double divisions rounded once.
+    "x_dataset_card" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"),
+            size(split(col("text"), " ")).as("n_toks"))
+        val g = d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_toks")).as("total_tokens"))
+        val topLang = d.groupBy("lang").agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("top_lang_docs"))
+        g.crossJoin(topLang).select(explode(array(
+            struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+            struct(lit("n_distinct_texts").as("metric"), col("n_distinct_texts").cast("double").as("value")),
+            struct(lit("exact_dup_rate").as("metric"),
+              round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6).as("value")),
+            struct(lit("total_tokens").as("metric"), col("total_tokens").cast("double").as("value")),
+            struct(lit("avg_doc_tokens").as("metric"),
+              round(col("total_tokens").cast("double") / col("n_docs"), 6).as("value")),
+            struct(lit("n_langs").as("metric"), col("n_langs").cast("double").as("value")),
+            struct(lit("top_lang_share").as("metric"),
+              round(col("top_lang_docs").cast("double") / col("n_docs"), 6).as("value")))).as("m"))
+          .select("m.*")
+          .orderBy("metric")
+      },
+      """WITH g AS (SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents),
+        |tl AS (SELECT MAX(n) AS top_lang_docs FROM
+        |        (SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+        |  UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct_texts AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6) FROM g
+        |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'avg_doc_tokens',
+        |    round(CAST(total_tokens AS DOUBLE) / n_docs, 6) FROM g
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'top_lang_share',
+        |    round(CAST(top_lang_docs AS DOUBLE) / (SELECT n_docs FROM g), 6) FROM tl)
+        |ORDER BY metric""".stripMargin),
+
     // Weight-proportional sampling without replacement — Efraimidis &
     // Spirtakis (2006): each item draws u ~ Uniform(0,1] and the k
     // largest u^(1/w) win, giving inclusion probability proportional to
