@@ -23,10 +23,12 @@ class PlanShapeSpec extends SparkTestBase {
   test("only deliberate tiny-broadcast all-pairs use a nested-loop join") {
     // x_ann_brute: exact baseline scores corpus × (broadcast) queries;
     // x_ann_ivf: quantizer assignment scores corpus × (broadcast)
-    // codebook; x_bm25: corpus × (broadcast) ONE-ROW corpus-statistics
-    // frame. All broadcast a constant-size side; everything else must
-    // plan hash/sort-merge joins.
-    val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25")
+    // codebook; x_bm25 / x_lm_score / x_dataset_card: corpus ×
+    // (broadcast) ONE-ROW statistics frame. All broadcast a
+    // constant-size side; everything else must plan hash/sort-merge
+    // joins.
+    val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
+      "x_lm_score", "x_dataset_card")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
