@@ -41,7 +41,7 @@ object Skew {
       df: DataFrame, keys: Seq[String], valueCol: String,
       discriminator: Column, buckets: Int): DataFrame = {
     val v = col(valueCol)
-    val saltCol = fresh("_salt", df.columns)
+    val saltCol = fresh("_salt", df.columns.toIndexedSeq)
     val Seq(psum, pcnt, pmin, pmax) =
       Seq("_psum", "_pcnt", "_pmin", "_pmax").map(fresh(_, keys))
     val partial = df
@@ -86,7 +86,7 @@ object Skew {
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       discriminator: Column, buckets: Int): DataFrame = {
-    val saltCol = fresh("_salt", big.columns ++ small.columns)
+    val saltCol = fresh("_salt", (big.columns ++ small.columns).toIndexedSeq)
     val saltedBig = big.withColumn(saltCol, salt(discriminator, buckets))
     val replicated = small.withColumn(saltCol,
       explode(lit((0 until buckets).toArray)))

@@ -121,7 +121,7 @@ object IncrementalStream {
     val staged = spark.read.parquet(staging.toString).count()
     require(staged == expected,
       s"incremental compaction staged $staged rows, expected $expected — aborting swap")
-    commitManifest(fs, staging, foldIds)
+    commitManifest(fs, staging, foldIds.toIndexedSeq)
     recover(fs, root) // the committed swap and its recovery are one path
   }
 
