@@ -792,5 +792,123 @@ object Analytics {
              |FROM lineitem""".stripMargin
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
           .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-      }))
+      }),
+
+    // Ordered-step funnel conversion (first-touch semantics): a user
+    // advances to step k iff their FIRST signup precedes their FIRST
+    // view precedes their FIRST click … — the standard product-analytics
+    // funnel over an event log. One aggregation pass computes all four
+    // first-touch times as conditional MINs over a totally-ordered
+    // string key (zero-padded epoch-µs + event_id tie-break — struct
+    // MINs would work in Spark but DuckDB's arg/struct MIN rules differ,
+    // the string key is engine-portable by construction); a second
+    // 1-row aggregate counts stage survivors. Scale: events collapse to
+    // user grain map-side (partial MIN), only |users| rows cross the
+    // exchange, and the funnel verdict is a codegen'd projection —
+    // no sort, no window, no per-user event list ever materializes.
+    // NULL step times fail every `<` strictly (UNKNOWN → not counted),
+    // identically in both engines.
+    "a22_funnel" -> Q(
+      (s, dir) => {
+        val k = format_string("%020d.%012d", unix_micros(col("ts")), col("event_id"))
+        val perUser = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), k.as("k"))
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", col("k"))).as("t1"),
+            min(when(col("event_type") === "view", col("k"))).as("t2"),
+            min(when(col("event_type") === "click", col("k"))).as("t3"),
+            min(when(col("event_type") === "purchase", col("k"))).as("t4"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_signup"),
+          count(when(col("t1") < col("t2"), 1)).as("n_signup_view"),
+          count(when(col("t1") < col("t2") && col("t2") < col("t3"), 1))
+            .as("n_signup_view_click"),
+          count(when(col("t1") < col("t2") && col("t2") < col("t3") &&
+            col("t3") < col("t4"), 1)).as("n_full_funnel"))
+          .withColumn("conv_full",
+            when(col("n_signup") > 0,
+              col("n_full_funnel").cast("double") / col("n_signup")))
+      },
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t1,
+        |    MIN(CASE WHEN event_type = 'view'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t2,
+        |    MIN(CASE WHEN event_type = 'click'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t3,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t4
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(t1) AS n_signup,
+        |  COUNT(CASE WHEN t1 < t2 THEN 1 END) AS n_signup_view,
+        |  COUNT(CASE WHEN t1 < t2 AND t2 < t3 THEN 1 END) AS n_signup_view_click,
+        |  COUNT(CASE WHEN t1 < t2 AND t2 < t3 AND t3 < t4 THEN 1 END) AS n_full_funnel,
+        |  CASE WHEN COUNT(t1) > 0
+        |       THEN CAST(COUNT(CASE WHEN t1 < t2 AND t2 < t3 AND t3 < t4 THEN 1 END)
+        |                 AS DOUBLE) / COUNT(t1) END AS conv_full
+        |FROM per""".stripMargin),
+
+    // LOCF gap fill (last observation carried forward) — the step-
+    // function fill semantics a price/telemetry series wants when
+    // linear interpolation (t3's nearest-2) would invent values between
+    // regime changes. Same gap-local generation discipline as
+    // ops/Interpolate: per (user, 15-min bucket) the closing
+    // observation is an argmax AGGREGATE (ticks collapse map-side);
+    // one lead() window attaches each point's next bucket; missing
+    // buckets are explode(sequence)-generated per gap CARRYING the left
+    // endpoint's close — so the (typically much larger) generated set
+    // flows through a single codegen'd projection and no join, window,
+    // or exchange ever touches it. The explicit-width repartition on
+    // uid alone serves both the (uid, bucket) aggregate and the uid
+    // window on ONE exchange, and keeps AQE from under-sizing the
+    // explode stage (same rationale as Interpolate.densify). Grid
+    // bounds are per-user [first, last] observed bucket, so LOCF never
+    // extrapolates past either end. Oracle spells the same fill as
+    // a grid anti-shape LEFT JOIN + IGNORE NULLS window — a deliberately
+    // different formulation.
+    "t12_locf_fill" -> Q(
+      (s, dir) => {
+        val width = s.sessionState.conf.numShufflePartitions
+        val pts = Tables.events(s, dir)
+          .select(col("user_id").cast("int").as("uid"),
+            expr("unix_micros(ts) div 900000000").as("bucket"),
+            col("ts"), col("event_id"), col("value"))
+          .repartition(width, col("uid"))
+          .groupBy(col("uid"), col("bucket"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+        val w = Window.partitionBy(col("uid")).orderBy(col("bucket"))
+        val filled = pts
+          .withColumn("nxt", lead(col("bucket"), 1).over(w))
+          .filter(col("nxt").isNotNull && col("nxt") - col("bucket") >= 2)
+          .select(col("uid"),
+            explode(sequence(col("bucket") + 1, col("nxt") - 1)).as("bucket"),
+            col("close"), lit(true).as("is_filled"))
+        pts.select(col("uid"), col("bucket"), col("close"),
+            lit(false).as("is_filled"))
+          .unionByName(filled)
+          .orderBy(col("uid"), col("bucket"))
+      },
+      """WITH e AS (
+        |  SELECT CAST(user_id AS INT) AS uid,
+        |         epoch_us(ts) // 900000000 AS bucket, ts, event_id, value
+        |  FROM events),
+        |r AS (SELECT uid, bucket, value,
+        |        ROW_NUMBER() OVER (PARTITION BY uid, bucket
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM e),
+        |p AS (SELECT uid, bucket, value AS close FROM r WHERE rn = 1),
+        |b AS (SELECT uid, MIN(bucket) AS mn, MAX(bucket) AS mx FROM p GROUP BY uid),
+        |grid AS (SELECT uid, UNNEST(generate_series(mn, mx)) AS bucket FROM b),
+        |j AS (SELECT g.uid, g.bucket, p.close, p.uid IS NOT NULL AS has
+        |      FROM grid g LEFT JOIN p ON g.uid = p.uid AND g.bucket = p.bucket)
+        |SELECT uid, bucket,
+        |  last_value(close IGNORE NULLS) OVER (
+        |    PARTITION BY uid ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+        |  NOT has AS is_filled
+        |FROM j ORDER BY uid, bucket""".stripMargin))
 }

@@ -449,6 +449,106 @@ object Text {
         |FROM t GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY df DESC, term""".stripMargin),
 
+    // Per-document top-k TF-IDF terms — the keyword/feature-extraction
+    // pass that turns the inverted index's corpus statistics into
+    // per-document representations (BM25's sibling: x_bm25 scores docs
+    // against ONE query; this extracts each doc's most distinctive
+    // terms). Plan: one explode → (doc, term) tf aggregate, materialized
+    // via [[graft.ops.PlanCache]] — its subtree feeds three consumers
+    // (the scored rows, the term-keyed df aggregate, the one-row n_docs
+    // probe) whose differing column pruning defeats ReuseExchange, so
+    // without the cache the corpus would be scanned+exploded three
+    // times (verified in the formatted plan). df is vocabulary-sized →
+    // broadcast back onto the doc-term rows; n_docs is a one-row
+    // broadcast. Top-3 per doc is a row_number ≤ k filter — Spark plans
+    // WindowGroupLimit, so each doc keeps a 3-row heap instead of
+    // sorting its full term list. ln() drifts a ulp between libms, so
+    // the score is round(…, 6) (the x_bm25 discipline) and ranking uses
+    // the ROUNDED score with a term tie-break — rank and value both
+    // engine-portable.
+    "x_tfidf" -> Q(
+      (s, dir) => {
+        val tf = graft.ops.PlanCache.materialized(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf")))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // every doc yields ≥1 token (split('') = ['']), so the distinct
+        // doc count of the pair frame IS the corpus document count
+        val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+
+    // Tokenizer vocabulary coverage / OOV-rate profiling — given a
+    // corpus-derived vocabulary (top-64 tokens by total frequency,
+    // frequency-then-token ordered so the cut is deterministic), the
+    // fraction of each document's token INSTANCES outside it. The
+    // out-of-vocabulary rate is the first statistic a tokenizer/vocab
+    // decision consults, and the shape generalizes to any fixed vocab
+    // (BPE merges, SentencePiece exports). Plan: vocabulary = term-keyed
+    // count agg → top-64 via TakeOrderedAndProject (driver-bounded heap,
+    // never a full sort) → collapsed to ONE 64-element array row that
+    // broadcasts onto the documents scan, where a higher-order filter
+    // counts each row's misses in place — the probe pass is a
+    // zero-shuffle map stage (no explode, no doc-keyed exchange; the
+    // exploded-join spelling would shuffle every token instance). The
+    // oracle deliberately keeps that heavier unnest+join formulation.
+    // At 100 TB the vocab stays 64 rows whatever the corpus.
+    "x_oov_rate" -> Q(
+      (s, dir) => {
+        val vocabArr = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(64)
+          .agg(collect_list(col("term")).as("v"))
+        Tables.documents(s, dir)
+          .crossJoin(broadcast(vocabArr))
+          .withColumn("t", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            expr("size(filter(t, x -> NOT array_contains(v, x)))")
+              .cast("long").as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        |    ORDER BY n DESC, term LIMIT 64)),
+        |j AS (SELECT t.doc_id, v.term IS NOT NULL AS in_vocab
+        |      FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS n_oov,
+        |  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Fuzzy record linkage — the edit-distance flavor of near-matching
     // (titles, names, URLs), complementary to the set-similarity dedup
     // family below: candidates block on the first token (the shuffle
