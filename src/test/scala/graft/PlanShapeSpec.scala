@@ -24,11 +24,12 @@ class PlanShapeSpec extends SparkTestBase {
     // x_ann_brute: exact baseline scores corpus × (broadcast) queries;
     // x_ann_ivf: quantizer assignment scores corpus × (broadcast)
     // codebook; x_bm25 / x_lm_score / x_dataset_card: corpus ×
-    // (broadcast) ONE-ROW statistics frame. All broadcast a
-    // constant-size side; everything else must plan hash/sort-merge
-    // joins.
+    // (broadcast) ONE-ROW statistics frame; x_tfidf: pair frame ×
+    // (broadcast) one-row n_docs; x_oov_rate: documents × (broadcast)
+    // one-row vocab array. All broadcast a constant-size side;
+    // everything else must plan hash/sort-merge joins.
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
-      "x_lm_score", "x_dataset_card")
+      "x_lm_score", "x_dataset_card", "x_tfidf", "x_oov_rate")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -143,6 +144,41 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlanString("x_ngram_lm")
     assert(plan.contains("TakeOrderedAndProject"),
       "x_ngram_lm lost its top-k heap — global sort planned instead")
+  }
+
+  test("TF-IDF top-k per doc plans a WindowGroupLimit heap") {
+    // row_number ≤ 3 must push a per-group 3-row heap below the window;
+    // losing it means every doc's full term list is sorted
+    assert(executedPlanString("x_tfidf").contains("WindowGroupLimit"),
+      "x_tfidf lost its WindowGroupLimit")
+  }
+
+  test("funnel collapses to user grain with no window or sort stage") {
+    // the funnel verdict is conditional MINs + a projection; a Window
+    // or per-user sort would mean events stopped collapsing map-side
+    val plan = executedPlanString("a22_funnel")
+    assert(!plan.contains("Window"), "a22_funnel planned a window")
+    assert(plan.contains("HashAggregate"),
+      "a22_funnel lost its hash-aggregate collapse")
+  }
+
+  test("LOCF fill runs its aggregate and window on one explicit-width exchange") {
+    // the uid repartition must stay user-specified (AQE-exempt: the
+    // explode above it amplifies 7:1) and no requirement-inserted hash
+    // exchange may appear — hash(uid) satisfies both the (uid, bucket)
+    // aggregate and the uid window
+    val plan = executedPlanString("t12_locf_fill")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "t12_locf_fill lost the explicit-width uid repartition")
+    val inserted = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(inserted == 0,
+      s"t12_locf_fill planned $inserted requirement-inserted hash exchanges")
+  }
+
+  test("OOV probe keeps the vocabulary as a driver heap, not a sort") {
+    assert(executedPlanString("x_oov_rate").contains("TakeOrderedAndProject"),
+      "x_oov_rate lost its top-64 vocab heap")
   }
 
   test("incremental merge re-aggregates state tables, not raw slices") {
