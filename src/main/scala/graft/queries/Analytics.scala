@@ -910,5 +910,65 @@ object Analytics {
         |    PARTITION BY uid ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
         |  NOT has AS is_filled
-        |FROM j ORDER BY uid, bucket""".stripMargin))
+        |FROM j ORDER BY uid, bucket""".stripMargin),
+
+    // Market-basket co-occurrence with lift — frequent-itemset mining's
+    // first pass (parts ordered together, scored by how far their joint
+    // frequency exceeds independence). Scale shape: the basket
+    // self-join keys on l_orderkey, so BOTH sides shuffle on the same
+    // key (identical subtrees — ReuseExchange materializes the basket
+    // frame once) and the quadratic blow-up is bounded by BASKET size
+    // (TPC-H ~7 lines/order → ≤21 pairs), never corpus size — the same
+    // bounded-block discipline as x_fuzzy_match. Pair counts partial-
+    // aggregate map-side on (part_a, part_b); top-25 by support is a
+    // driver heap (TakeOrderedAndProject); per-part counts and the
+    // one-row order total attach AFTER the cut, joining dimension-sized
+    // frames to 25 rows. All scores are exact integer ratios evaluated
+    // in double (products < 2⁵³) — bit-identical in any engine.
+    "j16_basket_pairs" -> Q(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val itemCnt = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        val top = b.as("a")
+          .join(b.as("bb"),
+            col("a.l_orderkey") === col("bb.l_orderkey") &&
+              col("a.l_partkey") < col("bb.l_partkey"))
+          .select(col("a.l_partkey").as("part_a"), col("bb.l_partkey").as("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("pair_n"))
+          .orderBy(col("pair_n").desc, col("part_a"), col("part_b"))
+          .limit(25)
+        top
+          .join(itemCnt.withColumnRenamed("l_partkey", "part_a")
+            .withColumnRenamed("cnt", "cnt_a"), Seq("part_a"))
+          .join(itemCnt.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("cnt", "cnt_b"), Seq("part_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("part_a"), col("part_b"), col("pair_n"),
+            col("cnt_a"), col("cnt_b"), col("n_orders"),
+            (col("pair_n").cast("double") / col("n_orders")).as("support"),
+            ((col("pair_n") * col("n_orders")).cast("double") /
+              (col("cnt_a") * col("cnt_b"))).as("lift"))
+          .orderBy(col("pair_n").desc, col("part_a"), col("part_b"))
+      },
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+        |c AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+        |        COUNT(*) AS pair_n
+        |      FROM b a JOIN b bb
+        |        ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+        |      GROUP BY 1, 2),
+        |t AS (SELECT * FROM p ORDER BY pair_n DESC, part_a, part_b LIMIT 25)
+        |SELECT t.part_a, t.part_b, t.pair_n, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  n.n_orders,
+        |  CAST(t.pair_n AS DOUBLE) / n.n_orders AS support,
+        |  CAST(t.pair_n * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt) AS lift
+        |FROM t
+        |JOIN c ca ON t.part_a = ca.l_partkey
+        |JOIN c cb ON t.part_b = cb.l_partkey
+        |CROSS JOIN n
+        |ORDER BY pair_n DESC, part_a, part_b""".stripMargin))
 }

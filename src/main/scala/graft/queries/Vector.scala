@@ -516,6 +516,52 @@ object Vector {
         |  list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)),
         |    (acc, x) -> acc + x) AS rev_dot
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // Distributed Gram matrix (XᵀX) of the embedding matrix — the
+    // reduction under PCA / covariance / whitening: every (i ≤ j) dim
+    // pair's Σ over rows, as d·(d+1)/2 output rows. Cross-ROW float
+    // summation is order-dependent (unlike the per-row fixed-order
+    // folds of cosine/rev_dot), so exactness comes from FIXED-POINT
+    // QUANTIZATION: each element maps to round(x·2²⁰) — a bigint,
+    // since scaling a float by a power of two is exact in double and
+    // both engines round ties away from zero — and the pair products
+    // accumulate as DECIMAL(38,0) integers (order-free, exact at any
+    // parallelism and any corpus size; a plain int64 sum would
+    // overflow near 10⁹ rows). The result rescales by 2⁻⁴⁰ at the
+    // end. Plan: per-row pair generation is one higher-order
+    // projection (no join against a dims table), the only exchange
+    // carries (i, j) partial sums — 2 080 rows per task whatever the
+    // corpus — and the explode's 2080× amplification happens map-side
+    // below partial aggregation, so nothing row-amplified ever
+    // shuffles.
+    "x_gram_matrix" -> Q(
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(expr(
+            """explode(flatten(transform(sequence(1, 64), i ->
+              |  transform(sequence(i, 64), j -> struct(
+              |    i AS i, j AS j,
+              |    cast(round(cast(element_at(embedding, i) AS double) * 1048576.0d) AS bigint)
+              |      * cast(round(cast(element_at(embedding, j) AS double) * 1048576.0d) AS bigint)
+              |      AS p)))))""".stripMargin).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("p").cast("decimal(38,0)")).as("sq"))
+          .select(col("i"), col("j"),
+            (col("sq").cast("double") / lit(1099511627776.0d)).as("gram"))
+          .orderBy(col("i"), col("j")),
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |d AS (SELECT UNNEST(range(1, 65)) AS i),
+        |pr AS (SELECT di.i AS i, dj.i AS j FROM d di, d dj WHERE dj.i >= di.i),
+        |prod AS (SELECT pr.i, pr.j,
+        |           CAST(q.q[pr.i] * q.q[pr.j] AS DECIMAL(38,0)) AS p
+        |         FROM q CROSS JOIN pr)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(SUM(p) AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS gram
+        |FROM prod GROUP BY i, j ORDER BY i, j""".stripMargin)
   )
 }
