@@ -970,5 +970,38 @@ object Analytics {
         |JOIN c ca ON t.part_a = ca.l_partkey
         |JOIN c cb ON t.part_b = cb.l_partkey
         |CROSS JOIN n
-        |ORDER BY pair_n DESC, part_a, part_b""".stripMargin))
+        |ORDER BY pair_n DESC, part_a, part_b""".stripMargin),
+
+    // Event-type transition matrix — the Markov first-order view of a
+    // behavior log (what follows what, and with what probability):
+    // lag() pairs each event with its predecessor per user, pairs
+    // aggregate to the |types|² matrix, and each row normalizes by its
+    // outgoing total via a window over the ALREADY-AGGREGATED matrix
+    // rows (the W2 pattern — the window sees ≤16 rows, never the
+    // corpus). One user-keyed shuffle+sort for the lag, one matrix-
+    // keyed aggregate; probabilities are exact bigint ratios in
+    // double.
+    "a23_transition_matrix" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("prev"))))
+          .orderBy(col("prev"), col("next"))
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT prev, event_type AS next, COUNT(*) AS n
+        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+        |FROM m ORDER BY prev, next""".stripMargin))
 }

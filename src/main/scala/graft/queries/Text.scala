@@ -549,6 +549,45 @@ object Text {
         |  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // One BPE training iteration's candidate scoring — the
+    // tokenizer-training primitive: count every adjacent symbol pair
+    // (initial character vocabulary, so a pair is a 2-char substring)
+    // across the corpus and emit the top merge candidates. The classic
+    // BPE trick IS the scale design: the corpus first collapses to its
+    // word-FREQUENCY table (the only corpus-sized aggregate, map-side
+    // partials on the word key), and pair extraction + weighted
+    // counting run over the VOCABULARY — at 100 TB the pair stage's
+    // input is |distinct words|, not |tokens|. Pair occurrences within
+    // a word count once per position (standard BPE), weighted by the
+    // word's corpus frequency; top-20 by (weight, pair) is a driver
+    // heap. All counts integer-exact.
+    "x_bpe_step" -> Q(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        words
+          .filter(length(col("w")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |                               i -> substr(w, i, 2))) AS pair,
+        |         freq
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+
     // Fuzzy record linkage — the edit-distance flavor of near-matching
     // (titles, names, URLs), complementary to the set-similarity dedup
     // family below: candidates block on the first token (the shuffle
