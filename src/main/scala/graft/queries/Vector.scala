@@ -518,6 +518,62 @@ object Vector {
         |    (acc, x) -> acc + x) AS rev_dot
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // Embedding outlier audit — per-label centroid distance, the
+    // data-cleaning pass that surfaces mislabeled / out-of-distribution
+    // vectors before training. Determinism architecture: the ONLY
+    // cross-row float reduction (the centroid mean) runs over
+    // fixed-point 2²⁰ quantized bigints (exact, order-free — the
+    // x_gram_matrix discipline), and every per-vector computation is a
+    // fixed-ascending-order double fold (exact-in-double, like
+    // cosine) — so distances are bit-identical at any parallelism with
+    // NO rounding fudge. Plan: the (label, dim) partial sums are the
+    // only corpus-sized exchange (64·|labels| output rows); centroids
+    // collapse to |labels| array rows that broadcast back onto the
+    // scan; the distance pass is map-only and top-10 is a driver heap.
+    "x_semantic_outliers" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(round(cast(x AS double) * 1048576.0d) AS bigint))")
+            .as("q"))
+        val cent = emb
+          .select(col("label"), posexplode(col("q")).as(Seq("i0", "qi")))
+          .groupBy(col("label"), (col("i0") + 1).as("i"))
+          .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, " +
+              "cast(sm AS double) / (n * 1048576.0d) AS c))), p -> p.c)")
+            .as("cen"))
+        emb.join(broadcast(cent), Seq("label"))
+          .withColumn("dist", sqrt(expr(
+            """aggregate(sequence(1, 64), cast(0.0d AS double), (acc, i) ->
+              |  acc + (cast(element_at(q, i) AS double) / 1048576.0d - element_at(cen, i))
+              |      * (cast(element_at(q, i) AS double) / 1048576.0d - element_at(cen, i)))"""
+              .stripMargin)))
+          .select(col("vec_id"), col("label"), col("dist"))
+          .orderBy(col("dist").desc, col("vec_id"))
+          .limit(10)
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, label, d.i, q[d.i] AS qi
+        |      FROM e, (SELECT UNNEST(range(1, 65)) AS i) d),
+        |s AS (SELECT label, i, CAST(SUM(qi) AS BIGINT) AS sm, COUNT(*) AS n
+        |      FROM x GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |        list(CAST(sm AS DOUBLE) / (n * CAST(1048576 AS DOUBLE)) ORDER BY i) AS cen
+        |      FROM s GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), i ->
+        |    (CAST(e.q[i] AS DOUBLE) / CAST(1048576 AS DOUBLE) - c.cen[i])
+        |    * (CAST(e.q[i] AS DOUBLE) / CAST(1048576 AS DOUBLE) - c.cen[i])),
+        |    (acc, v) -> acc + v)) AS dist
+        |FROM e JOIN c USING (label)
+        |ORDER BY dist DESC, vec_id LIMIT 10""".stripMargin),
+
     // Distributed Gram matrix (XᵀX) of the embedding matrix — the
     // reduction under PCA / covariance / whitening: every (i ≤ j) dim
     // pair's Σ over rows, as d·(d+1)/2 output rows. Cross-ROW float
