@@ -3,8 +3,9 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.{HourlyMicroBatch, IncrementalStream, StatefulOps, StreamDedup}
+import graft.streaming.{FunnelStream, HourlyMicroBatch, IncrementalStream, StatefulOps, StreamDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 /** Structured Streaming formulation of the reference's hourly
   * micro-batch (SURVEY.md §2.10): tumbling-window emission under the
@@ -371,6 +372,64 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSet
       assert(batch === streamed)
+    } finally q.stop()
+  }
+
+  test("streaming funnel state machine matches batch first-touch stages, demotions included") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    def k(n: Int): String = f"$n%020d.0"
+    // (user, step, k): user 1 walks the full funnel across two batches;
+    // user 2's view precedes their signup (first-touch order broken ->
+    // stage caps at 1); user 3 reaches stage 2, then a LATE earlier
+    // view re-orders the first touches and demotes them to stage 1.
+    val batch1 = Seq(
+      (1L, 1, k(10)), (1L, 2, k(20)),
+      (2L, 2, k(10)), (2L, 1, k(20)),
+      (3L, 1, k(10)), (3L, 2, k(20)))
+    val batch2 = Seq(
+      (1L, 3, k(30)), (1L, 4, k(40)),
+      (3L, 2, k(5))) // late data, before user 3's signup
+
+    val in = MemoryStream[(Long, Int, String)]
+    val q = FunnelStream.stageChanges(
+        in.toDF().toDF("user_id", "step", "k"))
+      .writeStream.format("memory").queryName("funnel_changes")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+
+      val changes = spark.table("funnel_changes")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      // change log: every stage transition, at the event that caused
+      // it, versioned per user (the demotion's at_k is OLDER than the
+      // stage-2 row it supersedes — change_seq is what orders the log)
+      assert(changes.toSet === Set(
+        (1L, 1, k(10), 1), (1L, 2, k(20), 2), (1L, 3, k(30), 3), (1L, 4, k(40), 4),
+        (2L, 1, k(20), 1),
+        (3L, 1, k(10), 1), (3L, 2, k(20), 2), (3L, 1, k(5), 3))) // the demotion
+      // latest-wins on change_seq = current stage (the CDC convention)
+      val finalStages = changes.groupBy(_._1).map { case (u, cs) =>
+        u -> cs.maxBy(_._4)._2
+      }
+
+      // batch truth: a22_funnel's first-touch construction on ALL events
+      val all = (batch1 ++ batch2).toDF("user_id", "step", "k")
+      def t(i: Int) = min(when(col("step") === i, col("k"))).as(s"t$i")
+      val batchStages = all.groupBy(col("user_id"))
+        .agg(t(1), t(2), t(3), t(4))
+        .select(col("user_id"),
+          when(col("t1") < col("t2") && col("t2") < col("t3") && col("t3") < col("t4"), 4)
+            .when(col("t1") < col("t2") && col("t2") < col("t3"), 3)
+            .when(col("t1") < col("t2"), 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(finalStages === batchStages)
     } finally q.stop()
   }
 }
