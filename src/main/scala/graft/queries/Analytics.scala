@@ -1003,5 +1003,69 @@ object Analytics {
         |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev, next, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
-        |FROM m ORDER BY prev, next""".stripMargin))
+        |FROM m ORDER BY prev, next""".stripMargin),
+
+    // Two-proportion z-test — experiment readout over an event log
+    // (variant = user-id parity; conversion = HEAVY purchaser, ≥14
+    // purchase events — "any purchase" is degenerate on this fixture,
+    // every user has one, and a pooled rate of 1 makes the z
+    // denominator 0; per-user event volume is scale-invariant in the
+    // generator so the count threshold is stable across sf): the
+    // statistical-inference operator an A/B platform runs thousands of
+    // times a day. Events collapse to user grain map-side (one keyed
+    // exchange carries |users| rows), variants reduce to ONE row of
+    // integer counts, and the entire z computation is a fixed scalar
+    // expression over exact integers — every division/sqrt is one IEEE
+    // double op evaluated in the same order in both engines, so even
+    // the test statistic hash-matches with no tolerance. (1.96 and 1.0
+    // are spelled via CAST in the oracle: DuckDB parses bare decimal
+    // literals as DECIMAL, which would silently shift the arithmetic.)
+    "a24_abtest_ztest" -> Q(
+      (s, dir) => {
+        val per = Tables.events(s, dir)
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("c"))
+          .groupBy(col("user_id"))
+          .agg(when(sum(col("c")) >= 14, 1).otherwise(0).as("conv"))
+          .withColumn("v", pmod(col("user_id"), lit(2)))
+        per.agg(
+            count(when(col("v") === 0, 1)).as("n0"),
+            sum(when(col("v") === 0, col("conv"))).cast("long").as("c0"),
+            count(when(col("v") === 1, 1)).as("n1"),
+            sum(when(col("v") === 1, col("conv"))).cast("long").as("c1"))
+          .withColumn("p0", col("c0").cast("double") / col("n0"))
+          .withColumn("p1", col("c1").cast("double") / col("n1"))
+          .withColumn("z", expr(
+            """(cast(c1 AS double) / n1 - cast(c0 AS double) / n0)
+              |/ sqrt((cast(c0 + c1 AS double) / (n0 + n1))
+              |       * (cast(1 AS double) - cast(c0 + c1 AS double) / (n0 + n1))
+              |       * (cast(1 AS double) / n0 + cast(1 AS double) / n1))"""
+              .stripMargin))
+          .withColumn("significant", abs(col("z")) > lit(1.96d))
+      },
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS v, conv FROM per),
+        |st AS (SELECT
+        |  COUNT(CASE WHEN v = 0 THEN 1 END) AS n0,
+        |  CAST(SUM(CASE WHEN v = 0 THEN conv END) AS BIGINT) AS c0,
+        |  COUNT(CASE WHEN v = 1 THEN 1 END) AS n1,
+        |  CAST(SUM(CASE WHEN v = 1 THEN conv END) AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / n0 AS p0,
+        |  CAST(c1 AS DOUBLE) / n1 AS p1,
+        |  (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) AS z,
+        |  abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
+        |    > CAST(1.96 AS DOUBLE) AS significant
+        |FROM st""".stripMargin))
 }
