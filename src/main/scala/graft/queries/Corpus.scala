@@ -437,6 +437,63 @@ object Corpus {
     // give. Keys round to 9 dp with doc_id tie-break before the top-k,
     // so the ln() ulp risk can't flip the selection boundary. Top-50 is
     // a TakeOrderedAndProject heap, not a sort.
+    // Dataset mixing to a target distribution — applying a mixture
+    // schedule (equal share per language over an 80%-of-corpus budget,
+    // the DoReMi-style static-mix shape): per-language keep rates are
+    // min(1, target/available) — the cap branch is EXERCISED here (en
+    // is over-represented and gets rate < 1; the rarer languages are
+    // fully kept) — and membership is a deterministic hash threshold,
+    // hash60(doc_id) < rate·2⁶⁰ (double × power-of-two, truncating
+    // cast: identical in both engines; no rand(), so the same mix
+    // comes out at any parallelism, the reproducibility contract of
+    // every sampler in this engine). Plan: language counts are a tiny
+    // aggregate broadcast back onto the scan; the keep filter is
+    // map-side; the achieved-mix window sees |languages| rows. At
+    // 100 TB exactly one corpus-sized pass happens.
+    "x_dataset_mix" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val tot = counts.agg(sum(col("n_lang")).as("n_total"),
+          count(lit(1)).as("n_langs"))
+        val plan = counts.crossJoin(broadcast(tot))
+          .withColumn("target_n", expr("(n_total * 4 div 5) div n_langs"))
+          .withColumn("rate",
+            least(lit(1.0d), col("target_n").cast("double") / col("n_lang")))
+          .withColumn("thr",
+            (col("rate") * lit(1152921504606846976.0d)).cast("bigint"))
+        val kept = d
+          .join(broadcast(plan.select(col("lang"), col("thr"))), Seq("lang"))
+          .filter(expr(md5Hash60Spark("doc_id")) < col("thr"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("kept_n"))
+        plan.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_lang"), col("target_n"), col("rate"),
+            coalesce(col("kept_n"), lit(0L)).as("kept_n"))
+          .withColumn("achieved_share", col("kept_n").cast("double") /
+            sum(col("kept_n")).over(Window.partitionBy()).cast("double"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH d AS (SELECT doc_id, lang FROM documents),
+         |c AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+         |             COUNT(*) AS n_langs FROM c),
+         |p AS (SELECT lang, n_lang,
+         |        (n_total * 4 // 5) // n_langs AS target_n,
+         |        least(CAST(1 AS DOUBLE),
+         |              CAST((n_total * 4 // 5) // n_langs AS DOUBLE) / n_lang) AS rate
+         |      FROM c CROSS JOIN t),
+         |p2 AS (SELECT *,
+         |         CAST(rate * CAST(1152921504606846976 AS DOUBLE) AS BIGINT) AS thr
+         |       FROM p),
+         |k AS (SELECT d.lang, COUNT(*) AS kept_n
+         |      FROM d JOIN p2 USING (lang)
+         |      WHERE ${md5Hash60Duck("doc_id")} < thr GROUP BY 1)
+         |SELECT p2.lang, p2.n_lang, p2.target_n, p2.rate,
+         |  COALESCE(k.kept_n, 0) AS kept_n,
+         |  CAST(COALESCE(k.kept_n, 0) AS DOUBLE)
+         |    / CAST(SUM(COALESCE(k.kept_n, 0)) OVER () AS DOUBLE) AS achieved_share
+         |FROM p2 LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin),
+
     "x_weighted_sample" -> Q(
       (s, dir) =>
         Tables.documents(s, dir)
