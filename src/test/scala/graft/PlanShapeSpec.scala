@@ -26,12 +26,13 @@ class PlanShapeSpec extends SparkTestBase {
     // codebook; x_bm25 / x_lm_score / x_dataset_card: corpus ×
     // (broadcast) ONE-ROW statistics frame; x_tfidf: pair frame ×
     // (broadcast) one-row n_docs; x_oov_rate: documents × (broadcast)
-    // one-row vocab array; j16_basket_pairs: 25-row top set ×
-    // (broadcast) one-row order total. All broadcast a constant-size
-    // side; everything else must plan hash/sort-merge joins.
+    // one-row vocab array; j16_basket_pairs / x_dataset_mix: tiny
+    // per-group frame × (broadcast) one-row corpus total. All broadcast
+    // a constant-size side; everything else must plan hash/sort-merge
+    // joins.
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
       "x_lm_score", "x_dataset_card", "x_tfidf", "x_oov_rate",
-      "j16_basket_pairs")
+      "j16_basket_pairs", "x_dataset_mix")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
