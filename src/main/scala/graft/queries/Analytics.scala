@@ -914,28 +914,47 @@ object Analytics {
 
     // Market-basket co-occurrence with lift — frequent-itemset mining's
     // first pass (parts ordered together, scored by how far their joint
-    // frequency exceeds independence). Scale shape: the basket
-    // self-join keys on l_orderkey, so BOTH sides shuffle on the same
-    // key (identical subtrees — ReuseExchange materializes the basket
-    // frame once) and the quadratic blow-up is bounded by BASKET size
-    // (TPC-H ~7 lines/order → ≤21 pairs), never corpus size — the same
-    // bounded-block discipline as x_fuzzy_match. Pair counts partial-
-    // aggregate map-side on (part_a, part_b); top-25 by support is a
-    // driver heap (TakeOrderedAndProject); per-part counts and the
-    // one-row order total attach AFTER the cut, joining dimension-sized
-    // frames to 25 rows. All scores are exact integer ratios evaluated
-    // in double (products < 2⁵³) — bit-identical in any engine.
+    // frequency exceeds independence). Scale shape: lineitems collapse
+    // to per-order part SETS on one l_orderkey exchange (map-side
+    // partial collect_set), and the C(b,2) pair fan-out is a per-row
+    // nested transform + ONE explode — entirely map-side ABOVE the
+    // aggregate, so no self-join exists at all. The join spelling (kept
+    // as the oracle) re-shuffles the basket frame and sort-merges it
+    // against itself — at sf0.1 that only measures ~10% slower (min
+    // warm exec 1.13s vs 1.00s; fixture shuffles are cheap), but at
+    // lake scale it is one extra corpus-sized exchange plus two
+    // corpus-sized sorts that this formulation simply doesn't have.
+    // The quadratic
+    // blow-up is bounded by BASKET size (TPC-H ~7 lines/order → ≤21
+    // pairs), never corpus size — the x_fuzzy_match bounded-block
+    // discipline. Pair counts partial-aggregate map-side on
+    // (part_a, part_b); top-25 by support is a driver heap
+    // (TakeOrderedAndProject); per-part counts and the one-row order
+    // total attach AFTER the cut, joining dimension-sized frames to 25
+    // rows. All scores are exact integer ratios evaluated in double
+    // (products < 2⁵³) — bit-identical in any engine.
     "j16_basket_pairs" -> Q(
       (s, dir) => {
         val b = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
         val itemCnt = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-        val top = b.as("a")
-          .join(b.as("bb"),
-            col("a.l_orderkey") === col("bb.l_orderkey") &&
-              col("a.l_partkey") < col("bb.l_partkey"))
-          .select(col("a.l_partkey").as("part_a"), col("bb.l_partkey").as("part_b"))
+        val baskets = b.groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        // sequence(a, b) counts DOWN when a > b, so 1-part baskets must
+        // yield an empty pair list explicitly (the x_quality_repetition
+        // guard)
+        val top = baskets
+          .select(explode(expr(
+            """CASE WHEN size(parts) >= 2 THEN
+              |  flatten(transform(sequence(1, size(parts) - 1), i ->
+              |    transform(sequence(i + 1, size(parts)), j ->
+              |      struct(element_at(parts, i) AS part_a,
+              |             element_at(parts, j) AS part_b))))
+              |ELSE cast(array() AS array<struct<part_a: bigint, part_b: bigint>>)
+              |END""".stripMargin))
+            .as("p"))
+          .select(col("p.part_a"), col("p.part_b"))
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).as("pair_n"))
           .orderBy(col("pair_n").desc, col("part_a"), col("part_b"))
