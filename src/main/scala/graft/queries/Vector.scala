@@ -518,6 +518,57 @@ object Vector {
         |    (acc, x) -> acc + x) AS rev_dot
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // Hard-negative mining — contrastive-training pair construction:
+    // per anchor (the query set), the top-1 most-similar SAME-label
+    // vector (the positive) and the top-3 most-similar OTHER-label
+    // vectors (the hard negatives — the examples that actually move a
+    // contrastive loss). One window pass does both: rank within
+    // (anchor, same-label?) and keep rank ≤ 1 on the positive side,
+    // ≤ 3 on the negative side — WindowGroupLimit keeps a bounded heap
+    // per (anchor, side) instead of sorting each anchor's full score
+    // list. Scoring reuses the exact fixed-order cosine (VectorOps), so
+    // results are bit-identical; the anchor set broadcasts, corpus
+    // scans once.
+    "x_hard_negative" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id"), col("same"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("same", (col("label") === col("q_label")).cast("int"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(w))
+          .filter((col("same") === 1 && col("rnk") <= 1) ||
+            (col("same") === 0 && col("rnk") <= 3))
+          .withColumn("kind",
+            when(col("same") === 1, "positive").otherwise("hard_neg"))
+          .select(col("q_id"), col("kind"), col("rnk"), col("vec_id"),
+            col("label"), col("cosine"))
+          .orderBy(col("q_id"), col("kind"), col("rnk"))
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id, e.label,
+         |    CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS same,
+         |    ${dCos("q.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id != q.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id, same ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id,
+         |  CASE WHEN same = 1 THEN 'positive' ELSE 'hard_neg' END AS kind,
+         |  rnk, vec_id, label, cosine
+         |FROM r
+         |WHERE (same = 1 AND rnk <= 1) OR (same = 0 AND rnk <= 3)
+         |ORDER BY q_id, kind, rnk""".stripMargin),
+
     // Embedding outlier audit — per-label centroid distance, the
     // data-cleaning pass that surfaces mislabeled / out-of-distribution
     // vectors before training. Determinism architecture: the ONLY
