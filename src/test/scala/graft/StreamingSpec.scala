@@ -432,4 +432,60 @@ class StreamingSpec extends SparkTestBase {
       assert(finalStages === batchStages)
     } finally q.stop()
   }
+
+  test("funnel stream = batch over randomized event logs and batch splits") {
+    // the scenario test above pins one hand-built case; this drives the
+    // operator with random event logs arriving in random order across
+    // random micro-batch splits — late data and demotions arise
+    // naturally — and asserts the CDC-log's latest state per user
+    // always equals the batch first-touch computation. Fixed seed:
+    // reproducible like every randomized differential in this suite.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(20260814L)
+
+    for (trial <- 1 to 5) {
+      val events = (for {
+        u <- 1L to 3L
+        i <- 1 to (8 + rnd.nextInt(12))
+      } yield {
+        val t = rnd.nextInt(100000)
+        (u, 1 + rnd.nextInt(4), f"$t%020d.$u%03d$i%09d")
+      }).toVector
+      val arrival = rnd.shuffle(events)
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = arrival.grouped(
+        math.max(1, arrival.size / nBatches + 1)).toSeq
+
+      val in = MemoryStream[(Long, Int, String)]
+      val sink = s"funnel_prop_$trial"
+      val q = FunnelStream.stageChanges(
+          in.toDF().toDF("user_id", "step", "k"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val changes = spark.table(sink)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+        val streamed = changes.groupBy(_._1).map { case (u, cs) =>
+          u -> cs.maxBy(_._3)._2
+        }
+        def t(i: Int) = min(when(col("step") === i, col("k"))).as(s"t$i")
+        val batchStages = events.toDF("user_id", "step", "k")
+          .groupBy(col("user_id"))
+          .agg(t(1), t(2), t(3), t(4))
+          .select(col("user_id"),
+            when(col("t1") < col("t2") && col("t2") < col("t3") && col("t3") < col("t4"), 4)
+              .when(col("t1") < col("t2") && col("t2") < col("t3"), 3)
+              .when(col("t1") < col("t2"), 2)
+              .when(col("t1").isNotNull, 1)
+              .otherwise(0).as("stage"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // a user emits no change rows iff they never reach stage 1
+        assert(streamed === batchStages.filter(_._2 > 0),
+          s"trial $trial: arrival=$arrival batches=${batches.map(_.size)}")
+      } finally q.stop()
+    }
+  }
 }
