@@ -165,4 +165,140 @@ class AnalyticsInvariantSpec extends SparkTestBase {
       assert(r.getAs[Int]("n_pos") == e.count(_ > 0f))
     }
   }
+
+  test("LOCF fill: contiguous per-user grid, carries the latest preceding close") {
+    val f = run("t12_locf_fill").cache()
+    try {
+      // the grid is exactly [min..max] per uid, no gaps or duplicates
+      val grid = f.groupBy("uid").agg(
+        count(lit(1)).as("n"), countDistinct("bucket").as("nd"),
+        min("bucket").as("mn"), max("bucket").as("mx"))
+      assert(grid.filter(col("n") =!= col("nd") ||
+        col("n") =!= col("mx") - col("mn") + 1).count() == 0,
+        "a user's bucket grid has gaps or duplicates")
+      // every row's close equals the latest ACTUAL close at or before it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("uid").orderBy("bucket")
+        .rowsBetween(Long.MinValue, 0)
+      val carried = f.withColumn("expect",
+        last(when(!col("is_filled"), col("close")), ignoreNulls = true).over(w))
+      assert(carried.filter(col("close") =!= col("expect")).count() == 0,
+        "a filled row does not carry the latest preceding actual close")
+      // boundary rows are never filled (LOCF cannot extrapolate)
+      val edges = f.join(
+        f.groupBy("uid").agg(min("bucket").as("b")), Seq("uid"))
+        .filter(col("bucket") === col("b") && col("is_filled"))
+      assert(edges.count() == 0, "the first bucket of a user is filled")
+    } finally f.unpersist()
+  }
+
+  test("funnel: stage counts are monotone down the funnel") {
+    val r = run("a22_funnel").head()
+    val (u, s1, s2, s3, s4) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_signup"),
+      r.getAs[Long]("n_signup_view"), r.getAs[Long]("n_signup_view_click"),
+      r.getAs[Long]("n_full_funnel"))
+    assert(u >= s1 && s1 >= s2 && s2 >= s3 && s3 >= s4,
+      s"funnel counts not monotone: $u >= $s1 >= $s2 >= $s3 >= $s4")
+    assert(s1 > 0, "fixture should produce signups")
+  }
+
+  test("transition matrix: rows are distributions, transitions count events minus users") {
+    val m = run("a23_transition_matrix").cache()
+    try {
+      val rowSums = m.groupBy("prev").agg(
+        sum(col("p").cast("decimal(28,15)")).cast("double").as("ps"))
+      // each row's probabilities sum to 1 within representation error
+      assert(rowSums.filter(abs(col("ps") - 1.0) > 1e-9).count() == 0,
+        "a transition row does not sum to 1")
+      val total = m.agg(sum("n")).head().getLong(0)
+      val ev = Tables.events(spark, sf).count()
+      val users = Tables.events(spark, sf).select("user_id").distinct().count()
+      assert(total == ev - users,
+        s"transitions $total != events $ev - users $users")
+    } finally m.unpersist()
+  }
+
+  test("gram matrix: diagonal nonnegative, Cauchy-Schwarz holds") {
+    val g = run("x_gram_matrix").cache()
+    try {
+      val diag = g.filter(col("i") === col("j"))
+        .select(col("i"), col("gram")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(diag.size == 64 && diag.values.forall(_ >= 0.0),
+        "diagonal missing entries or negative")
+      // |G(i,j)| <= sqrt(G(i,i) G(j,j)): exact on the quantized sums;
+      // the 2^-40 double rescale can nudge each side ~1 ulp, hence the
+      // relative slack
+      val bad = g.filter(col("i") =!= col("j")).collect().filterNot { r =>
+        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        v * v <= diag(i) * diag(j) * (1.0 + 1e-12)
+      }
+      assert(bad.isEmpty, s"Cauchy-Schwarz violated at ${bad.take(3).mkString(",")}")
+    } finally g.unpersist()
+  }
+
+  test("tfidf: ranks contiguous, rounded scores descend within a doc") {
+    val t = run("x_tfidf").cache()
+    try {
+      val perDoc = t.groupBy("doc_id").agg(
+        count(lit(1)).as("n"), min("rnk").as("rmin"), max("rnk").as("rmax"))
+      assert(perDoc.filter(col("rmin") =!= 1 || col("rmax") =!= col("n") ||
+        col("n") > 3).count() == 0, "ranks not contiguous 1..n<=3")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("rnk")
+      assert(t.withColumn("nxt", lead("score", 1).over(w))
+        .filter(col("nxt") > col("score")).count() == 0,
+        "scores increase down the ranking")
+    } finally t.unpersist()
+  }
+
+  test("hard negatives: positives share the anchor label, negatives never do") {
+    val h = run("x_hard_negative").cache()
+    try {
+      val labels = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val j = h.join(labels, Seq("q_id")).cache()
+      assert(j.filter(col("kind") === "positive")
+        .filter(col("label") =!= col("q_label")).count() == 0,
+        "a positive has a different label than its anchor")
+      assert(j.filter(col("kind") === "hard_neg")
+        .filter(col("label") === col("q_label")).count() == 0,
+        "a hard negative shares the anchor label")
+      val perKind = h.groupBy("q_id", "kind").agg(count(lit(1)).as("n"))
+      assert(perKind.filter(col("kind") === "positive" && col("n") > 1).count() == 0)
+      assert(perKind.filter(col("kind") === "hard_neg" && col("n") > 3).count() == 0)
+    } finally h.unpersist()
+  }
+
+  test("dataset mix: caps respected, rate-1 languages fully kept, shares sum to 1") {
+    val m = run("x_dataset_mix").cache()
+    try {
+      assert(m.filter(col("kept_n") > col("n_lang")).count() == 0,
+        "kept more than available")
+      assert(m.filter(col("rate") === 1.0 && col("kept_n") =!= col("n_lang"))
+        .count() == 0, "a fully-rated language lost documents")
+      // the fixture's en surplus must actually exercise the rate branch
+      assert(m.filter(col("rate") < 1.0).count() >= 1,
+        "no language was rate-limited - the mix is degenerate")
+      val s = m.agg(sum(col("achieved_share").cast("decimal(28,15)"))
+        .cast("double")).head().getDouble(0)
+      assert(math.abs(s - 1.0) < 1e-9, s"achieved shares sum to $s")
+    } finally m.unpersist()
+  }
+
+  test("z-test: variant counts partition users, conversions bounded") {
+    val r = run("a24_abtest_ztest").head()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == users)
+    assert(r.getAs[Long]("c0") <= r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("c1") <= r.getAs[Long]("n1"))
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite,
+      "z must be finite - the conversion definition went degenerate")
+  }
+
+  test("OOV rate: bounded and consistent with token counts") {
+    val o = run("x_oov_rate")
+    assert(o.filter(col("n_oov") > col("n_tokens") ||
+      col("oov_rate") < 0.0 || col("oov_rate") > 1.0).count() == 0)
+  }
 }
