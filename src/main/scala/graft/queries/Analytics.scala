@@ -1024,6 +1024,48 @@ object Analytics {
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
         |FROM m ORDER BY prev, next""".stripMargin),
 
+    // Sliding-window distinct cardinality — rolling 1-hour unique users
+    // per event type at 15-min steps. COUNT(DISTINCT) OVER a sliding
+    // frame doesn't exist as a window function in either engine; the
+    // scalable exact construction buckets first (per-bucket user SETS —
+    // the corpus collapses on one (type, bucket) exchange) and then
+    // unions the trailing 4 buckets' sets per output row, so window
+    // state is bucket-grain, never event-grain. The RANGE frame (not
+    // ROWS) keeps the window time-correct across empty buckets. The
+    // oracle deliberately computes the same counts via a bucket-range
+    // self-join + COUNT(DISTINCT) — a formulation that re-touches
+    // events 4×, kept oracle-side only.
+    "w7_sliding_uniques" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rangeBetween(-3, 0)
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 900000000").as("bucket"), col("user_id"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(collect_set(col("user_id")).as("us"))
+          .withColumn("n_bucket_users", size(col("us")).cast("long"))
+          .withColumn("uniq_hour",
+            size(array_distinct(flatten(collect_list(col("us")).over(w))))
+              .cast("long"))
+          .select(col("event_type"), col("bucket"), col("n_bucket_users"),
+            col("uniq_hour"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 900000000 AS bucket, user_id
+        |  FROM events),
+        |b AS (SELECT DISTINCT event_type, bucket FROM e)
+        |SELECT b.event_type, b.bucket,
+        |  COUNT(DISTINCT CASE WHEN e.bucket = b.bucket THEN e.user_id END)
+        |    AS n_bucket_users,
+        |  COUNT(DISTINCT e.user_id) AS uniq_hour
+        |FROM b JOIN e
+        |  ON e.event_type = b.event_type
+        | AND e.bucket BETWEEN b.bucket - 3 AND b.bucket
+        |GROUP BY b.event_type, b.bucket
+        |ORDER BY b.event_type, b.bucket""".stripMargin),
+
     // Two-proportion z-test — experiment readout over an event log
     // (variant = user-id parity; conversion = HEAVY purchaser, ≥14
     // purchase events — "any purchase" is degenerate on this fixture,
