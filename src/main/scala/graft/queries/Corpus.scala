@@ -51,6 +51,69 @@ object Corpus {
   private val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   private val PhoneRe = "555-[0-9]{3}-[0-9]{4}"
 
+  /** The CCNet-style per-document LM quality scores (x_lm_score's body,
+    * shared with the x_filter_yield threshold sweep — same discipline
+    * as Analytics.ohlcBars: derived queries must exercise the
+    * PRODUCTION scoring, not a re-spelling that can drift). Unordered;
+    * callers add their own presentation sort. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = d.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(i AS pos, element_at(t, i) AS w1,
+          |              element_at(t, i + 1) AS w2))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.w1"), col("g.w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("c2") + 1.0) / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("""round(
+          |  aggregate(
+          |    transform(sort_array(collect_list(struct(pos, lp))), x -> x.lp),
+          |    0D, (acc, x) -> acc + x) / count(1), 6)""".stripMargin)
+          .as("avg_logprob"))
+  }
+
+  /** The [[lmScores]] oracle body (no presentation sort) — shared by
+    * x_lm_score and x_filter_yield so the two oracles cannot drift.
+    * Declared ABOVE `all` (a val referenced from inside `all` that is
+    * declared below it interpolates as "null" — the object-init-order
+    * gotcha). */
+  private val LmScoresSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |             FROM d WHERE len(t) >= 2)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |lps AS (SELECT bi.doc_id, bi.pos,
+      |          ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+      |        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(list_reduce([CAST(0 AS DOUBLE)] || list(lp ORDER BY pos), (acc, x) -> acc + x)
+      |        / COUNT(*), 6) AS avg_logprob
+      |FROM lps GROUP BY doc_id""".stripMargin
+
+  /** x_filter_yield's sweep points, chosen inside the score
+    * distribution (sf0.01 quartiles ≈ −3.42/−3.39/−3.37) so the curve
+    * is non-degenerate; per-document text statistics are
+    * scale-invariant in the generator, so the same points hold at
+    * every sf. */
+  private val YieldThresholds = Seq(-3.45, -3.42, -3.39, -3.36, -3.33)
+
   val all: Map[String, Q] = Map(
 
     // Context-window chunking — the shard-preparation step that splits
@@ -329,49 +392,47 @@ object Corpus {
     // bit-identical at any parallelism and across engines; only the
     // final mean is rounded.
     "x_lm_score" -> Q(
+      (s, dir) => lmScores(s, dir).orderBy("doc_id"),
+      LmScoresSql + "\nORDER BY doc_id"),
+
+    // Filter-threshold yield curve — how a quality cutoff is actually
+    // chosen: for each candidate threshold, the number and share of
+    // documents the filter would keep. Reuses the PRODUCTION scoring
+    // pipeline ([[lmScores]] — a re-spelling could drift), adds one
+    // 1-row aggregate of conditional counts, and explodes it to a
+    // 5-point curve — the sweep costs one extra reduction over the
+    // already-computed scores, nothing corpus-sized. Shares are exact
+    // bigint ratios in double.
+    "x_filter_yield" -> Q(
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 2)
-        val bi = d.select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t) - 1),
-              |  i -> struct(i AS pos, element_at(t, i) AS w1,
-              |              element_at(t, i + 1) AS w2))""".stripMargin)).as("g"))
-          .select(col("doc_id"), col("g.pos"), col("g.w1"), col("g.w2"))
-        val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-        val v = Tables.documents(s, dir)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .agg(countDistinct(col("w")).as("v"))
-        bi.join(c2, Seq("w1", "w2"))
-          .join(c1, Seq("w1"))
-          .crossJoin(broadcast(v))
-          .withColumn("lp",
-            log((col("c2") + 1.0) / (col("c1") + col("v"))))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            expr("""round(
-              |  aggregate(
-              |    transform(sort_array(collect_list(struct(pos, lp))), x -> x.lp),
-              |    0D, (acc, x) -> acc + x) / count(1), 6)""".stripMargin)
-              .as("avg_logprob"))
-          .orderBy("doc_id")
-      },
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bi AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS w1, t[i + 1] AS w2
-        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |             FROM d WHERE len(t) >= 2)),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT w) AS v FROM
-        |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        |lps AS (SELECT bi.doc_id, bi.pos,
-        |          ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
-        |        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  round(list_reduce([CAST(0 AS DOUBLE)] || list(lp ORDER BY pos), (acc, x) -> acc + x)
-        |        / COUNT(*), 6) AS avg_logprob
-        |FROM lps GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        val sc = lmScores(s, dir)
+        val aggs = count(lit(1)).as("n_docs") +:
+          YieldThresholds.zipWithIndex.map { case (t, i) =>
+            count(when(col("avg_logprob") >= t, 1)).as(s"k$i")
+          }
+        sc.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(YieldThresholds.zipWithIndex.map { case (t, i) =>
+            struct(lit(t).as("threshold"), col("n_docs"),
+              col(s"k$i").as("n_kept"),
+              (col(s"k$i").cast("double") / col("n_docs")).as("keep_share"))
+          }: _*)).as("p"))
+          .select("p.*")
+          .orderBy("threshold")
+      }, {
+        val ths = YieldThresholds
+          .map(t => s"CAST($t AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH scores AS ($LmScoresSql),
+           |n AS (SELECT COUNT(*) AS n_docs FROM scores),
+           |t AS (SELECT UNNEST($ths) AS threshold)
+           |SELECT t.threshold, n.n_docs,
+           |  CAST(COUNT(CASE WHEN s.avg_logprob >= t.threshold THEN 1 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(COUNT(CASE WHEN s.avg_logprob >= t.threshold THEN 1 END) AS DOUBLE)
+           |    / n.n_docs AS keep_share
+           |FROM t CROSS JOIN n CROSS JOIN scores s
+           |GROUP BY t.threshold, n.n_docs
+           |ORDER BY threshold""".stripMargin
+      }),
 
     // Dataset card — the summary artifact a released training corpus
     // ships with, as (metric, value) rows: sizes, token volume,
