@@ -41,7 +41,7 @@ object Text {
     * offset and must not use this entry point. */
   private val offCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val off: Long = offCache.computeIfAbsent(dir,
       _ => d.agg(max("doc_id")).head().getLong(0) + 1L)

@@ -32,7 +32,8 @@ class PlanShapeSpec extends SparkTestBase {
     // joins.
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
       "x_lm_score", "x_dataset_card", "x_tfidf", "x_oov_rate",
-      "j16_basket_pairs", "x_dataset_mix", "x_hard_negative")
+      "j16_basket_pairs", "x_dataset_mix", "x_hard_negative",
+      "x_filter_yield")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
