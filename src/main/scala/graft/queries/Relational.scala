@@ -179,6 +179,31 @@ object Relational {
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 1""".stripMargin),
 
+    // Keyset (seek-method) pagination — the page-N read that SURVIVES
+    // scale where OFFSET cannot: OFFSET k·n must produce and discard k
+    // pages before returning one, so deep pages cost O(page·depth);
+    // the seek predicate ((k1, k2) past the previous page's last key)
+    // prunes everything before the cursor AT THE SCAN — the disjunction
+    // reaches parquet as or(gt(l_orderkey,…), and(eq, gt)) in
+    // PushedFilters, row groups below the cursor never decompress —
+    // and the page itself is a TakeOrderedAndProject heap. The cursor
+    // is a literal (a real pager passes the previous page's last key);
+    // (l_orderkey, l_linenumber) is a unique composite, so pages are
+    // gap-free and overlap-free at any parallelism.
+    "o7_keyset_page" -> Q(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") > 100 ||
+            (col("l_orderkey") === 100 && col("l_linenumber") > 3))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(100),
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey > 100 OR (l_orderkey = 100 AND l_linenumber > 3)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+
     // J7 scalar-subquery predicate (fact_gold_price.py:408-412) —
     // exercised through genuine SQL text so Catalyst plans the subquery.
     "j7_scalar_subquery" -> Q(

@@ -488,4 +488,50 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streaming windowed distinct-user counts match batch dedup-then-count") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamUniques.uniquesPerWindow(
+        in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("uniq_win")
+      .outputMode("append").start()
+    try {
+      // window 10:00-10:15: users 1 (twice - must count once), 2;
+      // window 10:15-10:30: users 1, 3
+      val batch = Seq(
+        (1L, ts("2024-01-15 10:01:00")),
+        (1L, ts("2024-01-15 10:07:00")),
+        (2L, ts("2024-01-15 10:14:00")),
+        (1L, ts("2024-01-15 10:16:00")),
+        (3L, ts("2024-01-15 10:29:00")))
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      assert(spark.table("uniq_win").count() === 0) // nothing closed yet
+
+      // 11:10 pushes the watermark (30 min) past 10:30 - both close
+      in.addData((9L, ts("2024-01-15 11:10:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("uniq_win")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toSet
+      assert(streamed === Set(
+        ("2024-01-15 10:00:00.0", 2L),
+        ("2024-01-15 10:15:00.0", 2L)))
+
+      // batch spelling of the same windows over the same events,
+      // restricted to the windows the watermark closed
+      val batchCounts: Set[(String, Long)] = batch.toDF("user_id", "ts")
+        .select(col("user_id"), window(col("ts"), "15 minutes").as("w"))
+        .distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("start"), col("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+        .filter(_._1 < "2024-01-15 10:30").toSet
+      assert(batchCounts === streamed)
+    } finally q.stop()
+  }
 }
