@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def registry: Map[String, Q] =
     Relational.all ++ Gold.all ++ Text.all ++ Vector.all ++ Multimodal.all ++
-      Analytics.all ++ Corpus.all ++ Maintenance.all ++ Streams.all
+      Analytics.all ++ Corpus.all ++ Maintenance.all ++ Streams.all ++ Mining.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

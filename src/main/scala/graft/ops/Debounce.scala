@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chained debounce: per key, in (epoch, id) order, keep a row iff it
+  * is the key's first row or its epoch exceeds the LAST KEPT row's
+  * epoch by more than `gap`. This is the sensor/event-log compaction
+  * rule ("emit at most one reading per cool-down window, measured from
+  * the last emission").
+  *
+  * Unlike gap sessionization ([[Sessionize]]), the predicate references
+  * the previous KEPT row, not the previous row — events at t=0,3,6 with
+  * gap 5 keep {0, 6} (6−0>5) where first-of-gap-island keeps only {0}
+  * (both gaps are 3). That chain makes it inherently sequential: no
+  * window frame or lag() spelling exists, so this is the typed
+  * per-group fold surface (SURVEY §2.11), same discipline as
+  * `Interpolate.densifyTyped` — one shuffle on the key, per-key history
+  * sorted in the task (bounded by per-key retention, the same contract
+  * the interpolation kernel documents).
+  */
+object Debounce {
+
+  /** Returns (key, epoch, id, keep_seq) — kept rows only, keep_seq the
+    * 1-based index of the kept row within its key's chain. */
+  def debounce(df: DataFrame, keyCol: String, epochCol: String,
+      idCol: String, gap: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(epochCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(t => (t._2, t._3))
+        val out = Array.newBuilder[(Long, Long, Long, Int)]
+        var kept = false
+        var lastEpoch = 0L
+        var seq = 0
+        rows.foreach { case (_, ep, id) =>
+          if (!kept || ep - lastEpoch > gap) {
+            kept = true; seq += 1; lastEpoch = ep
+            out += ((k, ep, id, seq))
+          }
+        }
+        out.result().iterator
+      }
+      .toDF(keyCol, epochCol, idCol, "keep_seq")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle census of an undirected simple graph — the third
+  * graph operator next to [[Components]] (connectivity) and
+  * [[PageRank]] (centrality): triangles measure local closure
+  * (community structure, spam/bot subgraphs in a link corpus).
+  *
+  * Scale design: the naive 3-way edge self-join explodes on hubs (a
+  * degree-d node contributes C(d,2) wedges). The standard fix — orient
+  * every edge from its lower-(degree, id) endpoint to its higher one
+  * (Suri & Vassilvitskii, WWW'11 "Counting triangles and the curse of
+  * the last reducer") — bounds every out-degree by O(√E), so the wedge
+  * stage is Σ C(outdeg,2) ≤ O(E^1.5) TOTAL, spread evenly: the hub's
+  * C(d,2) wedges vanish because a hub (maximal key) has out-degree 0.
+  * Both shuffles are edge-sized and keyed (src, then (p,q)); nothing is
+  * ever node-quadratic. Orientation compares native (deg, id) STRUCTS —
+  * no key packing, so 64-bit node ids need no range assumption.
+  */
+object Graph {
+
+  /** One-row census: node/edge/wedge/triangle counts plus the global
+    * clustering coefficient 3·T / wedges. Input edge list may be
+    * directed, duplicated, or contain self-loops — it is canonicalized
+    * (u<v, distinct, loops dropped) first, so callers can feed raw
+    * co-occurrence pairs. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+    // total-order key (deg, id): acyclic orientation lower → higher
+    val dk = deg.select(col("n"), struct(col("deg"), col("n")).as("k"))
+    val oriented = und
+      .join(dk.select(col("n").as("u"), col("k").as("ku")), "u")
+      .join(dk.select(col("n").as("v"), col("k").as("kv")), "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+
+    // wedges at the triangle's minimum-key apex: both out-neighbors
+    // have key > key(src); canonical order p<q by key makes the closing
+    // edge exactly p→q in the oriented set (no direction disjunction).
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+      .select(col("x.dst").as("p"), col("y.dst").as("q"))
+    val nTri = wedges
+      .join(oriented.select(col("src").as("p"), col("dst").as("q")), Seq("p", "q"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val nodesEdges = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(
+        count(lit(1)).as("n_nodes"),
+        // open wedges of the UNORIENTED graph: Σ C(deg, 2)
+        sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges")))
+
+    nodesEdges.crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
+  }
+}

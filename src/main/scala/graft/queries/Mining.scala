@@ -1,0 +1,358 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Debounce, DenseId, Graph}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 mining/curation surface: graph closure (triangles),
+  * sequential per-key state (EWMA, chained debounce), distribution
+  * drift (PSI), marketing attribution (as-of + range join reuse),
+  * positional phrase search, and scalable dense-id assignment. Each
+  * query is value-oracled against DuckDB; float paths use either
+  * fixed-order folds (bit-identical sequential arithmetic) or 2^40
+  * fixed-point quantization before any order-free summation, the
+  * established graft float-determinism disciplines.
+  */
+object Mining {
+  private val Dec = DecimalType(18, 2)
+  private val WeekUs = 604800000000L // 7 days in microseconds
+  private val DebounceGapUs = 43200000000L // 12 h cool-down
+  // 2^40 fixed-point scale for order-free summation of small doubles
+  private val Q40 = "1099511627776.0"
+
+  val all: Map[String, Q] = Map(
+
+    // Triangle census of the part co-purchase graph (edges = parts
+    // sharing an order). Engine: map-side C(b,2) pair generation
+    // (bounded by basket size, no self-join of the fact) + the
+    // degree-ordered orientation in ops/Graph — wedge work is
+    // O(E^1.5) total with no hub blowup (out-degree ≤ O(√E)). The
+    // oracle rebuilds the census from the raw fact with plain
+    // self-joins — a different formulation of both stages.
+    "x_triangles" -> Q(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = b.groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+          .select(explode(expr(
+            """CASE WHEN size(parts) >= 2 THEN
+              |  flatten(transform(sequence(1, size(parts) - 1), i ->
+              |    transform(sequence(i + 1, size(parts)), j ->
+              |      struct(element_at(parts, i) AS u,
+              |             element_at(parts, j) AS v))))
+              |ELSE cast(array() AS array<struct<u: bigint, v: bigint>>)
+              |END""".stripMargin)).as("e"))
+          .select(col("e.u"), col("e.v"))
+        Graph.triangleStats(edges)
+      },
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, bb.p AS v FROM b a
+        |      JOIN b bb ON a.o = bb.o AND a.p < bb.p GROUP BY 1, 2),
+        |d AS (SELECT n, COUNT(*) AS deg
+        |      FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+        |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+        |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dd
+        |      FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+        |w AS (SELECT x.dst AS p, y.dst AS q FROM o x
+        |      JOIN o y ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)),
+        |t AS (SELECT COUNT(*) AS n_triangles FROM w
+        |      JOIN o ON o.src = w.p AND o.dst = w.q)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) AS n_wedges,
+        |       t.n_triangles,
+        |       3.0 * t.n_triangles /
+        |         (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) AS global_cc
+        |FROM t""".stripMargin),
+
+    // Per-user EWMA (α = 1/4 — an exact binary fraction) of event
+    // values in (ts, id) order. EWMA's recurrence reads the previous
+    // OUTPUT, so it is a sequential fold, not a window frame; the fold
+    // runs in collected-array order on both engines (engine: linear
+    // running fold via aggregate(); oracle: quadratic prefix re-folds —
+    // same operation sequence per row, so bit-identical doubles). One
+    // shuffle on user_id; per-key history bounded by retention, the
+    // typed-kernel contract.
+    "t13_ewma" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ep"),
+            col("event_id"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ep"), col("event_id"), col("value")))).as("xs"))
+          .withColumn("ew", expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+              |  array(element_at(xs, 1).value),
+              |  (acc, x) -> concat(acc,
+              |    array(0.25 * x.value + 0.75 * element_at(acc, -1))))""".stripMargin))
+          .select(col("user_id"), posexplode(arrays_zip(col("xs"), col("ew"))))
+          .select(col("user_id"), col("col.xs.ep").as("ep"),
+            col("col.xs.event_id").as("event_id"),
+            col("col.xs.value").as("value"), col("col.ew").as("ewma"))
+          .orderBy(col("user_id"), col("ep"), col("event_id")),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id,
+        |        list_sort(list({'ep': ep, 'event_id': event_id, 'value': value})) AS xs
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT user_id, xs, UNNEST(xs) AS x,
+        |             UNNEST(range(1, len(xs) + 1)) AS i
+        |      FROM g)
+        |SELECT user_id, x.ep AS ep, x.event_id AS event_id, x.value AS value,
+        |  list_reduce(list_transform(xs[1:i], t -> t.value),
+        |              (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+        |FROM r ORDER BY user_id, ep, event_id""".stripMargin),
+
+    // Population-stability-index drift report: the fixture's first time
+    // half is the reference distribution, the second half the current
+    // one; 10 equal-width bins over the reference's value range.
+    // Per-bin PSI terms are doubles from one fixed expression; the
+    // headline total quantizes each term to 2^40 fixed point FIRST
+    // (floor — exact) so the cross-bin sum is order-free integer math,
+    // the x_gram_matrix discipline.
+    "a25_psi_drift" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(unix_micros(col("ts")).as("ep"), col("value"))
+        val mid = ev.agg(expr("min(ep) + (max(ep) - min(ep)) div 2").as("mid"))
+        val halves = ev.crossJoin(broadcast(mid))
+          .select(col("value"), (col("ep") < col("mid")).as("is_ref"))
+        val bounds = halves.filter(col("is_ref"))
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val binned = halves.crossJoin(broadcast(bounds))
+          .select(expr(
+            "least(9, greatest(0, cast(floor(((value - lo) * 10.0) / (hi - lo)) AS int)))")
+            .as("bin"), col("is_ref"))
+          .groupBy(col("bin"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+        val s10 = s.range(10).select(col("id").cast("int").as("bin"))
+        val full = s10.join(binned, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        val tot = full.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+        full.crossJoin(broadcast(tot))
+          .withColumn("p_ref", expr("cast(n_ref AS double) / t_ref"))
+          .withColumn("p_cur", expr("cast(n_cur AS double) / t_cur"))
+          .withColumn("psi_term", expr(
+            "(p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6))"))
+          .withColumn("psi_q", expr(s"cast(floor(psi_term * $Q40) AS bigint)"))
+          .withColumn("psi_total", expr(
+            s"cast(sum(psi_q) over () AS double) / $Q40"))
+          .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+            col("p_cur"), col("psi_term"), col("psi_total"))
+          .orderBy(col("bin"))
+      },
+      s"""WITH e AS (SELECT epoch_us(ts) AS ep, value FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT MIN(ep) + (MAX(ep) - MIN(ep)) // 2 AS mid FROM e),
+         |h AS (SELECT value, ep < m.mid AS is_ref FROM e CROSS JOIN m),
+         |bo AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM h WHERE is_ref),
+         |bi AS (SELECT LEAST(9, GREATEST(0,
+         |         CAST(FLOOR(((value - lo) * 10.0) / (hi - lo)) AS INT))) AS bin,
+         |         is_ref
+         |       FROM h CROSS JOIN bo),
+         |cnt AS (SELECT bin, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         |               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+         |        FROM bi GROUP BY 1),
+         |fb AS (SELECT CAST(r.range AS INT) AS bin,
+         |               CAST(COALESCE(cnt.n_ref, 0) AS BIGINT) AS n_ref,
+         |               CAST(COALESCE(cnt.n_cur, 0) AS BIGINT) AS n_cur
+         |        FROM range(10) r LEFT JOIN cnt ON cnt.bin = r.range),
+         |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM fb),
+         |p AS (SELECT bin, n_ref, n_cur,
+         |        CAST(n_ref AS DOUBLE) / t_ref AS p_ref,
+         |        CAST(n_cur AS DOUBLE) / t_cur AS p_cur
+         |      FROM fb CROSS JOIN tot),
+         |ps AS (SELECT *,
+         |        (p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)) AS psi_term
+         |       FROM p),
+         |q AS (SELECT *, CAST(FLOOR(psi_term * $Q40) AS BIGINT) AS psi_q FROM ps)
+         |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+         |       CAST(SUM(psi_q) OVER () AS DOUBLE) / $Q40 AS psi_total
+         |FROM q ORDER BY bin""".stripMargin),
+
+    // Purchase attribution over the touch log (click/view): last-touch
+    // via the custom backward AS-OF JOIN operator (plans/AsOfJoin —
+    // oracle is DuckDB's native ASOF), linear credit via a user-keyed
+    // 7-day range join. Output stays at purchase grain — per-row credit
+    // expressions are single fixed double expressions, so no cross-row
+    // float summation exists to go nondeterministic.
+    "a26_attribution" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ep"),
+            col("event_type"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ep"), col("value"))
+        val touches0 = ev.filter(col("event_type").isin("click", "view"))
+        val touches = touches0
+          .groupBy(col("user_id").as("t_user"), col("ep").as("t_ep"))
+          .agg(max(col("event_id")).as("t_id"),
+            max_by(col("event_type"), col("event_id")).as("t_type"))
+        val asof = graft.plans.AsOf.joinBackward(purchases, touches,
+          Seq("user_id" -> "t_user"), "ep", "t_ep")
+        val valid = col("t_ep").isNotNull && col("ep") - col("t_ep") <= WeekUs
+        val cnt = purchases.as("p").join(
+            touches0.select(col("user_id").as("c_user"), col("ep").as("c_ep"),
+              col("event_type").as("c_type")),
+            col("p.user_id") === col("c_user") &&
+              col("c_ep") <= col("p.ep") &&
+              col("c_ep") > col("p.ep") - WeekUs)
+          .groupBy(col("p.purchase_id").as("purchase_id"))
+          .agg(sum(when(col("c_type") === "click", 1L).otherwise(0L)).as("nc"),
+            sum(when(col("c_type") === "view", 1L).otherwise(0L)).as("nv"))
+        asof.join(cnt, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"), col("ep"), col("value"),
+            when(valid, col("t_id")).as("last_touch_id"),
+            when(valid, col("t_type")).as("last_touch_type"),
+            when(valid, expr("(ep - t_ep) div 1000000")).as("lookback_s"),
+            coalesce(col("nc"), lit(0L)).as("n_click"),
+            coalesce(col("nv"), lit(0L)).as("n_view"),
+            (coalesce(col("nc"), lit(0L)) + coalesce(col("nv"), lit(0L))).as("n_touches"))
+          .withColumn("credit_click", expr(
+            "CASE WHEN n_touches = 0 THEN NULL ELSE (value * n_click) / n_touches END"))
+          .withColumn("credit_view", expr(
+            "CASE WHEN n_touches = 0 THEN NULL ELSE (value * n_view) / n_touches END"))
+          .orderBy(col("purchase_id"))
+      },
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ep, event_type, value
+         |           FROM events),
+         |p AS (SELECT event_id AS purchase_id, user_id, ep, value FROM e
+         |      WHERE event_type = 'purchase'),
+         |t0 AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+         |t AS (SELECT user_id AS t_user, ep AS t_ep, MAX(event_id) AS t_id,
+         |             arg_max(event_type, event_id) AS t_type
+         |      FROM t0 GROUP BY 1, 2),
+         |a AS (SELECT p.purchase_id, p.user_id, p.ep, p.value,
+         |             t.t_ep, t.t_id, t.t_type
+         |      FROM p ASOF LEFT JOIN t
+         |        ON p.user_id = t.t_user AND p.ep >= t.t_ep),
+         |c AS (SELECT p.purchase_id,
+         |        COUNT(*) FILTER (WHERE t0.event_type = 'click') AS nc,
+         |        COUNT(*) FILTER (WHERE t0.event_type = 'view') AS nv
+         |      FROM p JOIN t0 ON p.user_id = t0.user_id
+         |        AND t0.ep <= p.ep AND t0.ep > p.ep - $WeekUs
+         |      GROUP BY 1)
+         |SELECT a.purchase_id, a.user_id, a.ep, a.value,
+         |  CASE WHEN a.t_ep IS NOT NULL AND a.ep - a.t_ep <= $WeekUs
+         |       THEN a.t_id END AS last_touch_id,
+         |  CASE WHEN a.t_ep IS NOT NULL AND a.ep - a.t_ep <= $WeekUs
+         |       THEN a.t_type END AS last_touch_type,
+         |  CASE WHEN a.t_ep IS NOT NULL AND a.ep - a.t_ep <= $WeekUs
+         |       THEN (a.ep - a.t_ep) // 1000000 END AS lookback_s,
+         |  COALESCE(c.nc, 0) AS n_click,
+         |  COALESCE(c.nv, 0) AS n_view,
+         |  COALESCE(c.nc, 0) + COALESCE(c.nv, 0) AS n_touches,
+         |  CASE WHEN COALESCE(c.nc, 0) + COALESCE(c.nv, 0) = 0 THEN NULL
+         |       ELSE (a.value * COALESCE(c.nc, 0)) / (COALESCE(c.nc, 0) + COALESCE(c.nv, 0))
+         |  END AS credit_click,
+         |  CASE WHEN COALESCE(c.nc, 0) + COALESCE(c.nv, 0) = 0 THEN NULL
+         |       ELSE (a.value * COALESCE(c.nv, 0)) / (COALESCE(c.nc, 0) + COALESCE(c.nv, 0))
+         |  END AS credit_view
+         |FROM a LEFT JOIN c USING (purchase_id)
+         |ORDER BY purchase_id""".stripMargin),
+
+    // Chained 12 h debounce of the event log (ops/Debounce): keep a row
+    // iff its gap since the last KEPT row exceeds the cool-down — a
+    // per-key sequential fold no window spelling can express (the kept
+    // chain is its own state). Oracle: recursive CTE + LATERAL top-1
+    // step, a completely independent iterative formulation.
+    "t14_debounce" -> Q(
+      (s, dir) =>
+        Debounce.debounce(
+          Tables.events(s, dir)
+            .select(col("user_id"), unix_micros(col("ts")).as("ep"), col("event_id")),
+          "user_id", "ep", "event_id", DebounceGapUs)
+          .orderBy(col("user_id"), col("ep")),
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, epoch_us(ts) AS ep, event_id FROM events),
+         |r AS (
+         |  SELECT user_id, ep, event_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                                     ORDER BY ep, event_id) AS rn FROM e)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.ep, n.event_id
+         |  FROM r JOIN LATERAL (
+         |    SELECT user_id, ep, event_id FROM e
+         |    WHERE e.user_id = r.user_id AND e.ep > r.ep + $DebounceGapUs
+         |    ORDER BY ep, event_id LIMIT 1) n ON true)
+         |SELECT user_id, ep, event_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ep, event_id) AS INT)
+         |    AS keep_seq
+         |FROM r ORDER BY user_id, ep""".stripMargin),
+
+    // Corpus-derived phrase occurrence search: the corpus's most
+    // frequent word trigram (deterministic tie-break) becomes the
+    // probe phrase; every document reports its match count and first
+    // position. Engine: map-side trigram generation from the token
+    // array (zero joins — position arithmetic inside one projection),
+    // token-trigram aggregate for the top-1, 1-row broadcast probe.
+    // Oracle spells BOTH stages positionally (zipped UNNEST +
+    // ordinality self-discipline) — a structurally different plan.
+    "x_phrase_search" -> Q(
+      (s, dir) => {
+        val tri = Tables.documents(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 3 THEN
+              |  transform(sequence(1, size(toks) - 2), i ->
+              |    struct(i AS pos,
+              |           concat_ws(' ', toks[i-1], toks[i], toks[i+1]) AS tri))
+              |ELSE cast(array() AS array<struct<pos: int, tri: string>>)
+              |END""".stripMargin)).as("t"))
+          .select(col("doc_id"), col("t.pos").as("pos"), col("t.tri").as("tri"))
+        val top = tri.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tri")).limit(1)
+          .select(col("tri"))
+        tri.join(broadcast(top), "tri")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+          .select(col("doc_id"), col("n_matches"), col("first_pos"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(toks) AS tok, UNNEST(range(1, len(toks) + 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+        |tri AS (
+        |  SELECT a.doc_id, a.pos,
+        |         a.tok || ' ' || b.tok || ' ' || c.tok AS tri
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |best AS (SELECT tri FROM (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY 1)
+        |         ORDER BY cnt DESC, tri LIMIT 1)
+        |SELECT t.doc_id, COUNT(*) AS n_matches, CAST(MIN(t.pos) AS INT) AS first_pos
+        |FROM tri t JOIN best USING (tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Dense contiguous ids for the part "vocabulary", ranked by exact
+    // revenue — ops/DenseId: range-partitioned sort + zipWithIndex
+    // offsets instead of the single-task global ROW_NUMBER window the
+    // oracle (deliberately) uses.
+    "x_dense_ids" -> Q(
+      (s, dir) =>
+        DenseId.assign(
+          Tables.lineitem(s, dir)
+            .groupBy(col("l_partkey"))
+            .agg(sum(col("l_extendedprice").cast(Dec) *
+              (lit(1) - col("l_discount").cast(Dec))).cast("double").as("revenue")),
+          Seq(col("revenue").desc, col("l_partkey")), "dense_id")
+          .orderBy(col("dense_id")),
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, revenue,
+        |  ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey) - 1 AS dense_id
+        |FROM r ORDER BY dense_id""".stripMargin)
+  )
+}

@@ -33,7 +33,10 @@ class PlanShapeSpec extends SparkTestBase {
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
       "x_lm_score", "x_dataset_card", "x_tfidf", "x_oov_rate",
       "j16_basket_pairs", "x_dataset_mix", "x_hard_negative",
-      "x_filter_yield")
+      "x_filter_yield",
+      // r7: one-row stats broadcasts — triangle census (count×count
+      // cross), PSI (midpoint + ref-range + totals singles)
+      "x_triangles", "a25_psi_drift")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
