@@ -18,8 +18,28 @@ import org.apache.spark.sql.functions._
   * Both shuffles are edge-sized and keyed (src, then (p,q)); nothing is
   * ever node-quadratic. Orientation compares native (deg, id) STRUCTS —
   * no key packing, so 64-bit node ids need no range assumption.
+  *
+  * Two physical strategies over the same oriented graph, chosen by
+  * measured edge count (the [[Components]] bytes-aware-cutover
+  * discipline):
+  *  - INTERSECT (edges ≤ [[IntersectMaxEdges]]): per oriented edge
+  *    (u,v), |out(u) ∩ out(v)| — each triangle counted exactly once at
+  *    its (min,mid) edge. The out-adjacency table is edge-sized and
+  *    BROADCAST, so the whole count is one map-side pass over edges:
+  *    no wedge rows ever materialize, no third shuffle. At fixture
+  *    scale this removed the wedge exchange that dominated the query
+  *    (7.8s → see bench).
+  *  - WEDGE JOIN (larger): materialize oriented wedges and semi-join
+  *    the closing edge — the shuffle formulation that needs no
+  *    broadcastable adjacency, i.e. the 100 TB path.
+  * Both paths count the same apex wedges; the spec asserts equality on
+  * random graphs.
   */
 object Graph {
+
+  /** Default cutover: adjacency ≈ 8 B/edge ⇒ ~32 MB broadcast at 4M
+    * edges. Session-overridable via `spark.graft.graph.intersectMaxEdges`. */
+  val IntersectMaxEdges = 4000000L
 
   /** One-row census: node/edge/wedge/triangle counts plus the global
     * clustering coefficient 3·T / wedges. Input edge list may be
@@ -27,11 +47,23 @@ object Graph {
     * (u<v, distinct, loops dropped) first, so callers can feed raw
     * co-occurrence pairs. */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val conf = edges.sparkSession.conf
+    triangleStats(edges,
+      conf.getOption("spark.graft.graph.intersectMaxEdges")
+        .map(_.toLong).getOrElse(IntersectMaxEdges))
+  }
+
+  def triangleStats(edges: DataFrame, intersectMaxEdges: Long): DataFrame = {
     val e0 = edges.toDF("a", "b")
-    val und = e0
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+    // materialized: consumed by the edge count, degree pass, and the
+    // orientation join — without the cut the canonicalization +
+    // distinct would replan/rerun per consumer
+    val und = PlanCache.materialized(e0
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
+    val nEdges = und.count() // cutover decision; reused in the output row
 
     val deg = und.select(col("u").as("n"))
       .unionAll(und.select(col("v").as("n")))
@@ -47,24 +79,38 @@ object Graph {
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
 
-    // wedges at the triangle's minimum-key apex: both out-neighbors
-    // have key > key(src); canonical order p<q by key makes the closing
-    // edge exactly p→q in the oriented set (no direction disjunction).
-    val wedges = oriented.as("x").join(oriented.as("y"),
-        col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
-      .select(col("x.dst").as("p"), col("y.dst").as("q"))
-    val nTri = wedges
-      .join(oriented.select(col("src").as("p"), col("dst").as("q")), Seq("p", "q"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val nTri =
+      if (nEdges <= intersectMaxEdges) {
+        // broadcast out-adjacency; |out(u) ∩ out(v)| per edge, map-side
+        val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+        val emptyNbrs = expr("cast(array() AS array<bigint>)")
+        oriented
+          .join(broadcast(adj.select(col("src").as("p_"), col("nbrs").as("np"))),
+            col("src") === col("p_"))
+          .join(broadcast(adj.select(col("src").as("q_"), col("nbrs").as("nq"))),
+            col("dst") === col("q_"), "left")
+          .select(size(array_intersect(col("np"), coalesce(col("nq"), emptyNbrs))).as("t"))
+          .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+      } else {
+        // wedges at the triangle's minimum-key apex: both out-neighbors
+        // have key > key(src); canonical order p<q by key makes the
+        // closing edge exactly p→q in the oriented set (no direction
+        // disjunction).
+        val wedges = oriented.as("x").join(oriented.as("y"),
+            col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+          .select(col("x.dst").as("p"), col("y.dst").as("q"))
+        wedges
+          .join(oriented.select(col("src").as("p"), col("dst").as("q")), Seq("p", "q"))
+          .agg(count(lit(1)).as("n_triangles"))
+      }
 
-    val nodesEdges = und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(
-        count(lit(1)).as("n_nodes"),
-        // open wedges of the UNORIENTED graph: Σ C(deg, 2)
-        sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges")))
+    val nodesWedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // open wedges of the UNORIENTED graph: Σ C(deg, 2)
+      sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges"))
 
-    nodesEdges.crossJoin(nTri)
-      .select(col("n_nodes"), col("n_edges"),
+    nodesWedges.crossJoin(nTri)
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
         col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
         (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
   }

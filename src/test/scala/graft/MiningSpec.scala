@@ -49,6 +49,18 @@ class MiningSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == expected.toLong)
   }
 
+  test("broadcast-intersect and wedge-join strategies count identically") {
+    val rnd = new scala.util.Random(23)
+    val edges = (for { i <- 0 until 60; j <- (i + 1) until 60 if rnd.nextDouble() < 0.1 }
+      yield (i.toLong, j.toLong)).toDF("a", "b")
+    val viaIntersect = Graph.triangleStats(edges, intersectMaxEdges = Long.MaxValue)
+      .select("n_triangles", "n_wedges").as[(Long, Long)].collect().head
+    val viaWedgeJoin = Graph.triangleStats(edges, intersectMaxEdges = 0L)
+      .select("n_triangles", "n_wedges").as[(Long, Long)].collect().head
+    assert(viaIntersect == viaWedgeJoin)
+    assert(viaIntersect._1 > 0) // non-degenerate fixture
+  }
+
   // ---- DenseId.assign ----
 
   test("dense ids are 0..n-1 in exactly the requested total order, at any parallelism") {
