@@ -114,4 +114,40 @@ object Graph {
         col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
         (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
   }
+
+  /** Bounded-round k-core peel: `rounds` iterations of {degree pass →
+    * drop nodes with degree < k → restrict edges to survivors},
+    * returning each surviving node with its degree in the final
+    * subgraph. With enough rounds this converges to the exact k-core;
+    * a FIXED round count keeps the operator a finite relational
+    * expression (the x_pagerank discipline — the oracle unrolls the
+    * identical rounds), and the returned frame is exact for the
+    * bounded peel either way.
+    *
+    * Scale shape per round: one edge-sized combine-enabled degree
+    * aggregate + two semi-joins on the node-sized survivor set; the
+    * edge frame is re-materialized each round ([[PlanCache]]) so
+    * lineage stays flat — the [[Components]] iteration pattern. Total
+    * work is rounds × O(E); no stage is ever node-quadratic. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    var e = PlanCache.materialized(e0
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n")
+      e = PlanCache.materialized(e
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select("u", "v"))
+    }
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -21,6 +21,31 @@ object Mining {
   // 2^40 fixed-point scale for order-free summation of small doubles
   private val Q40 = "1099511627776.0"
 
+  /** Unrolled DuckDB peel chain for [[x_kcore]] — same rounds as the
+    * engine loop. MATERIALIZED is load-bearing: DuckDB inlines CTEs by
+    * default, and each round references its predecessor 3×, so the
+    * inlined chain re-executes the base ~3^rounds times (measured 150s
+    * → 0.14s at sf0.01). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val ctes = Seq(
+      "b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+      "e0 AS MATERIALIZED (SELECT a.p AS u, bb.p AS v FROM b a " +
+        "JOIN b bb ON a.o = bb.o AND a.p < bb.p GROUP BY 1, 2)") ++
+      (1 to rounds).flatMap { r =>
+        Seq(
+          s"d$r AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) AS deg FROM " +
+            s"(SELECT u AS n FROM e${r - 1} UNION ALL SELECT v AS n FROM e${r - 1}) " +
+            s"GROUP BY 1) WHERE deg >= $k)",
+          s"e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1} " +
+            s"WHERE u IN (SELECT n FROM d$r) AND v IN (SELECT n FROM d$r))")
+      }
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT n AS node, COUNT(*) AS core_deg
+         |FROM (SELECT u AS n FROM e$rounds UNION ALL SELECT v AS n FROM e$rounds)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // Triangle census of the part co-purchase graph (edges = parts
@@ -140,8 +165,10 @@ object Mining {
         full.crossJoin(broadcast(tot))
           .withColumn("p_ref", expr("cast(n_ref AS double) / t_ref"))
           .withColumn("p_cur", expr("cast(n_cur AS double) / t_cur"))
+          // round(…,9) absorbs the ln() last-ulp libm divergence (the
+          // x_bm25 discipline — sf0.1 surfaced exactly one such row)
           .withColumn("psi_term", expr(
-            "(p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6))"))
+            "round((p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)), 9)"))
           .withColumn("psi_q", expr(s"cast(floor(psi_term * $Q40) AS bigint)"))
           .withColumn("psi_total", expr(
             s"cast(sum(psi_q) over () AS double) / $Q40"))
@@ -170,7 +197,7 @@ object Mining {
          |        CAST(n_cur AS DOUBLE) / t_cur AS p_cur
          |      FROM fb CROSS JOIN tot),
          |ps AS (SELECT *,
-         |        (p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)) AS psi_term
+         |        round((p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)), 9) AS psi_term
          |       FROM p),
          |q AS (SELECT *, CAST(FLOOR(psi_term * $Q40) AS BIGINT) AS psi_q FROM ps)
          |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
@@ -332,6 +359,128 @@ object Mining {
         |SELECT t.doc_id, COUNT(*) AS n_matches, CAST(MIN(t.pos) AS INT) AS first_pos
         |FROM tri t JOIN best USING (tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Bounded-round k-core peel of the part co-purchase graph
+    // (ops/Graph.kCore): the dense-community extraction that follows
+    // triangle counting in any graph-mining pipeline. k=70 converges
+    // to the true core within the 4 fixed rounds on this corpus; the
+    // oracle unrolls the identical rounds (the x_pagerank discipline),
+    // so the frame is exact either way.
+    "x_kcore" -> Q(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = b.groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+          .select(explode(expr(
+            """CASE WHEN size(parts) >= 2 THEN
+              |  flatten(transform(sequence(1, size(parts) - 1), i ->
+              |    transform(sequence(i + 1, size(parts)), j ->
+              |      struct(element_at(parts, i) AS u,
+              |             element_at(parts, j) AS v))))
+              |ELSE cast(array() AS array<struct<u: bigint, v: bigint>>)
+              |END""".stripMargin)).as("e"))
+          .select(col("e.u"), col("e.v"))
+        Graph.kCore(edges, k = 70, rounds = 4).orderBy(col("node"))
+      },
+      kcoreOracle(k = 70, rounds = 4)),
+
+    // Top principal component of the embedding corpus: the exact
+    // distributed Gram reduction (x_gram_matrix's 2^20 fixed-point
+    // DECIMAL(38,0) discipline, full 64×64 here) feeds a driver-local
+    // 8-step power iteration (ops/Eigen) — dim² values on the driver,
+    // corpus-sized work distributed, the KMeans broadcast-centroid
+    // split. Every float op is a fixed-order fold and sqrt is IEEE
+    // correctly rounded, so the oracle's recursive-CTE re-execution of
+    // the same sequence is bit-identical with NO rounding fudge.
+    "x_pca_power" -> Q(
+      (s, dir) => {
+        val gramRows = Tables.embeddings(s, dir)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, 64), i ->
+              |  transform(sequence(1, 64), j -> struct(
+              |    i AS i, j AS j,
+              |    cast(round(cast(element_at(embedding, i) AS double) * 1048576.0d) AS bigint)
+              |      * cast(round(cast(element_at(embedding, j) AS double) * 1048576.0d) AS bigint)
+              |      AS p))))""".stripMargin)).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("p").cast("decimal(38,0)")).as("sq"))
+          .select(col("i"), col("j"),
+            (col("sq").cast("double") / lit(1099511627776.0d)).as("g"))
+          .collect()
+        val g = Array.ofDim[Double](64, 64)
+        gramRows.foreach(r =>
+          g(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) = r.getAs[Double]("g"))
+        val (v, eig) = graft.ops.Eigen.power(g, iters = 8)
+        import s.implicits._
+        (1 to 64).map(i => (i, v(i - 1), eig)).toDF("i", "loading", "eigval")
+          .orderBy(col("i"))
+      },
+      """WITH RECURSIVE qv AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |d AS (SELECT UNNEST(range(1, 65)) AS i),
+        |prod AS (SELECT di.i AS i, dj.i AS j,
+        |           CAST(qv.q[di.i] * qv.q[dj.i] AS DECIMAL(38,0)) AS p
+        |         FROM qv CROSS JOIN d di CROSS JOIN d dj),
+        |gr AS (SELECT i, j, CAST(SUM(p) AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS g
+        |       FROM prod GROUP BY i, j),
+        |grow AS (SELECT i, list(g ORDER BY j) AS row FROM gr GROUP BY i),
+        |gm AS (SELECT list(row ORDER BY i) AS m FROM grow),
+        |it AS (
+        |  SELECT 0 AS t, list_transform(range(1, 65), x -> CAST(1 AS DOUBLE) / 64) AS v,
+        |         CAST(0 AS DOUBLE) AS eig
+        |  UNION ALL
+        |  SELECT t + 1, list_transform(w, x -> x / nrm), nrm FROM (
+        |    SELECT t, w,
+        |      sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(w, x -> x * x),
+        |        (a, b) -> a + b)) AS nrm
+        |    FROM (
+        |      SELECT it.t, list_transform(range(1, 65), i ->
+        |        list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), j ->
+        |          gm.m[i][j] * it.v[j]), (a, b) -> a + b)) AS w
+        |      FROM it, gm WHERE it.t < 8)))
+        |SELECT CAST(UNNEST(range(1, 65)) AS INT) AS i, UNNEST(v) AS loading, eig AS eigval
+        |FROM it WHERE t = 8 ORDER BY i""".stripMargin),
+
+    // Per-language robust feature scaling of document lengths:
+    // (x − median) / IQR, the outlier-insensitive normalizer a feature
+    // pipeline applies before training. Group quantiles are exact
+    // interpolations over INTEGER token counts — dyadic fractions of
+    // integers are exact in double under either interpolation spelling,
+    // so native percentile (Spark) and quantile_cont (DuckDB) agree
+    // bit-for-bit (the a12 precedent); language stats broadcast back
+    // onto the map-side scan.
+    "x_robust_scale" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        val st = d.groupBy(col("lang")).agg(
+          expr("percentile(n_tokens, 0.25)").as("q25"),
+          expr("percentile(n_tokens, 0.5)").as("med"),
+          expr("percentile(n_tokens, 0.75)").as("q75"))
+        d.join(broadcast(st), "lang")
+          .withColumn("scaled", expr(
+            "CASE WHEN q75 - q25 = 0 THEN NULL ELSE (n_tokens - med) / (q75 - q25) END"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("med"), col("q25"), col("q75"), col("scaled"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, lang,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |st AS (SELECT lang,
+        |         quantile_cont(n_tokens, 0.25) AS q25,
+        |         quantile_cont(n_tokens, 0.5) AS med,
+        |         quantile_cont(n_tokens, 0.75) AS q75
+        |       FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_tokens, st.med, st.q25, st.q75,
+        |  CASE WHEN st.q75 - st.q25 = 0 THEN NULL
+        |       ELSE (d.n_tokens - st.med) / (st.q75 - st.q25) END AS scaled
+        |FROM d JOIN st USING (lang) ORDER BY d.doc_id""".stripMargin),
 
     // Dense contiguous ids for the part "vocabulary", ranked by exact
     // revenue — ops/DenseId: range-partitioned sort + zipWithIndex

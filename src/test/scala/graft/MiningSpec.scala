@@ -61,6 +61,63 @@ class MiningSpec extends SparkTestBase {
     assert(viaIntersect._1 > 0) // non-degenerate fixture
   }
 
+  // ---- Graph.kCore ----
+
+  test("k-core peel strips pendants and keeps the closed triangle") {
+    // triangle {1,2,3} + chain 3-4-5: 2-core = the triangle, all deg 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = Graph.kCore(edges, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("k-core with k above the max degree empties; k=1 keeps every edge endpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(edges, k = 3, rounds = 3).count() == 0)
+    assert(Graph.kCore(edges, k = 1, rounds = 3).count() == 3)
+  }
+
+  test("bounded peel equals an independent driver-side peel on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val edges = (for { i <- 0 until 50; j <- (i + 1) until 50 if rnd.nextDouble() < 0.12 }
+      yield (i.toLong, j.toLong))
+    val k, rounds = 3
+    // naive reference peel
+    var es = edges.toSet
+    for (_ <- 1 to rounds) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, l) => n -> l.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expected = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, l) => (n, l.size.toLong) }.toSet
+    val got = Graph.kCore(edges.toDF("a", "b"), k, rounds)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  // ---- Eigen.power ----
+
+  test("power iteration finds the dominant eigenpair of a diagonal matrix") {
+    val g = Array(Array(2.0, 0.0), Array(0.0, 1.0))
+    val (v, eig) = graft.ops.Eigen.power(g, iters = 20)
+    assert(math.abs(eig - 2.0) < 1e-6)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-6 && math.abs(v(1)) < 1e-6)
+  }
+
+  test("power iteration is Rayleigh-consistent on a random symmetric matrix") {
+    val rnd = new scala.util.Random(5)
+    val n = 16
+    val a = Array.tabulate(n, n)((_, _) => rnd.nextDouble() - 0.3)
+    val g = Array.tabulate(n, n)((i, j) => a(i)(j) + a(j)(i))
+    val (v, eig) = graft.ops.Eigen.power(g, iters = 60)
+    // Rayleigh quotient of the returned unit vector ≈ returned eigenvalue
+    val gv = Array.tabulate(n)(i => (0 until n).map(j => g(i)(j) * v(j)).sum)
+    val rayleigh = (0 until n).map(i => v(i) * gv(i)).sum
+    assert(math.abs(math.abs(rayleigh) - eig) < 1e-6,
+      s"rayleigh=$rayleigh eig=$eig")
+  }
+
   // ---- DenseId.assign ----
 
   test("dense ids are 0..n-1 in exactly the requested total order, at any parallelism") {
