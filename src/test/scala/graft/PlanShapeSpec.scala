@@ -13,6 +13,25 @@ class PlanShapeSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("dense-id assignment never plans the single-task global window") {
+    // the un-partitioned ROW_NUMBER spelling funnels the whole table
+    // through one task (Spark warns exactly this); DenseId exists to
+    // avoid it — the plan must contain a range exchange and NO window
+    val p = executedPlanString("x_dense_ids")
+    assert(!p.contains("Window"), "x_dense_ids plans a global window")
+  }
+
+  test("sequential per-key folds shuffle exactly once") {
+    // t13/t14's recurrences read their own output — the plan is one
+    // key exchange + an in-task fold; a second data exchange would mean
+    // the fold leaked into a join/window respelling
+    for (name <- Seq("t13_ewma", "t14_debounce")) {
+      val p = executedPlanString(name)
+      val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(dataExchanges == 1, s"$name plans $dataExchanges hash exchanges, expected 1")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!executedPlanString(name).contains("CartesianProduct"),
