@@ -534,4 +534,43 @@ class StreamingSpec extends SparkTestBase {
       assert(batchCounts === streamed)
     } finally q.stop()
   }
+
+  test("debounce stream = batch on in-order feeds over random logs and batch splits") {
+    // the chained cool-down is order-sensitive; for feeds in event-time
+    // order across batches (compacted log replay) the streamed kept set
+    // must equal ops/Debounce exactly — keep_seq included. Random gap,
+    // random per-key logs, random batch boundaries, fixed seed.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(77L)
+
+    for (trial <- 1 to 4) {
+      val gap = 20L + rnd.nextInt(60)
+      val events = (for {
+        k <- 1L to 4L
+        i <- 1 to (10 + rnd.nextInt(20))
+      } yield (k, rnd.nextInt(1000).toLong, (k * 1000 + i).toLong))
+        .sortBy(e => (e._2, e._3)) // in event-time order across batches
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = events.grouped(
+        math.max(1, events.size / nBatches + 1)).toSeq
+
+      val in = MemoryStream[(Long, Long, Long)]
+      val sink = s"debounce_prop_$trial"
+      val q = graft.streaming.StreamDebounce.kept(
+          in.toDF().toDF("k", "ep", "id"), gap)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val streamed = spark.table(sink)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+        val batch = graft.ops.Debounce.debounce(
+            events.toDF("k", "ep", "id"), "k", "ep", "id", gap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+        assert(streamed === batch, s"trial=$trial gap=$gap")
+      } finally q.stop()
+    }
+  }
 }
