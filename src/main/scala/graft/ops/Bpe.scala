@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING loop — the iterative form of
+  * the single-step merge scoring in q:x_bpe_step: greedy rounds of
+  * {score adjacent pairs → pick the best merge → apply it}, exactly
+  * the procedure of Sennrich et al. (ACL'16).
+  *
+  * Scale shape: the corpus collapses ONCE to the word-frequency table
+  * (token-sized → vocabulary-sized, the x_bpe_step discipline); every
+  * round then runs on VOCAB rows only — a combine-enabled pair
+  * aggregate, a driver-side top-1 (two small actions per round, the
+  * KMeans loop split), and a map-side fold applying the merge.
+  * Per-round re-materialization ([[PlanCache]]) keeps lineage flat.
+  *
+  * Merge application is leftmost-first non-overlapping, implemented as
+  * a single left fold over the token list (carry = last unmerged
+  * token): after merging, the merged token becomes the carry and may
+  * merge again with the next token — "aaa" under merge (a,a) yields
+  * ["aa","a"], the reference greedy behavior. The fold is pure string
+  * equality/concat, so any engine re-running the same fold (the DuckDB
+  * oracle's list_reduce unroll) reproduces the vocabulary exactly.
+  */
+object Bpe {
+
+  case class MergeRound(round: Int, left_tok: String, right_tok: String,
+      pair_count: Long, avg_tokens_per_word: Double)
+
+  private def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+
+  /** @param words (word, wf) frequency table
+    * @return the learned merge table, one row per round (pair count at
+    *         selection time + weighted avg tokens/word after applying) */
+  def train(words: DataFrame, rounds: Int): Seq[MergeRound] = {
+    var vocab = PlanCache.materialized(words.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+    (1 to rounds).map { r =>
+      val best = vocab
+        .select(col("wf"), explode(expr(
+          """CASE WHEN size(toks) >= 2
+            |THEN transform(sequence(1, size(toks) - 1), i ->
+            |  concat(element_at(toks, i), chr(1), element_at(toks, i + 1)))
+            |ELSE cast(array() AS array<string>) END""".stripMargin)).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1)
+        .collect().head
+      val Array(bl, br) = best.getAs[String]("pr").split('\u0001')
+      vocab = PlanCache.materialized(vocab.withColumn("toks", expr(
+        s"""aggregate(slice(toks, 2, size(toks) - 1),
+           |  named_struct('o', cast(array() AS array<string>), 'c', element_at(toks, 1)),
+           |  (a, x) -> CASE WHEN a.c = '${esc(bl)}' AND x = '${esc(br)}'
+           |            THEN named_struct('o', a.o, 'c', concat(a.c, x))
+           |            ELSE named_struct('o', concat(a.o, array(a.c)), 'c', x) END,
+           |  r -> concat(r.o, array(r.c)))""".stripMargin)))
+      val avg = vocab
+        .agg((sum(size(col("toks")).cast("long") * col("wf")).cast("double") /
+          sum(col("wf")).cast("double")).as("a"))
+        .collect().head.getDouble(0)
+      MergeRound(r, bl, br, best.getAs[Long]("cnt"), avg)
+    }
+  }
+}

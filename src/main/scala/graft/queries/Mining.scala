@@ -46,7 +46,75 @@ object Mining {
          |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unrolled DuckDB oracle for [[x_bpe_train]] — the identical greedy
+    * rounds (pair scoring, (cnt DESC, pair) top-1, leftmost-first fold
+    * application) as chained MATERIALIZED CTEs. The fold's struct
+    * accumulator {'o' emitted, 'c' carry} is the same machine as the
+    * engine's aggregate() lambda, so vocabularies match exactly. */
+  private def bpeOracle(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr AS pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
+         |    SELECT wf, UNNEST(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || chr(1) || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS pr
+         |    FROM v${r - 1}) GROUP BY 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, cnt, string_split(pair, chr(1))[1] AS bl,
+         |         string_split(pair, chr(1))[2] AS br
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  -- fold with a LIST accumulator whose last element is the
+         |  -- carry (DuckDB 1.0's list_reduce corrupts list fields
+         |  -- inside STRUCT accumulators — {'o': a.o || [a.c], ...}
+         |  -- silently loses prior accumulation)
+         |  SELECT word, wf,
+         |    list_reduce(list_transform(toks, t -> [t]),
+         |      (a, x) -> CASE WHEN a[-1] = b$r.bl AND x[1] = b$r.br
+         |                THEN list_slice(a, 1, len(a) - 1) || [a[-1] || x[1]]
+         |                ELSE a || x END) AS toks
+         |  FROM v${r - 1} CROSS JOIN b$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT CAST(SUM(len(toks) * wf) AS DOUBLE) / CAST(SUM(wf) AS DOUBLE) AS avg_tok
+         |  FROM v$r)""".stripMargin
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, wf,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS toks
+       |  FROM w),
+       |""".stripMargin +
+      (1 to rounds).map(roundCtes).mkString(",\n") +
+      "\nSELECT * FROM (\n" +
+      (1 to rounds).map(r =>
+        s"SELECT $r AS round, b$r.bl AS left_tok, b$r.br AS right_tok, " +
+          s"b$r.cnt AS pair_count, s$r.avg_tok AS avg_tokens_per_word FROM b$r, s$r")
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY round"
+  }
+
   val all: Map[String, Q] = Map(
+
+    // BPE tokenizer training (5 greedy merge rounds) over the corpus
+    // word-frequency table — ops/Bpe. The corpus collapses once to
+    // vocab; each round is vocab-sized (pair aggregate + driver top-1 +
+    // map-side fold), the Sennrich et al. procedure with the KMeans
+    // driver-loop split. The oracle re-executes the identical rounds as
+    // unrolled CTEs; merge application is pure string fold, so the
+    // learned merge table and token statistics match exactly.
+    "x_bpe_train" -> Q(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        val rows = graft.ops.Bpe.train(words, rounds = 5)
+        import s.implicits._
+        rows.toDF().orderBy(col("round"))
+      },
+      bpeOracle(5)),
 
     // Triangle census of the part co-purchase graph (edges = parts
     // sharing an order). Engine: map-side C(b,2) pair generation

@@ -96,6 +96,32 @@ class MiningSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  // ---- Bpe.train ----
+
+  test("BPE training learns the dominant pair and applies it leftmost-first") {
+    // corpus: "abab"×3, "aaa"×2 — round 1 must merge (a,b) (count 6 beats
+    // (b,a)'s 3 and (a,a)'s 2·2→ wait: (a,a) appears twice per "aaa" = 4)
+    val words = Seq(("abab", 3L), ("aaa", 2L)).toDF("word", "wf")
+    val r = graft.ops.Bpe.train(words, rounds = 2)
+    assert(r.head.left_tok == "a" && r.head.right_tok == "b" && r.head.pair_count == 6L)
+    // after merging (a,b): "abab"→[ab,ab] (2 toks), "aaa"→[a,a,a] (3)
+    // weighted avg = (3*2 + 2*3) / 5 = 2.4
+    assert(math.abs(r.head.avg_tokens_per_word - 2.4) < 1e-12)
+    // round 2: remaining pairs — (ab,ab) ×3, (a,a) ×4 → (a,a) wins
+    assert(r(1).left_tok == "a" && r(1).right_tok == "a" && r(1).pair_count == 4L)
+  }
+
+  test("BPE merge application chains through the carry (greedy left-to-right)") {
+    // "aaa" under merge (a,a): leftmost pair merges, the merged token
+    // becomes the carry — ["aa","a"], NOT ["a","aa"]; next round (aa,a)
+    val words = Seq(("aaa", 1L)).toDF("word", "wf")
+    val r = graft.ops.Bpe.train(words, rounds = 2)
+    assert(r.head.left_tok == "a" && r.head.right_tok == "a")
+    assert(r.head.avg_tokens_per_word == 2.0) // ["aa","a"]
+    assert(r(1).left_tok == "aa" && r(1).right_tok == "a")
+    assert(r(1).avg_tokens_per_word == 1.0)
+  }
+
   // ---- Eigen.power ----
 
   test("power iteration finds the dominant eigenpair of a diagonal matrix") {
