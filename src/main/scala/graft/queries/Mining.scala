@@ -97,6 +97,122 @@ object Mining {
 
   val all: Map[String, Q] = Map(
 
+    // Trailing-window anomaly detection: each event scored against the
+    // 20 prior events of ITS OWN key — z = (x − μ_prior)/σ_prior from
+    // exact decimal window moments, one fixed IEEE expression (the
+    // Exact.stddevSampExact construction in a frame). Both windows
+    // share one user-keyed sort; emitted rows are |z| > 3 with their
+    // evidence. The frame excludes the current row, so an anomaly
+    // cannot mask itself.
+    "a28_anomaly" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ep"), col("event_id")).rowsBetween(-20, -1)
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ep"),
+            col("event_id"), col("value"))
+          .withColumn("n", count(col("value")).over(w))
+          .withColumn("sx", sum(col("value").cast(Dec)).over(w).cast("double"))
+          .withColumn("sx2", sum(col("value").cast(Dec) * col("value").cast(Dec))
+            .over(w).cast("double"))
+          .filter(col("n") >= 8)
+          .withColumn("mean_prior", expr("sx / n"))
+          .withColumn("std_prior", expr("sqrt((sx2 - sx * sx / n) / (n - 1))"))
+          .filter(col("std_prior") > 0)
+          .withColumn("z", expr("(value - mean_prior) / std_prior"))
+          .filter(abs(col("z")) > 3)
+          .select(col("user_id"), col("ep"), col("event_id"), col("value"),
+            col("n").as("n_prior"), col("mean_prior"), col("std_prior"), col("z"))
+          .orderBy(col("user_id"), col("ep"), col("event_id"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id, ep, event_id, value,
+        |        COUNT(value) OVER w AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |             OVER w AS DOUBLE) AS sx2
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
+        |                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT *, sx / n AS mean_prior,
+        |         sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_prior
+        |       FROM m WHERE n >= 8),
+        |z AS (SELECT *, (value - mean_prior) / std_prior AS z
+        |      FROM sc WHERE std_prior > 0)
+        |SELECT user_id, ep, event_id, value, n AS n_prior, mean_prior, std_prior, z
+        |FROM z WHERE abs(z) > 3
+        |ORDER BY user_id, ep, event_id""".stripMargin),
+
+    // Holt double-exponential smoothing (level + trend) per key —
+    // t13_ewma's forecasting big sibling: state [l, t] updates
+    // l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t with dyadic-exact
+    // α=1/2, β=1/4; fitted = one-step-ahead forecast l+t of the PRIOR
+    // row. Sequential by construction (state reads its own output):
+    // engine = linear running fold, oracle = quadratic prefix re-folds
+    // over a 2-element LIST state (same operation sequence per row ⇒
+    // bit-identical; list state also dodges DuckDB's struct-accumulator
+    // list_reduce corruption).
+    "t15_holt" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ep"),
+            col("event_id"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ep"), col("event_id"), col("value")))).as("xs"))
+          .withColumn("run", expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+              |  array(array(element_at(xs, 1).value, cast(0.0d AS double))),
+              |  (acc, x) -> concat(acc, array(array(
+              |    0.5 * x.value + 0.5 * (element_at(element_at(acc, -1), 1)
+              |                           + element_at(element_at(acc, -1), 2)),
+              |    0.25 * ((0.5 * x.value + 0.5 * (element_at(element_at(acc, -1), 1)
+              |                                    + element_at(element_at(acc, -1), 2)))
+              |            - element_at(element_at(acc, -1), 1))
+              |      + 0.75 * element_at(element_at(acc, -1), 2)))))""".stripMargin))
+          // one-step-ahead forecast: prior row's l + t (null on the
+          // key's first row) — derived array-side, so exploded rows
+          // never carry the full history
+          .withColumn("fit", expr(
+            """transform(sequence(1, size(xs)), i ->
+              |  CASE WHEN i = 1 THEN cast(null AS double)
+              |  ELSE element_at(element_at(run, i - 1), 1)
+              |       + element_at(element_at(run, i - 1), 2) END)""".stripMargin))
+          .select(col("user_id"), posexplode(arrays_zip(col("xs"), col("run"), col("fit"))))
+          .select(col("user_id"), col("col.xs.ep").as("ep"),
+            col("col.xs.event_id").as("event_id"), col("col.xs.value").as("value"),
+            element_at(col("col.run"), 1).as("level"),
+            element_at(col("col.run"), 2).as("trend"),
+            col("col.fit").as("fitted"))
+          .orderBy(col("user_id"), col("ep"), col("event_id")),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id,
+        |        list_sort(list({'ep': ep, 'event_id': event_id, 'value': value})) AS xs
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT user_id, xs, UNNEST(xs) AS x,
+        |             UNNEST(range(1, len(xs) + 1)) AS i
+        |      FROM g),
+        |f AS (SELECT user_id, x, i,
+        |        list_reduce(list_transform(xs[1:i], t -> [t.value, CAST(0 AS DOUBLE)]),
+        |          (a, v) -> [0.5 * v[1] + 0.5 * (a[1] + a[2]),
+        |                     0.25 * ((0.5 * v[1] + 0.5 * (a[1] + a[2])) - a[1])
+        |                       + 0.75 * a[2]]) AS st,
+        |        CASE WHEN i = 1 THEN NULL ELSE
+        |          list_reduce(list_transform(xs[1:i-1], t -> [t.value, CAST(0 AS DOUBLE)]),
+        |            (a, v) -> [0.5 * v[1] + 0.5 * (a[1] + a[2]),
+        |                       0.25 * ((0.5 * v[1] + 0.5 * (a[1] + a[2])) - a[1])
+        |                         + 0.75 * a[2]]) END AS stp
+        |      FROM r)
+        |SELECT user_id, x.ep AS ep, x.event_id AS event_id, x.value AS value,
+        |  st[1] AS level, st[2] AS trend,
+        |  CASE WHEN i = 1 THEN NULL ELSE stp[1] + stp[2] END AS fitted
+        |FROM f ORDER BY user_id, ep, event_id""".stripMargin),
+
     // BPE tokenizer training (5 greedy merge rounds) over the corpus
     // word-frequency table — ops/Bpe. The corpus collapses once to
     // vocab; each round is vocab-sized (pair aggregate + driver top-1 +

@@ -25,7 +25,7 @@ class PlanShapeSpec extends SparkTestBase {
     // t13/t14's recurrences read their own output — the plan is one
     // key exchange + an in-task fold; a second data exchange would mean
     // the fold leaked into a join/window respelling
-    for (name <- Seq("t13_ewma", "t14_debounce")) {
+    for (name <- Seq("t13_ewma", "t14_debounce", "t15_holt")) {
       val p = executedPlanString(name)
       val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(dataExchanges == 1, s"$name plans $dataExchanges hash exchanges, expected 1")
