@@ -209,7 +209,19 @@ class ScaleToolkitSpec extends SparkTestBase {
       val scans = df.queryExecution.executedPlan.collectLeaves().collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
-      scans.head.metrics("numOutputRows").value
+      // SQL metrics land via the async listener bus — under full-suite
+      // parallel load a read right after count() can see a partial
+      // value (observed once as a spurious failure). Poll until stable.
+      def read() = scans.head.metrics("numOutputRows").value
+      var prev = read()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = read()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
     }
     val blindY = scanned(s"$base/xsorted", "y")  // ~full scan: no stats help
     val zX = scanned(s"$base/zorder", "x")
