@@ -33,10 +33,17 @@ object Bpe {
   /** @param words (word, wf) frequency table
     * @return the learned merge table, one row per round (pair count at
     *         selection time + weighted avg tokens/word after applying) */
-  def train(words: DataFrame, rounds: Int): Seq[MergeRound] = {
+  def train(words: DataFrame, rounds: Int): Seq[MergeRound] =
+    trainWithVocab(words, rounds)._1
+
+  /** [[train]] plus the final encoded vocabulary (word, wf, toks) —
+    * the ENCODE side: a word's final token list under the learned
+    * merges is exactly its training-loop end state, so tokenizing a
+    * corpus is one broadcast join of this vocabulary-sized map. */
+  def trainWithVocab(words: DataFrame, rounds: Int): (Seq[MergeRound], DataFrame) = {
     var vocab = PlanCache.materialized(words.withColumn("toks",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-    (1 to rounds).map { r =>
+    val merges = (1 to rounds).map { r =>
       val best = vocab
         .select(col("wf"), explode(expr(
           """CASE WHEN size(toks) >= 2
@@ -60,5 +67,6 @@ object Bpe {
         .collect().head.getDouble(0)
       MergeRound(r, bl, br, best.getAs[Long]("cnt"), avg)
     }
+    (merges, vocab)
   }
 }

@@ -51,7 +51,7 @@ object Mining {
     * application) as chained MATERIALIZED CTEs. The fold's struct
     * accumulator {'o' emitted, 'c' carry} is the same machine as the
     * engine's aggregate() lambda, so vocabularies match exactly. */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeOracle(rounds: Int, encode: Boolean = false): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT pr AS pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
@@ -87,15 +87,56 @@ object Mining {
        |  FROM w),
        |""".stripMargin +
       (1 to rounds).map(roundCtes).mkString(",\n") +
-      "\nSELECT * FROM (\n" +
-      (1 to rounds).map(r =>
-        s"SELECT $r AS round, b$r.bl AS left_tok, b$r.br AS right_tok, " +
-          s"b$r.cnt AS pair_count, s$r.avg_tok AS avg_tokens_per_word FROM b$r, s$r")
-        .mkString("\nUNION ALL\n") +
-      "\n) ORDER BY round"
+      (if (encode)
+        s"""
+           |, dw AS (SELECT doc_id, word FROM (
+           |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE word <> '')
+           |SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+           |  CAST(n_chars AS DOUBLE) / n_bpe_tokens AS compression
+           |FROM (
+           |  SELECT dw.doc_id, COUNT(*) AS n_words,
+           |    CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+           |    CAST(SUM(len(v$rounds.toks)) AS BIGINT) AS n_bpe_tokens
+           |  FROM dw JOIN v$rounds USING (word) GROUP BY 1)
+           |ORDER BY doc_id""".stripMargin
+      else
+        "\nSELECT * FROM (\n" +
+          (1 to rounds).map(r =>
+            s"SELECT $r AS round, b$r.bl AS left_tok, b$r.br AS right_tok, " +
+              s"b$r.cnt AS pair_count, s$r.avg_tok AS avg_tokens_per_word FROM b$r, s$r")
+            .mkString("\nUNION ALL\n") +
+          "\n) ORDER BY round")
   }
 
   val all: Map[String, Q] = Map(
+
+    // BPE ENCODE — the inference side of x_bpe_train: a word's token
+    // list under the learned merges is exactly its training end state,
+    // so tokenizing the corpus is ONE broadcast join of the
+    // vocabulary-sized (word → tokens) map onto the doc-word pairs —
+    // no per-document merge loop ever runs at corpus scale. Per-doc
+    // report: word/char/BPE-token counts + chars-per-token compression.
+    "x_bpe_encode" -> Q(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        val (_, vocab) = graft.ops.Bpe.trainWithVocab(words, rounds = 5)
+        val wordLens = vocab.select(col("word"), size(col("toks")).as("ntok"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(wordLens), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word")).cast("long")).as("n_chars"),
+            sum(col("ntok").cast("long")).as("n_bpe_tokens"))
+          .withColumn("compression", expr("cast(n_chars AS double) / n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      bpeOracle(5, encode = true)),
 
     // Trailing-window anomaly detection: each event scored against the
     // 20 prior events of ITS OWN key — z = (x − μ_prior)/σ_prior from
