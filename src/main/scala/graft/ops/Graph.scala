@@ -81,15 +81,21 @@ object Graph {
 
     val nTri =
       if (nEdges <= intersectMaxEdges) {
-        // broadcast out-adjacency; |out(u) ∩ out(v)| per edge, map-side
-        val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+        // broadcast SORTED out-adjacency; |out(u) ∩ out(v)| per edge via
+        // the allocation-free two-pointer kernel (fn:ArrayOps — sorting
+        // once per adjacency row amortizes over every edge probing it;
+        // array_intersect would build a hash set + result array per
+        // EDGE, measured as the probe stage's hot loop)
+        val adj = oriented.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         val emptyNbrs = expr("cast(array() AS array<bigint>)")
         oriented
           .join(broadcast(adj.select(col("src").as("p_"), col("nbrs").as("np"))),
             col("src") === col("p_"))
           .join(broadcast(adj.select(col("src").as("q_"), col("nbrs").as("nq"))),
             col("dst") === col("q_"), "left")
-          .select(size(array_intersect(col("np"), coalesce(col("nq"), emptyNbrs))).as("t"))
+          .select(graft.functions.ArrayOps.intersectCount(
+            col("np"), coalesce(col("nq"), emptyNbrs)).as("t"))
           .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
       } else {
         // wedges at the triangle's minimum-key apex: both out-neighbors

@@ -61,6 +61,27 @@ class MiningSpec extends SparkTestBase {
     assert(viaIntersect._1 > 0) // non-degenerate fixture
   }
 
+  // ---- ArrayOps.sortedIntersectCount ----
+
+  test("sorted intersect count equals array_intersect size on random sorted arrays") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { _ =>
+      val a = (1 to 30).map(_ => rnd.nextInt(50).toLong).distinct.sorted
+      val b = (1 to 30).map(_ => rnd.nextInt(50).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        graft.functions.ArrayOps.intersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(e.select(graft.functions.ArrayOps.intersectCount(col("a"), col("b")))
+      .as[Long].head() == 0L)
+  }
+
   // ---- Graph.kCore ----
 
   test("k-core peel strips pendants and keeps the closed triangle") {
