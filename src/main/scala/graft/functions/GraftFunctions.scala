@@ -62,6 +62,10 @@ object GraftFunctions {
       arity(args, 2, "hyperplane_sig")
       HyperplaneSigExpr(args.head, intLit(args, 1, "hyperplane_sig"))
     },
+    "sorted_intersect_count" -> { args =>
+      arity(args, 2, "sorted_intersect_count")
+      SortedIntersectCountExpr(args(0), args(1))
+    },
     "nearest_two_price" -> { args =>
       arity(args, 10, "nearest_two_price")
       NearestTwoPriceExpr(args)

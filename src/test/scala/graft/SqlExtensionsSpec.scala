@@ -82,6 +82,14 @@ class SqlExtensionsSpec extends SparkTestBase {
     assert(r.getLong(2) == wantSig)
   }
 
+  test("sorted_intersect_count evaluates from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L, 7L), array(3L, 4L, 5L)) AS n,
+        |       sorted_intersect_count(array(1L), array(2L)) AS z""".stripMargin).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+  }
+
   test("shape parameters must be integer literals") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
