@@ -47,7 +47,13 @@ object ArrayOps {
 
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  // containsNull = false: getLong on a null slot would read garbage 0s
+  // and silently miscount — nullable-element arrays are rejected at
+  // ANALYSIS instead (the SQL-registered surface is reachable from
+  // arbitrary text; internal adjacency builders produce non-null)
+  override def inputTypes =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

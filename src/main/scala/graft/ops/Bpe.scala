@@ -43,30 +43,42 @@ object Bpe {
   def trainWithVocab(words: DataFrame, rounds: Int): (Seq[MergeRound], DataFrame) = {
     var vocab = PlanCache.materialized(words.withColumn("toks",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-    val merges = (1 to rounds).map { r =>
-      val best = vocab
+    val merges = Seq.newBuilder[MergeRound]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // pair key = (left, right) columns — a separator-concatenated key
+      // would collide with tokens that contain the separator character
+      val top = vocab
         .select(col("wf"), explode(expr(
           """CASE WHEN size(toks) >= 2
             |THEN transform(sequence(1, size(toks) - 1), i ->
-            |  concat(element_at(toks, i), chr(1), element_at(toks, i + 1)))
-            |ELSE cast(array() AS array<string>) END""".stripMargin)).as("pr"))
-        .groupBy(col("pr")).agg(sum(col("wf")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pr")).limit(1)
-        .collect().head
-      val Array(bl, br) = best.getAs[String]("pr").split('\u0001')
-      vocab = PlanCache.materialized(vocab.withColumn("toks", expr(
-        s"""aggregate(slice(toks, 2, size(toks) - 1),
-           |  named_struct('o', cast(array() AS array<string>), 'c', element_at(toks, 1)),
-           |  (a, x) -> CASE WHEN a.c = '${esc(bl)}' AND x = '${esc(br)}'
-           |            THEN named_struct('o', a.o, 'c', concat(a.c, x))
-           |            ELSE named_struct('o', concat(a.o, array(a.c)), 'c', x) END,
-           |  r -> concat(r.o, array(r.c)))""".stripMargin)))
-      val avg = vocab
-        .agg((sum(size(col("toks")).cast("long") * col("wf")).cast("double") /
-          sum(col("wf")).cast("double")).as("a"))
-        .collect().head.getDouble(0)
-      MergeRound(r, bl, br, best.getAs[Long]("cnt"), avg)
+            |  struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))
+            |ELSE cast(array() AS array<struct<l: string, r: string>>) END"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr.l").as("bl"), col("pr.r").as("br"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("bl"), col("br")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is one token: no pairs remain
+      else {
+        val best = top.head
+        val (bl, br) = (best.getAs[String]("bl"), best.getAs[String]("br"))
+        vocab = PlanCache.materialized(vocab.withColumn("toks", expr(
+          s"""aggregate(slice(toks, 2, size(toks) - 1),
+             |  named_struct('o', cast(array() AS array<string>), 'c', element_at(toks, 1)),
+             |  (a, x) -> CASE WHEN a.c = '${esc(bl)}' AND x = '${esc(br)}'
+             |            THEN named_struct('o', a.o, 'c', concat(a.c, x))
+             |            ELSE named_struct('o', concat(a.o, array(a.c)), 'c', x) END,
+             |  r -> concat(r.o, array(r.c)))""".stripMargin)))
+        val avg = vocab
+          .agg((sum(size(col("toks")).cast("long") * col("wf")).cast("double") /
+            sum(col("wf")).cast("double")).as("a"))
+          .collect().head.getDouble(0)
+        merges += MergeRound(r, bl, br, best.getAs[Long]("cnt"), avg)
+        r += 1
+      }
     }
-    (merges, vocab)
+    (merges.result(), vocab)
   }
 }

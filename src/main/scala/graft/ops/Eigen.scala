@@ -25,7 +25,9 @@ object Eigen {
     val n = g.length
     var v = Array.fill(n)(1.0 / n)
     var lastNorm = 0.0
-    for (_ <- 1 to iters) {
+    var it = 0
+    var degenerate = false
+    while (it < iters && !degenerate) {
       val w = Array.tabulate(n) { i =>
         var acc = 0.0
         var j = 0
@@ -36,7 +38,12 @@ object Eigen {
       var i = 0
       while (i < n) { s += w(i) * w(i); i += 1 }
       lastNorm = math.sqrt(s)
-      v = w.map(_ / lastNorm)
+      // a zero (or fully underflowed) matrix maps everything to 0 —
+      // dividing would poison v with NaN; report eigenvalue 0 with the
+      // current direction instead (degenerate inputs only; the Gram of
+      // any non-empty corpus has positive trace)
+      if (lastNorm == 0.0) degenerate = true
+      else { v = w.map(_ / lastNorm); it += 1 }
     }
     (v, lastNorm)
   }

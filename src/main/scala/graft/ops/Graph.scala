@@ -118,7 +118,10 @@ object Graph {
     nodesWedges.crossJoin(nTri)
       .select(col("n_nodes"), lit(nEdges).as("n_edges"),
         col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
-        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
+        // a wedge-free graph (perfect matching) has an undefined
+        // clustering coefficient: NULL, not double 0/0 = NaN
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
   }
 
   /** Bounded-round k-core peel: `rounds` iterations of {degree pass →

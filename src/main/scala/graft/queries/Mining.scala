@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Debounce, DenseId, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -54,15 +55,16 @@ object Mining {
   private def bpeOracle(rounds: Int, encode: Boolean = false): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
-         |  SELECT pr AS pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
+         |  -- pair key as two columns, like the engine: a
+         |  -- separator-concatenated key would collide with tokens
+         |  -- containing the separator character
+         |  SELECT pr.l AS bl, pr.r AS br, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
          |    SELECT wf, UNNEST(CASE WHEN len(toks) >= 2
-         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || chr(1) || toks[i+1])
-         |      ELSE CAST([] AS VARCHAR[]) END) AS pr
-         |    FROM v${r - 1}) GROUP BY 1),
+         |      THEN list_transform(range(1, len(toks)), i -> {'l': toks[i], 'r': toks[i+1]})
+         |      ELSE CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]) END) AS pr
+         |    FROM v${r - 1}) GROUP BY 1, 2),
          |b$r AS MATERIALIZED (
-         |  SELECT pair, cnt, string_split(pair, chr(1))[1] AS bl,
-         |         string_split(pair, chr(1))[2] AS br
-         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |  SELECT bl, br, cnt FROM p$r ORDER BY cnt DESC, bl, br LIMIT 1),
          |v$r AS MATERIALIZED (
          |  -- fold with a LIST accumulator whose last element is the
          |  -- carry (DuckDB 1.0's list_reduce corrupts list fields
@@ -108,6 +110,24 @@ object Mining {
             .mkString("\nUNION ALL\n") +
           "\n) ORDER BY round")
   }
+
+  /** Part co-purchase edge list — shared input of the two graph
+    * queries: distinct C(b,2) part pairs generated MAP-SIDE per order
+    * basket (bounded by basket size; the fact never self-joins). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """CASE WHEN size(parts) >= 2 THEN
+          |  flatten(transform(sequence(1, size(parts) - 1), i ->
+          |    transform(sequence(i + 1, size(parts)), j ->
+          |      struct(element_at(parts, i) AS u,
+          |             element_at(parts, j) AS v))))
+          |ELSE cast(array() AS array<struct<u: bigint, v: bigint>>)
+          |END""".stripMargin)).as("e"))
+      .select(col("e.u"), col("e.v"))
 
   val all: Map[String, Q] = Map(
 
@@ -281,22 +301,7 @@ object Mining {
     // oracle rebuilds the census from the raw fact with plain
     // self-joins — a different formulation of both stages.
     "x_triangles" -> Q(
-      (s, dir) => {
-        val b = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = b.groupBy(col("l_orderkey"))
-          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-          .select(explode(expr(
-            """CASE WHEN size(parts) >= 2 THEN
-              |  flatten(transform(sequence(1, size(parts) - 1), i ->
-              |    transform(sequence(i + 1, size(parts)), j ->
-              |      struct(element_at(parts, i) AS u,
-              |             element_at(parts, j) AS v))))
-              |ELSE cast(array() AS array<struct<u: bigint, v: bigint>>)
-              |END""".stripMargin)).as("e"))
-          .select(col("e.u"), col("e.v"))
-        Graph.triangleStats(edges)
-      },
+      (s, dir) => Graph.triangleStats(coPurchaseEdges(s, dir)),
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, bb.p AS v FROM b a
         |      JOIN b bb ON a.o = bb.o AND a.p < bb.p GROUP BY 1, 2),
@@ -314,8 +319,10 @@ object Mining {
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) AS n_wedges,
         |       t.n_triangles,
-        |       3.0 * t.n_triangles /
-        |         (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) AS global_cc
+        |       CASE WHEN (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) > 0
+        |            THEN 3.0 * t.n_triangles /
+        |              (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d)
+        |       END AS global_cc
         |FROM t""".stripMargin),
 
     // Per-user EWMA (α = 1/4 — an exact binary fraction) of event
@@ -593,20 +600,7 @@ object Mining {
     // so the frame is exact either way.
     "x_kcore" -> Q(
       (s, dir) => {
-        val b = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = b.groupBy(col("l_orderkey"))
-          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-          .select(explode(expr(
-            """CASE WHEN size(parts) >= 2 THEN
-              |  flatten(transform(sequence(1, size(parts) - 1), i ->
-              |    transform(sequence(i + 1, size(parts)), j ->
-              |      struct(element_at(parts, i) AS u,
-              |             element_at(parts, j) AS v))))
-              |ELSE cast(array() AS array<struct<u: bigint, v: bigint>>)
-              |END""".stripMargin)).as("e"))
-          .select(col("e.u"), col("e.v"))
-        Graph.kCore(edges, k = 70, rounds = 4).orderBy(col("node"))
+        Graph.kCore(coPurchaseEdges(s, dir), k = 70, rounds = 4).orderBy(col("node"))
       },
       kcoreOracle(k = 70, rounds = 4)),
 

@@ -143,7 +143,29 @@ class MiningSpec extends SparkTestBase {
     assert(r(1).avg_tokens_per_word == 1.0)
   }
 
+  test("BPE training stops early when no adjacent pairs remain") {
+    // single-character words: zero pairs from round 1 — no crash,
+    // zero merge rows
+    val words = Seq(("a", 3L), ("b", 2L)).toDF("word", "wf")
+    assert(graft.ops.Bpe.train(words, rounds = 3).isEmpty)
+    // one mergeable pair, then exhaustion: exactly one round emitted
+    val w2 = Seq(("ab", 1L)).toDF("word", "wf")
+    val r2 = graft.ops.Bpe.train(w2, rounds = 5)
+    assert(r2.map(m => (m.round, m.left_tok, m.right_tok)) == Seq((1, "a", "b")))
+  }
+
   // ---- Eigen.power ----
+
+  test("power iteration reports eigenvalue 0 on a zero matrix instead of NaN") {
+    val (v, eig) = graft.ops.Eigen.power(Array.fill(3, 3)(0.0), iters = 5)
+    assert(eig == 0.0 && v.forall(x => !x.isNaN))
+  }
+
+  test("triangle census: wedge-free matching reports NULL clustering coefficient") {
+    val m = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(m).collect().head
+    assert(r.getAs[Long]("n_wedges") == 0 && r.isNullAt(r.fieldIndex("global_cc")))
+  }
 
   test("power iteration finds the dominant eigenpair of a diagonal matrix") {
     val g = Array(Array(2.0, 0.0), Array(0.0, 1.0))
