@@ -701,6 +701,47 @@ object Mining {
         |       ELSE (d.n_tokens - st.med) / (st.q75 - st.q25) END AS scaled
         |FROM d JOIN st USING (lang) ORDER BY d.doc_id""".stripMargin),
 
+    // Gini coefficient of revenue concentration across parts — the
+    // inequality/concentration readout (is the corpus dominated by a
+    // few heads?). Revenue collapses to part grain FIRST (fact-sized
+    // work is one combine-enabled aggregate); the rank window then runs
+    // on the vocabulary-sized part frame — the x_domain_cap discipline
+    // for global windows. Σ(i·revᵢ) and Σrev stay exact decimal; the
+    // Gini is one fixed double expression over the two exact sums.
+    "a29_gini" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(Dec) *
+            (lit(1) - col("l_discount").cast(Dec))).as("rev"))
+        rev
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("rev"), col("l_partkey"))).cast("long"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("rev")).as("total_d"),
+            sum(col("rev") * col("i")).as("weighted_d"))
+          .select(col("n").as("n_parts"),
+            col("total_d").cast("double").as("total_rev"),
+            expr("""(2.0 * cast(weighted_d AS double))
+                   |  / (n * cast(total_d AS double))
+                   |  - (n + 1.0) / n""".stripMargin).as("gini"))
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT rev,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY rev, l_partkey) AS BIGINT) AS i
+        |      FROM rev)
+        |SELECT COUNT(*) AS n_parts,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |  (2.0 * CAST(SUM(rev * i) AS DOUBLE))
+        |    / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+        |    - (COUNT(*) + 1.0) / COUNT(*) AS gini
+        |FROM r""".stripMargin),
+
     // Dense contiguous ids for the part "vocabulary", ranked by exact
     // revenue — ops/DenseId: range-partitioned sort + zipWithIndex
     // offsets instead of the single-task global ROW_NUMBER window the
