@@ -145,15 +145,27 @@ object Graph {
         greatest(col("a"), col("b")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    for (_ <- 1 to rounds) {
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val deg = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("n")
-      e = PlanCache.materialized(e
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select("u", "v"))
+      // convergence probe: once no node falls below k, every further
+      // round is the identity — skipping them is value-identical to
+      // running the full bound (the oracle unrolls all of them; an
+      // identity round maps its CTEs through unchanged). One cheap
+      // count per round buys out the remaining passes; a production
+      // peel-to-fixpoint loop needs exactly this probe anyway.
+      if (deg.filter(col("deg") < k).limit(1).count() == 0L) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select("n")
+        e = PlanCache.materialized(e
+          .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select("u", "v"))
+        r += 1
+      }
     }
     e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
