@@ -573,4 +573,58 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("anomaly stream = batch trailing-window z-scores on in-order feeds") {
+    // same moments, same fixed z expression: streamed anomalies must
+    // equal the batch ROWS-frame computation bit-for-bit (z included)
+    // when events arrive in event-time order across batch splits
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(99L)
+
+    for (trial <- 1 to 3) {
+      val events = (for {
+        k <- 1L to 3L
+        i <- 1 to 80
+      } yield {
+        // mostly tame values with occasional spikes so anomalies exist
+        val v = if (rnd.nextInt(12) == 0) 500.0 + rnd.nextInt(100)
+        else 50.0 + rnd.nextInt(10)
+        (k, i.toLong * 10, k * 10000 + i, math.round(v * 100) / 100.0)
+      }).sortBy(e => (e._2, e._3))
+      val batches = events.grouped(
+        math.max(1, events.size / (1 + rnd.nextInt(3)) + 1)).toSeq
+
+      val in = MemoryStream[(Long, Long, Long, Double)]
+      val sink = s"anomaly_prop_$trial"
+      val q = graft.streaming.StreamAnomaly.anomalies(
+          in.toDF().toDF("k", "ep", "id", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val streamed = spark.table(sink)
+          .select("k", "id", "z").as[(Long, Long, Double)].collect().toSet
+
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("ep"), col("id")).rowsBetween(-20, -1)
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val batch = events.toDF("k", "ep", "id", "value")
+          .withColumn("n", count(col("value")).over(w))
+          .withColumn("sx", sum(col("value").cast(dec)).over(w).cast("double"))
+          .withColumn("sx2", sum(col("value").cast(dec) * col("value").cast(dec))
+            .over(w).cast("double"))
+          .filter(col("n") >= 8)
+          .withColumn("mean_prior", expr("sx / n"))
+          .withColumn("std_prior", expr("sqrt((sx2 - sx * sx / n) / (n - 1))"))
+          .filter(col("std_prior") > 0)
+          .withColumn("z", expr("(value - mean_prior) / std_prior"))
+          .filter(abs(col("z")) > 3)
+          .select("k", "id", "z").as[(Long, Long, Double)].collect().toSet
+        assert(streamed === batch, s"trial=$trial")
+        assert(batch.nonEmpty, s"trial=$trial produced no anomalies — weak fixture")
+      } finally q.stop()
+    }
+  }
 }
