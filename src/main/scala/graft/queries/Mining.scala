@@ -701,6 +701,74 @@ object Mining {
         |       ELSE (d.n_tokens - st.med) / (st.q75 - st.q25) END AS scaled
         |FROM d JOIN st USING (lang) ORDER BY d.doc_id""".stripMargin),
 
+    // Zipf-law fit of the token frequency distribution — the corpus
+    // "law diagnostic" (natural text has slope ≈ −1; heavy synthetic
+    // duplication or truncated vocabularies bend it). OLS of ln(freq)
+    // on ln(rank) over the vocabulary: per-row ln terms round to 9 dp
+    // (the libm-ulp discipline), every cross-row sum quantizes to 2^40
+    // fixed point FIRST so the regression moments are order-free
+    // integer math (the PSI/x_gram_matrix discipline); the slope and
+    // intercept are single fixed expressions over the exact sums. The
+    // rank window runs on the vocabulary-sized frame only.
+    "x_zipf_fit" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vocab = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        vocab
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("wf").desc, col("word"))).cast("long"))
+          .select(
+            expr("round(ln(cast(i AS double)), 9)").as("x"),
+            expr("round(ln(cast(wf AS double)), 9)").as("y"))
+          .select(
+            expr(s"cast(floor(x * $Q40) AS bigint)").as("xq"),
+            expr(s"cast(floor(y * $Q40) AS bigint)").as("yq"),
+            expr(s"cast(floor(x * y * $Q40) AS bigint)").as("xyq"),
+            expr(s"cast(floor(x * x * $Q40) AS bigint)").as("xxq"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("yq")).as("sy"), sum(col("xyq")).as("sxy"),
+            sum(col("xxq")).as("sxx"))
+          .withColumn("slope", expr(
+            s"""(n * (cast(sxy AS double) / $Q40) -
+               |  (cast(sx AS double) / $Q40) * (cast(sy AS double) / $Q40))
+               |/ (n * (cast(sxx AS double) / $Q40) -
+               |  (cast(sx AS double) / $Q40) * (cast(sx AS double) / $Q40))"""
+              .stripMargin))
+          .withColumn("intercept", expr(
+            s"""(cast(sy AS double) / $Q40) / n -
+               |  slope * (cast(sx AS double) / $Q40) / n""".stripMargin))
+          .select(col("n").as("n_vocab"), col("slope"), col("intercept"))
+      },
+      s"""WITH w AS (SELECT word, COUNT(*) AS wf FROM (
+         |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |r AS (SELECT round(ln(CAST(ROW_NUMBER() OVER (ORDER BY wf DESC, word) AS DOUBLE)), 9) AS x,
+         |             round(ln(CAST(wf AS DOUBLE)), 9) AS y
+         |      FROM w),
+         |q AS (SELECT CAST(FLOOR(x * $Q40) AS BIGINT) AS xq,
+         |             CAST(FLOOR(y * $Q40) AS BIGINT) AS yq,
+         |             CAST(FLOOR(x * y * $Q40) AS BIGINT) AS xyq,
+         |             CAST(FLOOR(x * x * $Q40) AS BIGINT) AS xxq
+         |      FROM r),
+         |a AS (SELECT COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sx,
+         |             CAST(SUM(yq) AS BIGINT) AS sy, CAST(SUM(xyq) AS BIGINT) AS sxy,
+         |             CAST(SUM(xxq) AS BIGINT) AS sxx
+         |      FROM q),
+         |sl AS (SELECT n AS n_vocab,
+         |         (n * (CAST(sxy AS DOUBLE) / $Q40) -
+         |           (CAST(sx AS DOUBLE) / $Q40) * (CAST(sy AS DOUBLE) / $Q40))
+         |         / (n * (CAST(sxx AS DOUBLE) / $Q40) -
+         |           (CAST(sx AS DOUBLE) / $Q40) * (CAST(sx AS DOUBLE) / $Q40)) AS slope,
+         |         sy, sx, n AS n2
+         |       FROM a)
+         |SELECT n_vocab, slope,
+         |  (CAST(sy AS DOUBLE) / $Q40) / n2 -
+         |    slope * (CAST(sx AS DOUBLE) / $Q40) / n2 AS intercept
+         |FROM sl""".stripMargin),
+
     // Gini coefficient of revenue concentration across parts — the
     // inequality/concentration readout (is the corpus dominated by a
     // few heads?). Revenue collapses to part grain FIRST (fact-sized
