@@ -701,6 +701,49 @@ object Mining {
         |       ELSE (d.n_tokens - st.med) / (st.q75 - st.q25) END AS scaled
         |FROM d JOIN st USING (lang) ORDER BY d.doc_id""".stripMargin),
 
+    // ABC / Pareto classification — a29_gini's actionable sibling:
+    // parts ranked by revenue with exact-decimal cumulative share,
+    // bucketed A (first 80% of revenue), B (to 95%), C (tail). The
+    // running sum is a DECIMAL window (exact, order-pinned by the
+    // unique rank), so shares and class boundaries are deterministic;
+    // the window runs on the part-grain frame, never the fact.
+    "w9_abc_pareto" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(Dec) *
+            (lit(1) - col("l_discount").cast(Dec))).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("cum", sum(col("rev")).over(w))
+          .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+          .withColumn("cum_share", expr("cast(cum AS double) / cast(total AS double)"))
+          .withColumn("abc_class", expr(
+            "CASE WHEN cum_share <= 0.80 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END"))
+          .select(col("l_partkey"), col("rev").cast("double").as("revenue"),
+            col("cum_share"), col("abc_class"))
+          .orderBy(col("cum_share"), col("l_partkey"))
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS total FROM rev),
+        |c AS (SELECT l_partkey, rev,
+        |        SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM rev)
+        |SELECT c.l_partkey, CAST(c.rev AS DOUBLE) AS revenue,
+        |  CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share,
+        |  CASE WHEN CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.80 THEN 'A'
+        |       WHEN CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c CROSS JOIN t
+        |ORDER BY cum_share, l_partkey""".stripMargin),
+
     // Zipf-law fit of the token frequency distribution — the corpus
     // "law diagnostic" (natural text has slope ≈ −1; heavy synthetic
     // duplication or truncated vocabularies bend it). OLS of ln(freq)

@@ -54,8 +54,9 @@ class PlanShapeSpec extends SparkTestBase {
       "j16_basket_pairs", "x_dataset_mix", "x_hard_negative",
       "x_filter_yield",
       // r7: one-row stats broadcasts — triangle census (count×count
-      // cross), PSI (midpoint + ref-range + totals singles)
-      "x_triangles", "a25_psi_drift")
+      // cross), PSI (midpoint + ref-range + totals singles), ABC
+      // (one-row revenue total against the part-grain frame)
+      "x_triangles", "a25_psi_drift", "w9_abc_pareto")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
