@@ -187,6 +187,48 @@ class MiningSpec extends SparkTestBase {
       s"rayleigh=$rayleigh eig=$eig")
   }
 
+  // ---- fixture-level laws for oracle-gated queries ----
+
+  test("PSI drift report: bin counts partition both halves and probabilities sum to 1") {
+    val r = SparkEntry.queries("a25_psi_drift")(spark, sfSmoke).collect()
+    assert(r.length == 10)
+    val pRef = r.map(_.getAs[Double]("p_ref")).sum
+    val pCur = r.map(_.getAs[Double]("p_cur")).sum
+    assert(math.abs(pRef - 1.0) < 1e-9 && math.abs(pCur - 1.0) < 1e-9)
+    // psi_total is a constant column (window over ())
+    assert(r.map(_.getAs[Double]("psi_total")).distinct.length == 1)
+  }
+
+  test("attribution: last touch is within the window, linear credits split the value") {
+    val rows = SparkEntry.queries("a26_attribution")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val lookback = Option(row.getAs[java.lang.Long]("lookback_s"))
+      lookback.foreach(l => assert(l >= 0 && l <= 604800, s"lookback $l outside window"))
+      // null last_touch fields come and go together
+      assert(row.isNullAt(row.fieldIndex("last_touch_id")) ==
+        row.isNullAt(row.fieldIndex("last_touch_type")))
+      val n = row.getAs[Long]("n_touches")
+      if (n > 0 && !row.isNullAt(row.fieldIndex("value"))) {
+        val v = row.getAs[Double]("value")
+        val cc = row.getAs[Double]("credit_click")
+        val cv = row.getAs[Double]("credit_view")
+        assert(math.abs(cc + cv - v) < 1e-9, s"credits $cc+$cv != value $v")
+      }
+    }
+  }
+
+  test("ABC classes are monotone along cumulative share and cover A<B<C") {
+    val rows = SparkEntry.queries("w9_abc_pareto")(spark, sfSmoke)
+      .select("cum_share", "abc_class").collect()
+    assert(rows.nonEmpty)
+    // cum_share ascending (query orders by it); class never goes backward
+    val order = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    val classes = rows.map(r => order(r.getString(1)))
+    assert(classes.zip(classes.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getDouble(0) > 0.999999 && rows.last.getDouble(0) < 1.000001)
+  }
+
   // ---- DenseId.assign ----
 
   test("dense ids are 0..n-1 in exactly the requested total order, at any parallelism") {
