@@ -137,8 +137,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // fixture fingerprint: makes a between-rounds testdata regeneration
+    // visible in the artifact instead of reading as a perf regression
+    val fixturesJson = Fixtures.fingerprintJson(spark, sfDir)
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"queries":$qs,"sf":"$sfDir"}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +

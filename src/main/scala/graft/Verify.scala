@@ -66,6 +66,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fixture fingerprint (rows+bytes per table): ties this dump to the
+    // exact testdata it ran against — see graft.Fixtures
+    Files.writeString(Paths.get(s"$outDir/_fixtures.json"),
+      Fixtures.fingerprintJson(spark, sfDir))
     errors.toMap
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -47,13 +48,26 @@ object ArrayOps {
 
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
-  // containsNull = false: getLong on a null slot would read garbage 0s
-  // and silently miscount — nullable-element arrays are rejected at
-  // ANALYSIS instead (the SQL-registered surface is reachable from
-  // arbitrary text; internal adjacency builders produce non-null)
+  // containsNull = false: getLong on a null slot silently reads 0 and
+  // miscounts. ExpectsInputTypes alone does NOT enforce this —
+  // acceptsType uses sameType, which ignores containsNull — so
+  // checkInputDataTypes below rejects nullable-element arrays
+  // explicitly at ANALYSIS (the SQL-registered surface is reachable
+  // from arbitrary text; internal adjacency builders produce non-null)
   override def inputTypes =
     Seq(ArrayType(LongType, containsNull = false),
       ArrayType(LongType, containsNull = false))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val parent = super.checkInputDataTypes()
+    if (parent.isFailure) return parent
+    Seq(left, right).zipWithIndex.collectFirst {
+      case (c, i) if c.dataType.asInstanceOf[ArrayType].containsNull =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName argument ${i + 1} must be ARRAY<BIGINT> with " +
+            "non-nullable elements; null slots would be read as 0 and " +
+            "break the sorted-merge contract")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -21,9 +21,30 @@ import org.apache.spark.sql.functions._
   * The rewrite cost is O(touched partitions), not O(table) — the
   * property that makes hourly upserts feasible on a 100 TB fact. On a
   * transactional table format the same call becomes MERGE INTO; this
-  * writer is the parquet-only equivalent (idempotent, but not atomic
-  * under concurrent writers — the reference's hourly DAG has the same
-  * single-writer model).
+  * writer is the parquet-only equivalent.
+  *
+  * ==Concurrency contract (single writer per table)==
+  *
+  * Calls are read-merge-write with NO coordination: a call snapshots
+  * the touched partitions (localCheckpoint), merges, then dynamic-
+  * overwrites those partition directories. Two writers whose touched
+  * partitions overlap therefore race as LAST-WRITER-WINS at PARTITION
+  * granularity: if B commits between A's read and A's write, A's
+  * overwrite replaces the whole partition with A's merge of the
+  * pre-B state — B's rows in that partition are silently lost (the
+  * classic lost update; MergeWriterSpec demonstrates it). Partitions
+  * touched by only one of the writers are unaffected. A reader
+  * overlapping a write can also observe a torn partition directory
+  * (dynamic overwrite deletes+moves files non-transactionally).
+  *
+  * This is the same single-writer-per-table model as the reference's
+  * hourly DAG (one serialized task per target). Callers needing
+  * concurrent writers must either partition ownership so touched
+  * sets never overlap, serialize through an external lock, or move
+  * to a transactional table format where this call becomes MERGE
+  * INTO with optimistic conflict detection. Idempotence (replaying
+  * the SAME batch) is guaranteed; concurrent DISTINCT batches on the
+  * same partition are not.
   */
 object MergeWriter {
 

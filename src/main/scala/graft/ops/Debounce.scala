@@ -22,11 +22,28 @@ import org.apache.spark.sql.functions._
 object Debounce {
 
   /** Returns (key, epoch, id, keep_seq) — kept rows only, keep_seq the
-    * 1-based index of the kept row within its key's chain. */
+    * 1-based index of the kept row within its key's chain.
+    *
+    * Input contract: the three columns must be integral (validated —
+    * see below) and non-NULL; a NULL in any of them would decode as 0L
+    * through the tuple Encoder and join the key-0 chain. */
   def debounce(df: DataFrame, keyCol: String, epochCol: String,
       idCol: String, gap: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Fail fast on non-integral inputs: with ANSI off, a blind
+    // cast("long") turns e.g. a string key into NULL, which the tuple
+    // Encoder reads as 0L — every such row silently collapses into ONE
+    // debounce chain instead of erroring. Widening integral casts are
+    // the only ones that cannot produce a surprise NULL.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    Seq(keyCol, epochCol, idCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(integral.contains(dt),
+        s"debounce column '$c' must be an integral type (byte/short/int/long), got $dt")
+    }
     df.select(col(keyCol).cast("long"), col(epochCol).cast("long"),
         col(idCol).cast("long"))
       .as[(Long, Long, Long)]

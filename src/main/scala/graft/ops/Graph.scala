@@ -88,14 +88,17 @@ object Graph {
         // EDGE, measured as the probe stage's hot loop)
         val adj = oriented.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        val emptyNbrs = expr("cast(array() AS array<bigint>)")
+        // INNER join on dst: an edge whose head has no out-neighbors
+        // intersects to 0 and cannot contribute — dropping it is
+        // value-identical and avoids a nullable-element coalesce the
+        // kernel (correctly) rejects at analysis
         oriented
           .join(broadcast(adj.select(col("src").as("p_"), col("nbrs").as("np"))),
             col("src") === col("p_"))
           .join(broadcast(adj.select(col("src").as("q_"), col("nbrs").as("nq"))),
-            col("dst") === col("q_"), "left")
+            col("dst") === col("q_"))
           .select(graft.functions.ArrayOps.intersectCount(
-            col("np"), coalesce(col("nq"), emptyNbrs)).as("t"))
+            col("np"), col("nq")).as("t"))
           .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
       } else {
         // wedges at the triangle's minimum-key apex: both out-neighbors
@@ -112,8 +115,11 @@ object Graph {
 
     val nodesWedges = deg.agg(
       count(lit(1)).as("n_nodes"),
-      // open wedges of the UNORIENTED graph: Σ C(deg, 2)
-      sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges"))
+      // open wedges of the UNORIENTED graph: Σ C(deg, 2).
+      // `div` keeps the whole sum in long arithmetic — `/` on longs is
+      // double division, exact only below 2^53, and a ~1e8-degree hub
+      // would silently round in a census documented as exact
+      sum(expr("deg * (deg - 1L) div 2")).as("n_wedges"))
 
     nodesWedges.crossJoin(nTri)
       .select(col("n_nodes"), lit(nEdges).as("n_edges"),
@@ -148,16 +154,21 @@ object Graph {
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val deg = e.select(col("u").as("n"))
+      // the degree frame is materialized so ONE job computes it and the
+      // convergence probe rides that job as a global min — r7 ran the
+      // probe as its own `limit(1).count()` over the lazy aggregate,
+      // which re-ran the degree pass (a whole extra edge-sized job per
+      // round, the bench's slowest query's top cost)
+      val deg = PlanCache.materialized(e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")))
       // convergence probe: once no node falls below k, every further
       // round is the identity — skipping them is value-identical to
       // running the full bound (the oracle unrolls all of them; an
-      // identity round maps its CTEs through unchanged). One cheap
-      // count per round buys out the remaining passes; a production
-      // peel-to-fixpoint loop needs exactly this probe anyway.
-      if (deg.filter(col("deg") < k).limit(1).count() == 0L) converged = true
+      // identity round maps its CTEs through unchanged). An empty
+      // survivor set (min = NULL) is likewise a fixpoint.
+      val minDeg = deg.agg(min(col("deg"))).head()
+      if (minDeg.isNullAt(0) || minDeg.getLong(0) >= k) converged = true
       else {
         val keep = deg.filter(col("deg") >= k).select("n")
         e = PlanCache.materialized(e

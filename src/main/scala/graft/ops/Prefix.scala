@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Global rank + exact running (prefix) sum in a caller-specified total
+  * order — the scalable spelling of
+  * `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` and its
+  * `ROW_NUMBER()` sibling.
+  *
+  * The window spelling funnels the ENTIRE frame through one task
+  * (Spark's WindowExec warns exactly this) — fine at vocabulary grain
+  * on one machine, a guaranteed straggler at 100 TB. This operator is
+  * the [[DenseId]] discipline extended to running sums: `orderBy`
+  * range-partitions the sort (every partition sorts in parallel), one
+  * extra per-partition pass collects (row-count, partition-sum) — a
+  * #partitions-sized array on the driver, not rows — and a second pass
+  * adds each partition's exclusive prefix offset to its local running
+  * fold. Ranks and sums depend only on the total order, so the oracle
+  * is the plain window form and results are identical at any
+  * parallelism.
+  *
+  * Exactness: the running sum must be order-insensitive for
+  * offset + local-fold to equal the global sequential fold, so the
+  * value column is restricted to DecimalType / integral (BigDecimal /
+  * long accumulation — associative and exact). A double column is
+  * rejected: float running sums are not associative, and the two-pass
+  * regrouping would drift from the window oracle by ulps.
+  *
+  * NULL semantics mirror the window running sum: null values leave the
+  * accumulator unchanged, and rows before the first non-null value in
+  * the total order emit a NULL running sum.
+  *
+  * Like [[DenseId]], the sorted lineage is evaluated twice (stats pass
+  * + output pass) rather than cached — deterministic given a total
+  * order, and caching the frame is the caller's call at 100 TB.
+  */
+object Prefix {
+
+  /** Adds `rankCol` (0-based global rank) and `cumCol` (inclusive
+    * running sum of `valueCol`) in the total order given by `order`.
+    * `order` must be a total order (tie-break to uniqueness) — ranks on
+    * ties are otherwise partition-layout-dependent. */
+  def rankAndRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      rankCol: String = "rank0", cumCol: String = "cum"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val (sumType, decScale): (DataType, Int) = sorted.schema(valueCol).dataType match {
+      // mirror Spark's SUM result type so the output is drop-in for the
+      // window spelling: DECIMAL(p,s) sums as DECIMAL(min(38,p+10),s)
+      case d: DecimalType => (DecimalType(math.min(38, d.precision + 10), d.scale), d.scale)
+      case ByteType | ShortType | IntegerType | LongType => (LongType, -1)
+      case other => throw new IllegalArgumentException(
+        s"Prefix.rankAndRunningSum needs an exact (decimal/integral) value column; " +
+          s"'$valueCol' is $other — float running sums are order-sensitive and " +
+          "cannot be regrouped across partitions without drifting")
+    }
+    val schema = sorted.schema
+      .add(rankCol, LongType, nullable = false)
+      .add(cumCol, sumType, nullable = true)
+
+    val rdd = sorted.rdd
+    // pass 1: per-partition (row count, non-null value sum, any-non-null)
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var s = java.math.BigDecimal.ZERO
+      var seen = false
+      it.foreach { r =>
+        n += 1
+        if (!r.isNullAt(vIdx)) {
+          seen = true
+          s = s.add(asBigDecimal(r, vIdx))
+        }
+      }
+      Iterator((pid, n, s, seen))
+    }.collect().sortBy(_._1)
+
+    // exclusive prefix offsets per partition (driver-side, #partitions entries)
+    val nPart = stats.length
+    val rankOff = new Array[Long](nPart)
+    val sumOff = new Array[java.math.BigDecimal](nPart)
+    val seenBefore = new Array[Boolean](nPart)
+    var rAcc = 0L
+    var sAcc = java.math.BigDecimal.ZERO
+    var seenAcc = false
+    for (i <- 0 until nPart) {
+      rankOff(i) = rAcc; sumOff(i) = sAcc; seenBefore(i) = seenAcc
+      rAcc += stats(i)._2; sAcc = sAcc.add(stats(i)._3); seenAcc ||= stats(i)._4
+    }
+
+    // pass 2: local fold + broadcast offset
+    val sc = sorted.sparkSession.sparkContext
+    val bRank = sc.broadcast(rankOff)
+    val bSum = sc.broadcast(sumOff)
+    val bSeen = sc.broadcast(seenBefore)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bRank.value(pid)
+      var cum = bSum.value(pid)
+      var seen = bSeen.value(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) {
+          seen = true
+          cum = cum.add(asBigDecimal(r, vIdx))
+        }
+        val cumOut: Any =
+          if (!seen) null
+          else if (decScale >= 0) cum.setScale(decScale)
+          else cum.longValueExact()
+        val row = Row.fromSeq(r.toSeq :+ rank :+ cumOut)
+        rank += 1
+        row
+      }
+    }
+    sorted.sparkSession.createDataFrame(out, schema)
+  }
+
+  private def asBigDecimal(r: Row, i: Int): java.math.BigDecimal = r.get(i) match {
+    case d: java.math.BigDecimal => d
+    case d: BigDecimal => d.bigDecimal
+    case n: java.lang.Number => java.math.BigDecimal.valueOf(n.longValue())
+  }
+}

@@ -759,7 +759,7 @@ object Analytics {
     // nothing. Exact distincts: Spark plans one Expand over the scan
     // (grouping-id per distinct column) — still a single pass of the
     // data; a 100 TB profile that can tolerate error swaps in the KMV
-    // sketch (a20_kmv) per column. Averages via the engine's exact
+    // sketch per column (a21_profile_kmv below, oracle-gated itself). Averages via the engine's exact
     // decimal construction; all metrics cast to double for one uniform
     // schema.
     "a21_profile" -> Q(
@@ -790,6 +790,65 @@ object Analytics {
              |  CAST(MAX($c) AS DOUBLE) AS max_val,
              |  round(CAST(SUM(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / COUNT($c), 6) AS avg_val
              |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    // a21's 100 TB form: same one-pass profile with the exact
+    // countDistincts swapped for the KMV sketch (ops/Sketches, the
+    // x_kmv_distinct machinery). The exact profile's COUNT(DISTINCT)
+    // expands the scan #columns× (one grouping-id per distinct column)
+    // and dedups each at full value grain through the exchange; the
+    // sketch carries one ≤64-long array per column through a single
+    // partial-aggregate — constant shuffle bytes per column regardless
+    // of cardinality. Values are hashed at a CANONICAL DECIMAL(28,8)
+    // string grain (double→string renderings are not engine-portable;
+    // fixed-scale decimal renderings are), so the sketch — like
+    // x_kmv_distinct — is a deterministic function of the value set and
+    // the DuckDB oracle reproduces it bit-for-bit. CorpusOpsSpec pins
+    // estimate accuracy against the exact profile.
+    "a21_profile_kmv" -> Q(
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+        def hash60(c: String) = expr(md5Hash60Spark(s"cast($c AS decimal(28,8))"))
+        val agg1 = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            graft.ops.Sketches.kmv(64)(hash60(c)).as(s"kmv_$c"),
+            min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"),
+            (sum(col(c).cast("decimal(28,8)")).cast("double") / count(col(c)))
+              .as(s"av_$c"))): _*)
+        agg1.select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col("n_rows"),
+            col(s"nn_$c").as("n_nulls"),
+            col(s"kmv_$c.n_kept").as("n_kept"),
+            round(col(s"kmv_$c.est_distinct"), 6).as("est_distinct"),
+            col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"),
+            round(col(s"av_$c"), 6).as("avg_val"))): _*)).as("p"))
+          .select("p.*")
+          .orderBy("col_name")
+      }, {
+        def one(c: String) = {
+          val hh = md5Hash60Duck(s"CAST($c AS DECIMAL(28,8))")
+          s"""SELECT '$c' AS col_name,
+             |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+             |  (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |   FROM lineitem) AS n_nulls,
+             |  k.n_kept, k.est_distinct,
+             |  (SELECT CAST(MIN($c) AS DOUBLE) FROM lineitem) AS min_val,
+             |  (SELECT CAST(MAX($c) AS DOUBLE) FROM lineitem) AS max_val,
+             |  (SELECT round(CAST(SUM(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / COUNT($c), 6)
+             |   FROM lineitem) AS avg_val
+             |FROM (
+             |  SELECT CAST(COUNT(*) AS INT) AS n_kept,
+             |    round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+             |               ELSE 63.0 * $Hash60Space / MAX(hh) END, 6) AS est_distinct
+             |  FROM (SELECT hh, ROW_NUMBER() OVER (ORDER BY hh) AS rk
+             |        FROM (SELECT DISTINCT $hh AS hh FROM lineitem WHERE $c IS NOT NULL))
+             |  WHERE rk <= 64) k""".stripMargin
+        }
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
           .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),

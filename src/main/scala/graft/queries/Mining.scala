@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Debounce, DenseId, Graph}
+import graft.ops.{Debounce, DenseId, Graph, Prefix, SeqFold}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -211,44 +211,21 @@ object Mining {
     // t13_ewma's forecasting big sibling: state [l, t] updates
     // l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t with dyadic-exact
     // α=1/2, β=1/4; fitted = one-step-ahead forecast l+t of the PRIOR
-    // row. Sequential by construction (state reads its own output):
-    // engine = linear running fold, oracle = quadratic prefix re-folds
-    // over a 2-element LIST state (same operation sequence per row ⇒
+    // row. Sequential by construction (state reads its own output) —
+    // the ops/SeqFold typed kernel: one shuffle on user_id, O(n)
+    // constant-state pass (r7's aggregate(... concat) array fold was
+    // O(n²) per key). Oracle = quadratic prefix re-folds over a
+    // 2-element LIST state (same IEEE operation sequence per row ⇒
     // bit-identical; list state also dodges DuckDB's struct-accumulator
     // list_reduce corruption).
     "t15_holt" -> Q(
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("value").isNotNull)
-          .select(col("user_id"), unix_micros(col("ts")).as("ep"),
-            col("event_id"), col("value"))
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ep"), col("event_id"), col("value")))).as("xs"))
-          .withColumn("run", expr(
-            """aggregate(slice(xs, 2, size(xs) - 1),
-              |  array(array(element_at(xs, 1).value, cast(0.0d AS double))),
-              |  (acc, x) -> concat(acc, array(array(
-              |    0.5 * x.value + 0.5 * (element_at(element_at(acc, -1), 1)
-              |                           + element_at(element_at(acc, -1), 2)),
-              |    0.25 * ((0.5 * x.value + 0.5 * (element_at(element_at(acc, -1), 1)
-              |                                    + element_at(element_at(acc, -1), 2)))
-              |            - element_at(element_at(acc, -1), 1))
-              |      + 0.75 * element_at(element_at(acc, -1), 2)))))""".stripMargin))
-          // one-step-ahead forecast: prior row's l + t (null on the
-          // key's first row) — derived array-side, so exploded rows
-          // never carry the full history
-          .withColumn("fit", expr(
-            """transform(sequence(1, size(xs)), i ->
-              |  CASE WHEN i = 1 THEN cast(null AS double)
-              |  ELSE element_at(element_at(run, i - 1), 1)
-              |       + element_at(element_at(run, i - 1), 2) END)""".stripMargin))
-          .select(col("user_id"), posexplode(arrays_zip(col("xs"), col("run"), col("fit"))))
-          .select(col("user_id"), col("col.xs.ep").as("ep"),
-            col("col.xs.event_id").as("event_id"), col("col.xs.value").as("value"),
-            element_at(col("col.run"), 1).as("level"),
-            element_at(col("col.run"), 2).as("trend"),
-            col("col.fit").as("fitted"))
+        SeqFold.holt(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("user_id"), unix_micros(col("ts")).as("ep"),
+              col("event_id"), col("value")),
+          "user_id", "ep", "event_id", "value", alpha = 0.5, beta = 0.25)
           .orderBy(col("user_id"), col("ep"), col("event_id")),
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
         |           FROM events WHERE value IS NOT NULL),
@@ -317,40 +294,32 @@ object Mining {
         |      JOIN o ON o.src = w.p AND o.dst = w.q)
         |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
         |       (SELECT COUNT(*) FROM e) AS n_edges,
-        |       (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) AS n_wedges,
+        |       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
         |       t.n_triangles,
-        |       CASE WHEN (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d) > 0
+        |       CASE WHEN (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM d) > 0
         |            THEN 3.0 * t.n_triangles /
-        |              (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM d)
+        |              (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM d)
         |       END AS global_cc
         |FROM t""".stripMargin),
 
     // Per-user EWMA (α = 1/4 — an exact binary fraction) of event
     // values in (ts, id) order. EWMA's recurrence reads the previous
-    // OUTPUT, so it is a sequential fold, not a window frame; the fold
-    // runs in collected-array order on both engines (engine: linear
-    // running fold via aggregate(); oracle: quadratic prefix re-folds —
-    // same operation sequence per row, so bit-identical doubles). One
-    // shuffle on user_id; per-key history bounded by retention, the
-    // typed-kernel contract.
+    // OUTPUT, so it is a sequential fold, not a window frame — the
+    // ops/SeqFold typed kernel (Debounce discipline): one shuffle on
+    // user_id, per-key sort in the task, constant-state O(n) pass.
+    // (r7 used an aggregate(... concat) array fold — correct but O(n²)
+    // per key from the per-step accumulator copy; a 50k-event hot key
+    // visibly degrades, the MiningSpec law.) Arithmetic is the same
+    // IEEE sequence per row as the oracle's quadratic prefix re-folds,
+    // so doubles stay bit-identical.
     "t13_ewma" -> Q(
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("value").isNotNull)
-          .select(col("user_id"), unix_micros(col("ts")).as("ep"),
-            col("event_id"), col("value"))
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ep"), col("event_id"), col("value")))).as("xs"))
-          .withColumn("ew", expr(
-            """aggregate(slice(xs, 2, size(xs) - 1),
-              |  array(element_at(xs, 1).value),
-              |  (acc, x) -> concat(acc,
-              |    array(0.25 * x.value + 0.75 * element_at(acc, -1))))""".stripMargin))
-          .select(col("user_id"), posexplode(arrays_zip(col("xs"), col("ew"))))
-          .select(col("user_id"), col("col.xs.ep").as("ep"),
-            col("col.xs.event_id").as("event_id"),
-            col("col.xs.value").as("value"), col("col.ew").as("ewma"))
+        SeqFold.ewma(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("user_id"), unix_micros(col("ts")).as("ep"),
+              col("event_id"), col("value")),
+          "user_id", "ep", "event_id", "value", alpha = 0.25)
           .orderBy(col("user_id"), col("ep"), col("event_id")),
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
         |           FROM events WHERE value IS NOT NULL),
@@ -463,7 +432,7 @@ object Mining {
               col("event_type").as("c_type")),
             col("p.user_id") === col("c_user") &&
               col("c_ep") <= col("p.ep") &&
-              col("c_ep") > col("p.ep") - WeekUs)
+              col("c_ep") >= col("p.ep") - WeekUs)
           .groupBy(col("p.purchase_id").as("purchase_id"))
           .agg(sum(when(col("c_type") === "click", 1L).otherwise(0L)).as("nc"),
             sum(when(col("c_type") === "view", 1L).otherwise(0L)).as("nv"))
@@ -497,7 +466,7 @@ object Mining {
          |        COUNT(*) FILTER (WHERE t0.event_type = 'click') AS nc,
          |        COUNT(*) FILTER (WHERE t0.event_type = 'view') AS nv
          |      FROM p JOIN t0 ON p.user_id = t0.user_id
-         |        AND t0.ep <= p.ep AND t0.ep > p.ep - $WeekUs
+         |        AND t0.ep <= p.ep AND t0.ep >= p.ep - $WeekUs
          |      GROUP BY 1)
          |SELECT a.purchase_id, a.user_id, a.ep, a.value,
          |  CASE WHEN a.t_ep IS NOT NULL AND a.ep - a.t_ep <= $WeekUs
@@ -704,20 +673,21 @@ object Mining {
     // ABC / Pareto classification — a29_gini's actionable sibling:
     // parts ranked by revenue with exact-decimal cumulative share,
     // bucketed A (first 80% of revenue), B (to 95%), C (tail). The
-    // running sum is a DECIMAL window (exact, order-pinned by the
-    // unique rank), so shares and class boundaries are deterministic;
-    // the window runs on the part-grain frame, never the fact.
+    // running sum is ops/Prefix (range-partitioned sort + per-partition
+    // BigDecimal fold + broadcast exclusive offsets) — NOT the
+    // un-partitioned window the oracle deliberately uses: that spelling
+    // funnels the whole frame through one task. Decimal accumulation is
+    // associative, so the regrouped fold is bit-identical to the
+    // window's sequential one at any parallelism.
     "w9_abc_pareto" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val rev = Tables.lineitem(s, dir)
           .groupBy(col("l_partkey"))
           .agg(sum(col("l_extendedprice").cast(Dec) *
             (lit(1) - col("l_discount").cast(Dec))).as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev
-          .withColumn("cum", sum(col("rev")).over(w))
+        Prefix.rankAndRunningSum(rev,
+            Seq(col("rev").desc, col("l_partkey")), "rev", "rk", "cum")
+          .drop("rk")
           .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
           .withColumn("cum_share", expr("cast(cum AS double) / cast(total AS double)"))
           .withColumn("abc_class", expr(
@@ -752,17 +722,17 @@ object Mining {
     // fixed point FIRST so the regression moments are order-free
     // integer math (the PSI/x_gram_matrix discipline); the slope and
     // intercept are single fixed expressions over the exact sums. The
-    // rank window runs on the vocabulary-sized frame only.
+    // rank is ops/DenseId (range-partitioned sort + zipWithIndex
+    // offsets) — the oracle deliberately keeps the plain ROW_NUMBER
+    // spelling the operator exists to avoid.
     "x_zipf_fit" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val vocab = Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
           .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-        vocab
-          .withColumn("i", row_number().over(
-            Window.orderBy(col("wf").desc, col("word"))).cast("long"))
+        DenseId.assign(vocab, Seq(col("wf").desc, col("word")), "i0")
+          .withColumn("i", (col("i0") + 1).cast("long"))
           .select(
             expr("round(ln(cast(i AS double)), 9)").as("x"),
             expr("round(ln(cast(wf AS double)), 9)").as("y"))
@@ -815,20 +785,19 @@ object Mining {
     // Gini coefficient of revenue concentration across parts — the
     // inequality/concentration readout (is the corpus dominated by a
     // few heads?). Revenue collapses to part grain FIRST (fact-sized
-    // work is one combine-enabled aggregate); the rank window then runs
-    // on the vocabulary-sized part frame — the x_domain_cap discipline
-    // for global windows. Σ(i·revᵢ) and Σrev stay exact decimal; the
-    // Gini is one fixed double expression over the two exact sums.
+    // work is one combine-enabled aggregate); the rank is then
+    // ops/DenseId over the part-grain frame (range-partitioned sort +
+    // zipWithIndex offsets — no single-task window anywhere).
+    // Σ(i·revᵢ) and Σrev stay exact decimal; the Gini is one fixed
+    // double expression over the two exact sums.
     "a29_gini" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val rev = Tables.lineitem(s, dir)
           .groupBy(col("l_partkey"))
           .agg(sum(col("l_extendedprice").cast(Dec) *
             (lit(1) - col("l_discount").cast(Dec))).as("rev"))
-        rev
-          .withColumn("i", row_number().over(
-            Window.orderBy(col("rev"), col("l_partkey"))).cast("long"))
+        DenseId.assign(rev, Seq(col("rev"), col("l_partkey")), "i0")
+          .withColumn("i", (col("i0") + 1).cast("long"))
           .agg(count(lit(1)).as("n"),
             sum(col("rev")).as("total_d"),
             sum(col("rev") * col("i")).as("weighted_d"))

@@ -83,5 +83,48 @@ object Streams {
         |FROM t
         |GROUP BY hour_start, source, side
         |HAVING epoch_ms(hour_start) + 3600 * 1000 <= (SELECT w FROM wm)
-        |ORDER BY hour_start, source, side""".stripMargin))
+        |ORDER BY hour_start, source, side""".stripMargin),
+
+    // The incremental-aggregate sink run END-TO-END as a stream
+    // (streaming/IncrementalStream): events replayed through the file
+    // source, each micro-batch appending its mergeable partial
+    // (count / decimal sum / min / max per key) to a batch_id-
+    // partitioned state log, then merge-on-read + finalize. The oracle
+    // is the FULL RECOMPUTE in DuckDB — the strongest statement of the
+    // incremental algebra: merge(partials by arbitrary micro-batch
+    // split) ≡ one global aggregate, bit-for-bit, because every
+    // component is a commutative monoid and sums ride DECIMAL. t11
+    // proved windowed append emission; this proves the foreachBatch
+    // state-log surface (replay-idempotent by partition overwrite)
+    // against an oracle, so the stateful streaming family stops being
+    // spec-only beyond hourly windows.
+    "t12_stream_incremental" -> Q(
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        val keys = Seq("day", "event_type")
+        // same glob trick as t11: keep the explicit basePath alive
+        val ticks = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        val run = runSeq.incrementAndGet()
+        val base = java.nio.file.Files
+          .createTempDirectory(s"t12_stream_$run").toString
+        val q = graft.streaming.IncrementalStream
+          .stateSink(ticks, keys, "value", s"$base/state")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        graft.ops.Incremental.finalize(
+            graft.streaming.IncrementalStream.readState(s, s"$base/state", keys))
+          .orderBy(col("day"), col("event_type"))
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  COUNT(value) AS cnt,
+        |  MIN(value) AS min_v, MAX(value) AS max_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
 }

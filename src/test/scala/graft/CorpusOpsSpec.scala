@@ -45,6 +45,30 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sketch profile tracks the exact profile: estimates within error, rest identical") {
+    val exact = q("a21_profile", sfSmoke).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val sketch = q("a21_profile_kmv", sfSmoke).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(exact.keySet === sketch.keySet && exact.nonEmpty)
+    exact.foreach { case (c, e) =>
+      val s0 = sketch(c)
+      // non-distinct metrics are computed identically — must be equal
+      for (f <- Seq("n_rows", "n_nulls")) {
+        assert(e.getAs[Long](f) === s0.getAs[Long](f), s"$c.$f")
+      }
+      for (f <- Seq("min_val", "max_val", "avg_val")) {
+        assert(e.getAs[Double](f) === s0.getAs[Double](f), s"$c.$f")
+      }
+      // the estimate: exact when the buffer never filled, else within
+      // sketch error (k=64 → rel std ≈ 12.7%; 4σ bound)
+      val x = e.getAs[Long]("n_distinct").toDouble
+      val est = s0.getAs[Double]("est_distinct")
+      if (s0.getAs[Int]("n_kept") < 64) assert(est === x, s"$c below-k must be exact")
+      else assert(math.abs(est - x) / x <= 0.5, s"$c: kmv=$est exact=$x")
+    }
+  }
+
   test("kmv sketch is partition-invariant (merge path ≡ single partition)") {
     val h = expr(queries.md5Hash60Spark("l_orderkey"))
     def sketch(parts: Int) =

@@ -66,4 +66,49 @@ class MergeWriterSpec extends SparkTestBase {
     MergeWriter.upsertPartitioned(spark, target, batch, "id", "etl_seq", "date_id")
     assert(spark.read.parquet(target).count() === 2)
   }
+
+  test("interleaved writers on one partition are last-writer-wins: the lost update is real") {
+    // The scaladoc's single-writer contract, demonstrated rather than
+    // implied: writer A reads the table, writer B commits a full upsert,
+    // then A writes its (now stale) merge. A's dynamic overwrite
+    // replaces the whole touched partition with A's merge of the PRE-B
+    // state — B's insert into that partition is silently lost, while
+    // B's write to a partition A never touched survives. This test
+    // reproduces A's read-then-write window by running the writer's own
+    // read+merge steps, snapshotting (localCheckpoint, exactly what
+    // upsertPartitioned does), and deferring the write until after B.
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_merge_race").toString + "/fact"
+    MergeWriter.upsertPartitioned(spark, target,
+      Seq((1L, 10.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+
+    // writer A: read + merge (snapshot), write deferred
+    val aBatch = Seq((2L, 20.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id")
+    val aMerged = graft.ops.Merge.upsertLatestWins(
+      spark.read.parquet(target).filter($"date_id" === 20240101),
+      aBatch, "id", "etl_seq").localCheckpoint(true)
+
+    // writer B commits first: touches A's partition AND a fresh one
+    MergeWriter.upsertPartitioned(spark, target,
+      Seq((3L, 30.0, 2L, 20240101), (4L, 40.0, 2L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+
+    // writer A lands second (the tail of upsertPartitioned)
+    aMerged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date_id").parquet(target)
+
+    val out = spark.read.parquet(target)
+      .select("id", "date_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out === Set(
+      (1L, 20240101), // pre-race row: in both writers' merges
+      (2L, 20240101), // A's insert: last writer, wins the partition
+      // (3L, 20240101) is GONE — B's insert, lost to A's overwrite
+      (4L, 20240102)  // B's insert to a partition A never touched: survives
+    ), s"interleaving contract changed: $out")
+  }
 }

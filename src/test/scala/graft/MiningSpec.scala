@@ -277,4 +277,114 @@ class MiningSpec extends SparkTestBase {
       .orderBy("ep").select("keep_seq").as[Int].collect().toSeq
     assert(seqs == Seq(1, 2, 3))
   }
+
+  test("debounce rejects non-integral key columns instead of collapsing them to NULL→0") {
+    val df = Seq(("a", 0L, 1L), ("b", 1L, 2L)).toDF("k", "ep", "id")
+    val e = intercept[IllegalArgumentException] {
+      Debounce.debounce(df, "k", "ep", "id", 5L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  // ---- SeqFold (t13_ewma / t15_holt kernels) ----
+
+  test("EWMA kernel equals the naive sequential reference bit-for-bit, at any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble() * 100))
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var prev = 0.0; var first = true
+      rs.sortBy(t => (t._2, t._3)).map { case (_, ep, id, v) =>
+        val e = if (first) { first = false; v } else 0.25 * v + 0.75 * prev
+        prev = e
+        (k, ep, id, v, e)
+      }
+    }.toSet
+    for (parts <- Seq(1, 8)) {
+      val got = graft.ops.SeqFold.ewma(
+          rows.toDF("k", "ep", "id", "v").repartition(parts), "k", "ep", "id", "v", 0.25)
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(got == expected, s"parts=$parts") // Set equality on raw doubles = bitwise
+    }
+  }
+
+  test("Holt kernel equals the naive sequential reference; fitted is the prior l+t") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong, rnd.nextDouble() * 10))
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var l = 0.0; var t = 0.0; var first = true
+      rs.sortBy(r => (r._2, r._3)).map { case (_, ep, id, v) =>
+        val fitted = if (first) None else Some(l + t)
+        if (first) { first = false; l = v; t = 0.0 }
+        else {
+          val l1 = 0.5 * v + 0.5 * (l + t)
+          val t1 = 0.25 * (l1 - l) + 0.75 * t
+          l = l1; t = t1
+        }
+        (k, ep, id, v, l, t, fitted)
+      }
+    }.toSet
+    val got = graft.ops.SeqFold.holt(
+        rows.toDF("k", "ep", "id", "v").repartition(5), "k", "ep", "id", "v", 0.5, 0.25)
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].collect().toSet
+    assert(got == expected)
+  }
+
+  test("EWMA/Holt kernels stay linear on a 50k-event hot key") {
+    // the r7 aggregate(... concat) spelling was O(n²) per key — 50k
+    // events on ONE key took minutes there; the typed kernel must
+    // finish the same input comfortably inside the suite budget
+    val n = 50000
+    val df = spark.range(n).select(lit(1L).as("k"), col("id").as("ep"),
+      col("id").as("id2"), (col("id") % 97).cast("double").as("v"))
+    val e = graft.ops.SeqFold.ewma(df, "k", "ep", "id2", "v", 0.25)
+    val h = graft.ops.SeqFold.holt(df, "k", "ep", "id2", "v", 0.5, 0.25)
+    assert(e.count() == n && h.count() == n)
+    // spot-check the chain actually folded (not all pass-through)
+    val last = e.orderBy(col("ep").desc).select("ewma").as[Double].head()
+    assert(last != ((n - 1) % 97).toDouble)
+  }
+
+  // ---- Prefix.rankAndRunningSum (w9_abc_pareto kernel) ----
+
+  test("prefix rank+running-sum equals the window spelling exactly, at any parallelism") {
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 300).map(i => (i.toLong, BigDecimal(rnd.nextInt(100000), 2)))
+      .toDF("k", "v").select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v").desc, col("k"))
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long") - 1)
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "rk", "cum").as[(Long, Long, java.math.BigDecimal)]
+      .collect().toSet
+    for (parts <- Seq(1, 8)) {
+      val got = graft.ops.Prefix.rankAndRunningSum(
+          df.repartition(parts), Seq(col("v").desc, col("k")), "v", "rk", "cum")
+        .select("k", "rk", "cum").as[(Long, Long, java.math.BigDecimal)]
+        .collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("prefix running sum skips NULL values and is NULL before the first non-null") {
+    val df = Seq((1L, null), (2L, "3.50"), (3L, null), (4L, "1.25"))
+      .toDF("k", "v").select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val got = graft.ops.Prefix.rankAndRunningSum(df, Seq(col("k")), "v", "rk", "cum")
+      .orderBy("rk").select("k", "cum").collect()
+    assert(got(0).isNullAt(1))
+    assert(got(1).getDecimal(1).compareTo(new java.math.BigDecimal("3.50")) == 0)
+    assert(got(2).getDecimal(1).compareTo(new java.math.BigDecimal("3.50")) == 0)
+    assert(got(3).getDecimal(1).compareTo(new java.math.BigDecimal("4.75")) == 0)
+  }
+
+  test("prefix rejects float value columns (order-sensitive running sums)") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Prefix.rankAndRunningSum(df, Seq(col("k")), "v")
+    }
+    assert(e.getMessage.contains("exact"))
+  }
 }

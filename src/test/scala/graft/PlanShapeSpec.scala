@@ -14,11 +14,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("dense-id assignment never plans the single-task global window") {
-    // the un-partitioned ROW_NUMBER spelling funnels the whole table
-    // through one task (Spark warns exactly this); DenseId exists to
-    // avoid it — the plan must contain a range exchange and NO window
-    val p = executedPlanString("x_dense_ids")
-    assert(!p.contains("Window"), "x_dense_ids plans a global window")
+    // the un-partitioned ROW_NUMBER / running-SUM spelling funnels the
+    // whole frame through one task (Spark warns exactly this); DenseId
+    // and Prefix exist to avoid it — the plans must contain a range
+    // exchange and NO window. r8: w9/a29/zipf moved off the window
+    // spelling onto DenseId/Prefix; pin them so they never regress.
+    for (name <- Seq("x_dense_ids", "w9_abc_pareto", "a29_gini", "x_zipf_fit")) {
+      val p = executedPlanString(name)
+      assert(!p.contains("Window"), s"$name plans a global window")
+    }
   }
 
   test("sequential per-key folds shuffle exactly once") {
