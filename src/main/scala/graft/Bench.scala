@@ -40,12 +40,42 @@ object Bench {
     // failed query times as +Infinity within the pass and is reported in
     // a "failed" list with a null time — it can never improve the total.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Per-query shuffle volume: seconds at sf0.1 can hide a plan that
+    // is fast here but moves the whole input through an exchange — at
+    // 100 TB the shuffled BYTES are the cost model. A listener sums
+    // task-level shuffle writes; the final timed pass records them per
+    // query (reset → run → poll-stable read: task-end events arrive on
+    // the async bus, the SQL-metrics discipline). The poll runs AFTER
+    // the query's own timing is captured, so timings are unaffected.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def settled(a: java.util.concurrent.atomic.AtomicLong): Long = {
+      var prev = -1L
+      var cur = a.get
+      val t0 = System.nanoTime()
+      while (cur != prev && System.nanoTime() - t0 < 2e9.toLong) {
+        Thread.sleep(100); prev = cur; cur = a.get
+      }
+      cur
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def pass(recordShuffle: Boolean = false): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
       // drop shared materialized intermediates (dedup signature frames)
       // so each query's timing charges its own full compute —
       // intra-query reuse is the optimization under test, a previous
       // query's warm cache is not
       graft.ops.PlanCache.clear()
+      if (recordShuffle) { settled(shuffleBytes); shuffleBytes.set(0) }
       val t0 = System.nanoTime()
       // toRdd executes the FULL plan — every output column is computed.
       // A plain .count() would let Catalyst prune computed columns and
@@ -57,10 +87,13 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (recordShuffle && ok)
+        shuffleMb(name) = math.round(settled(shuffleBytes) / 1e5) / 10.0
+      name -> (if (ok) elapsed else Double.PositiveInfinity)
     }
     pass() // warm (JIT/codegen), untimed
-    val timed = Seq(pass(), pass(), pass())
+    val timed = Seq(pass(), pass(), pass(recordShuffle = true))
     val resultsAll = timed.head.keys.map { k =>
       k -> timed.map(_(k)).min
     }.toMap
@@ -140,8 +173,11 @@ object Bench {
     // fixture fingerprint: makes a between-rounds testdata regeneration
     // visible in the artifact instead of reading as a perf regression
     val fixturesJson = Fixtures.fingerprintJson(spark, sfDir)
+    val shuffleJson = shuffleMb
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spillMb = math.round(spillBytes.get / 1e5) / 10.0
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_total":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir"}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +

@@ -17,11 +17,20 @@ import org.apache.spark.sql.types.LongType
   * assigned ids depend only on the total order — the oracle is plain
   * ROW_NUMBER(), and results are identical at any parallelism provided
   * the order columns are a total order (tie-break to uniqueness;
-  * [[assign]] does not add one for you). */
+  * [[assign]] does not add one for you).
+  *
+  * The sorted frame is lazily localCheckpoint'ed before zipWithIndex's
+  * two passes (count job + output), so the upstream plan — often an
+  * expensive fact-grain aggregation — computes ONCE, not per pass
+  * (measured ~25% of a29_gini's cost at bench scale). MEMORY_AND_DISK
+  * storage: the spill path bounds memory at any frame size, and
+  * re-reading local disk beats re-running an aggregation+sort. Lineage
+  * is cut, the [[PlanCache]] trade-off: a cluster deployment wanting
+  * executor-loss recompute would persist() instead. */
 object DenseId {
 
   def assign(df: DataFrame, order: Seq[Column], idCol: String = "dense_id"): DataFrame = {
-    val sorted = df.orderBy(order: _*)
+    val sorted = df.orderBy(order: _*).localCheckpoint(false)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },

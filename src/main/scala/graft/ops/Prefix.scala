@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
   * accumulator unchanged, and rows before the first non-null value in
   * the total order emit a NULL running sum.
   *
-  * Like [[DenseId]], the sorted lineage is evaluated twice (stats pass
-  * + output pass) rather than cached — deterministic given a total
-  * order, and caching the frame is the caller's call at 100 TB.
+  * Like [[DenseId]], the sorted frame is lazily localCheckpoint'ed so
+  * the stats pass and the output pass share one materialization and
+  * the upstream plan computes once (MEMORY_AND_DISK — the spill path
+  * bounds memory at any frame size; lineage is cut, the [[PlanCache]]
+  * trade-off).
   */
 object Prefix {
 
@@ -43,7 +45,7 @@ object Prefix {
     * ties are otherwise partition-layout-dependent. */
   def rankAndRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
       rankCol: String = "rank0", cumCol: String = "cum"): DataFrame = {
-    val sorted = df.orderBy(order: _*)
+    val sorted = df.orderBy(order: _*).localCheckpoint(false)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val (sumType, decScale): (DataType, Int) = sorted.schema(valueCol).dataType match {
       // mirror Spark's SUM result type so the output is drop-in for the

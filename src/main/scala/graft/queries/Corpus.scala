@@ -691,7 +691,40 @@ object Corpus {
         |  FROM documents)
         |SELECT split, lang, COUNT(*) AS n_docs,
         |  round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM a), 6) AS corpus_share
-        |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin)
+        |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+
+    // Deterministic global shuffle + round-robin sharding — the last
+    // stage before training export: the corpus in a pseudo-random but
+    // REPRODUCIBLE order (the md5 permutation key — a reshuffle-free
+    // rerun, in any engine, lands every document in the same place),
+    // dealt into 8 balanced shards with a dense position inside each.
+    // Spelled to avoid BOTH single-task shapes the naive forms hit:
+    // no un-partitioned ROW_NUMBER (ops/DenseId assigns the global
+    // permutation rank via the range-partitioned sort + zipWithIndex
+    // offsets), and no per-shard window either — shard and in-shard
+    // position are pure integer functions of the global rank
+    // (rank % S, rank div S), so shards stay balanced to ±1 by
+    // construction and nothing ever funnels one shard through one
+    // task. The oracle keeps the plain window spelling.
+    "x_shard_shuffle" -> Q(
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            expr(md5Hash60Spark("doc_id")).as("h"))
+        graft.ops.DenseId.assign(keyed, Seq(col("h"), col("doc_id")), "pos0")
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(pos0 % 8 AS INT)").as("shard"),
+            expr("pos0 div 8").as("pos_in_shard"))
+          .orderBy(col("shard"), col("pos_in_shard"))
+      },
+      s"""WITH k AS (SELECT doc_id, lang, ${md5Hash60Duck("doc_id")} AS h
+         |           FROM documents),
+         |p AS (SELECT doc_id, lang,
+         |        ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos0
+         |      FROM k)
+         |SELECT doc_id, lang, CAST(pos0 % 8 AS INT) AS shard,
+         |       pos0 // 8 AS pos_in_shard
+         |FROM p ORDER BY shard, pos_in_shard""".stripMargin)
   )
 
 }

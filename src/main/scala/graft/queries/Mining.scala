@@ -681,10 +681,14 @@ object Mining {
     // window's sequential one at any parallelism.
     "w9_abc_pareto" -> Q(
       (s, dir) => {
-        val rev = Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey"))
-          .agg(sum(col("l_extendedprice").cast(Dec) *
-            (lit(1) - col("l_discount").cast(Dec))).as("rev"))
+        // the part-grain revenue frame feeds BOTH the prefix sum and
+        // the grand total — materialize it once (PlanCache) so the
+        // fact-sized aggregation doesn't run per consumer
+        val rev = graft.ops.PlanCache.materialized(
+          Tables.lineitem(s, dir)
+            .groupBy(col("l_partkey"))
+            .agg(sum(col("l_extendedprice").cast(Dec) *
+              (lit(1) - col("l_discount").cast(Dec))).as("rev")))
         Prefix.rankAndRunningSum(rev,
             Seq(col("rev").desc, col("l_partkey")), "rev", "rk", "cum")
           .drop("rk")

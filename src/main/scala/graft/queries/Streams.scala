@@ -98,7 +98,7 @@ object Streams {
     // state-log surface (replay-idempotent by partition overwrite)
     // against an oracle, so the stateful streaming family stops being
     // spec-only beyond hourly windows.
-    "t12_stream_incremental" -> Q(
+    "t16_stream_incremental" -> Q(
       (s, dir) => {
         val path = s"$dir/events.parquet"
         val raw = s.read.parquet(path)
@@ -109,7 +109,7 @@ object Streams {
           .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
         val run = runSeq.incrementAndGet()
         val base = java.nio.file.Files
-          .createTempDirectory(s"t12_stream_$run").toString
+          .createTempDirectory(s"t16_stream_$run").toString
         val q = graft.streaming.IncrementalStream
           .stateSink(ticks, keys, "value", s"$base/state")
           .option("checkpointLocation", s"$base/ckpt")
@@ -126,5 +126,64 @@ object Streams {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_v
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin),
+
+    // Gap-sessionization run as a STREAM (streaming/SessionStream:
+    // session_window + watermark, append mode) and oracle-gated like
+    // t11: the DuckDB oracle restates BOTH contracts in SQL —
+    // (a) session_window's boundary semantics: an event extends its
+    // session by [ts, ts+gap), so a successor exactly `gap` later
+    // starts a NEW session (break on delta >= gap — deliberately NOT
+    // the batch Sessionize strict->gap rule, see SessionStream's
+    // scaladoc), and (b) append-mode emission: a session emits iff the
+    // final watermark (max event time − 35 min, set by the no-data
+    // flush batch) passed its close (= last event + gap); later
+    // sessions stay in discarded state. Trailing-state discipline
+    // identical to t11's hours.
+    "t17_stream_sessions" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val ticks = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("value"))
+        val name = s"t17_stream_sessions_${runSeq.incrementAndGet()}"
+        val q = graft.streaming.SessionStream
+          .sessionStats(ticks, "30 minutes", "35 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .withColumn("session_start",
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .withColumn("session_close",
+            date_format(col("session_close"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH e AS (SELECT user_id, ts, value FROM events),
+        |wm AS (SELECT epoch_ms(MAX(ts)) - 35 * 60 * 1000 AS w FROM e),
+        |d AS (SELECT user_id, ts, value,
+        |        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sg AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM d),
+        |g AS (SELECT user_id, sid,
+        |        MIN(ts) AS session_start,
+        |        MAX(ts) + INTERVAL 30 MINUTE AS session_close,
+        |        COUNT(*) AS n_events,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |      FROM sg GROUP BY 1, 2)
+        |SELECT user_id,
+        |  strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(session_close, '%Y-%m-%d %H:%M:%S.%f') AS session_close,
+        |  n_events, total_value
+        |FROM g
+        |WHERE epoch_ms(session_close) <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin))
 }

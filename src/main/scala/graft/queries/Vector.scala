@@ -239,6 +239,54 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // Nearest-neighbor label confusion matrix — the label-noise /
+    // class-overlap diagnostic a labeled embedding set gets before
+    // training a classifier on it: each vector votes its top-1 cosine
+    // neighbor's label; off-diagonal mass = classes that bleed into
+    // each other (or mislabeled rows). Engine: one corpus scan against
+    // the broadcast corpus (deliberate all-pairs at fixture scale — at
+    // 100 TB the candidate set comes from the x_ann_lsh bucket join
+    // instead, same downstream), then a SORT-FREE argmax per vector
+    // (max over a (cosine, −id, label) struct — no per-vector window),
+    // and a labels²-sized confusion aggregate; the share window runs on
+    // that tiny frame only. Winner determinism: cosine is the
+    // bit-portable VectorOps kernel and ties break on vec_id, so both
+    // engines elect identical neighbors.
+    "x_label_confusion" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        val nb = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+          col("embedding").as("n_emb"))
+        val byLabel = Window.partitionBy(col("label"))
+        e.crossJoin(broadcast(nb))
+          .filter(col("vec_id") =!= col("n_id"))
+          .withColumn("cosine", VectorOps.cosine(col("embedding"), col("n_emb")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(struct(col("cosine"), (-col("n_id")).as("neg_id"),
+            col("n_label"))).as("m"))
+          .select(col("label"), col("m.n_label").as("neighbor_label"))
+          .groupBy(col("label"), col("neighbor_label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            round(col("n").cast("double") / sum(col("n")).over(byLabel), 6))
+          .orderBy(col("label"), col("neighbor_label"))
+      },
+      s"""WITH sc AS (
+         |  SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS n_label,
+         |         ${dCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE a.vec_id != b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id ORDER BY cosine DESC, n_id ASC) AS rk
+         |      FROM sc),
+         |c AS (SELECT label, n_label AS neighbor_label, COUNT(*) AS n
+         |      FROM r WHERE rk = 1 GROUP BY 1, 2),
+         |tot AS (SELECT label, SUM(n) AS t FROM c GROUP BY 1)
+         |SELECT c.label, c.neighbor_label, c.n,
+         |       round(CAST(c.n AS DOUBLE) / t, 6) AS share
+         |FROM c JOIN tot USING (label)
+         |ORDER BY c.label, c.neighbor_label""".stripMargin),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit hyperplane
     // signature (single probe), exact cosine re-scoring inside the
     // bucket. Approximate recall by design — the brute-force query

@@ -60,7 +60,11 @@ class PlanShapeSpec extends SparkTestBase {
       // r7: one-row stats broadcasts — triangle census (count×count
       // cross), PSI (midpoint + ref-range + totals singles), ABC
       // (one-row revenue total against the part-grain frame)
-      "x_triangles", "a25_psi_drift", "w9_abc_pareto")
+      "x_triangles", "a25_psi_drift", "w9_abc_pareto",
+      // r8: label-confusion scores corpus × (broadcast) corpus — the
+      // deliberate fixture-scale all-pairs; LSH buckets are the 100 TB
+      // candidate path (comment at the query)
+      "x_label_confusion")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
