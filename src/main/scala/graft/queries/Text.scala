@@ -871,6 +871,70 @@ object Text {
          |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin),
 
+    // Asymmetric CONTAINMENT dedup — |A∩B| / |A| ≥ 0.9 with A the
+    // smaller shingle set: catches a short document quoted inside a
+    // long one, which symmetric Jaccard misses by construction (the
+    // union denominator dilutes). Blocking: B-side inverted index over
+    // ALL shingles (the x_span_dedup gram-keyed shape), probed with
+    // A's lexicographically-minimum shingle — if A ⊆ B that shingle is
+    // in B's index by definition, so full containment has exact
+    // recall; partial (≥0.9) containment can miss only when the min
+    // shingle falls in A's uncovered tail (approximate recall, like
+    // any LSH blocking). Grams with document frequency above the cap
+    // are excluded from candidacy (the bandCap discipline — bounded
+    // fan-out on boilerplate grams, never a quadratic bucket).
+    // Shingle arrays join back on the collision-sized candidate set
+    // only; the index rows carry (gram, id), never arrays.
+    "x_dedup_containment" -> Q(
+      (s, dir) => {
+        val cap = bandCap(s)
+        val sh = graft.ops.PlanCache.materialized(
+          corpus(s, dir)
+            .withColumn("t", split(col("text"), " "))
+            .withColumn("sh", TextHash.shingleSet(col("t"), 3))
+            .filter(size(col("sh")) > 0)
+            .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh")))
+        val index = sh.select(col("doc_id").as("b_id"), explode(col("sh")).as("g"))
+        val df = index.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val probe = sh.select(col("doc_id").as("a_id"), array_min(col("sh")).as("g"))
+        val cand = probe
+          .join(index, "g").join(df, "g")
+          .filter(col("df") <= cap && col("a_id") =!= col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+            col("n_sh").as("na")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+            col("n_sh").as("nb")), "b_id")
+          .filter(col("na") < col("nb") ||
+            (col("na") === col("nb") && col("a_id") < col("b_id")))
+          .withColumn("containment", expr("size(array_intersect(sha, shb)) / size(sha)"))
+          .filter(col("containment") >= 0.9)
+          .select("a_id", "b_id", "na", "nb", "containment")
+          .orderBy("a_id", "b_id")
+      },
+      s"""WITH $CorpusCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh0 AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
+         |sh1 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0),
+         |ix AS (SELECT doc_id AS b_id, unnest(sh) AS g FROM sh1),
+         |dfr AS (SELECT g, COUNT(*) AS df FROM ix GROUP BY 1),
+         |pr AS (SELECT doc_id AS a_id, list_min(sh) AS g FROM sh1),
+         |cand AS (SELECT DISTINCT a_id, b_id
+         |         FROM pr JOIN ix USING (g) JOIN dfr USING (g)
+         |         WHERE df <= 4096 AND a_id != b_id),
+         |j AS (SELECT c.a_id, c.b_id, a.sh AS sha, a.n_sh AS na,
+         |             b.sh AS shb, b.n_sh AS nb
+         |      FROM cand c
+         |      JOIN sh1 a ON a.doc_id = c.a_id
+         |      JOIN sh1 b ON b.doc_id = c.b_id
+         |      WHERE a.n_sh < b.n_sh OR (a.n_sh = b.n_sh AND c.a_id < c.b_id))
+         |SELECT a_id, b_id, na, nb,
+         |       len(list_intersect(sha, shb)) / len(sha) AS containment
+         |FROM j
+         |WHERE len(list_intersect(sha, shb)) / len(sha) >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin),
+
     // SimHash near-dedup: 60-bit simhash (two independent 30-bit halves)
     // from token polynomial hashes, 4 bands × 15 bits for candidates,
     // Hamming-distance ≤ 3 verification.

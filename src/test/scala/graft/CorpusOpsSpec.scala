@@ -27,6 +27,25 @@ class CorpusOpsSpec extends SparkTestBase {
     dir
   }
 
+  // ---- containment dedup ------------------------------------------
+
+  test("containment dedup finds the quoted-inside pair symmetric Jaccard misses") {
+    // A's 6 tokens appear verbatim inside B (12 tokens): containment
+    // |A∩B|/|A| = 1.0, while Jaccard is 4/10 = 0.4 — under the 0.5
+    // near-dup threshold, the exact blind spot this operator exists
+    // for. C shares nothing.
+    val dir = corpusDir(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "intro words here alpha beta gamma delta epsilon zeta trailing tail tokens",
+      3L -> "one two three four five six seven"))
+    val rows = q("x_dedup_containment", dir)
+      .select("a_id", "b_id", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 1.0)), s"got $rows")
+    val jaccard = q("x_dedup_ngram", dir).collect()
+    assert(jaccard.isEmpty, "Jaccard at 0.5 should miss the quoted pair")
+  }
+
   // ---- KMV sketch -------------------------------------------------
 
   test("kmv estimate tracks exact distinct within sketch error") {
