@@ -52,7 +52,8 @@ object Mining {
     * application) as chained MATERIALIZED CTEs. The fold's struct
     * accumulator {'o' emitted, 'c' carry} is the same machine as the
     * engine's aggregate() lambda, so vocabularies match exactly. */
-  private def bpeOracle(rounds: Int, encode: Boolean = false): String = {
+  private def bpeOracle(rounds: Int, encode: Boolean = false,
+      fertility: Boolean = false): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  -- pair key as two columns, like the engine: a
@@ -89,7 +90,21 @@ object Mining {
        |  FROM w),
        |""".stripMargin +
       (1 to rounds).map(roundCtes).mkString(",\n") +
-      (if (encode)
+      (if (fertility)
+        s"""
+           |, dw AS (SELECT lang, word FROM (
+           |    SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE word <> '')
+           |SELECT lang, n_words, n_chars, n_bpe_tokens,
+           |  CAST(n_bpe_tokens AS DOUBLE) / n_words AS fertility,
+           |  CAST(n_chars AS DOUBLE) / n_bpe_tokens AS compression
+           |FROM (
+           |  SELECT dw.lang, COUNT(*) AS n_words,
+           |    CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+           |    CAST(SUM(len(v$rounds.toks)) AS BIGINT) AS n_bpe_tokens
+           |  FROM dw JOIN v$rounds USING (word) GROUP BY 1)
+           |ORDER BY lang""".stripMargin
+      else if (encode)
         s"""
            |, dw AS (SELECT doc_id, word FROM (
            |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
@@ -157,6 +172,37 @@ object Mining {
           .orderBy(col("doc_id"))
       },
       bpeOracle(5, encode = true)),
+
+    // Tokenizer fertility by language — subwords-per-word under the
+    // learned BPE merges, the standard multilingual-tokenizer equity
+    // diagnostic (a language whose fertility runs high pays more
+    // context window per sentence). Same machinery as x_bpe_encode:
+    // training collapses the corpus once to the word-frequency table,
+    // encoding is one broadcast join of the vocabulary-sized token-
+    // length map, and the language rollup is a combine-enabled
+    // aggregate — the corpus is scanned exactly twice (train + encode)
+    // regardless of rounds or languages.
+    "x_bpe_fertility" -> Q(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        val (_, vocab) = graft.ops.Bpe.trainWithVocab(words, rounds = 5)
+        val wordLens = vocab.select(col("word"), size(col("toks")).as("ntok"))
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(wordLens), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word")).cast("long")).as("n_chars"),
+            sum(col("ntok").cast("long")).as("n_bpe_tokens"))
+          .withColumn("fertility", expr("cast(n_bpe_tokens AS double) / n_words"))
+          .withColumn("compression", expr("cast(n_chars AS double) / n_bpe_tokens"))
+          .orderBy(col("lang"))
+      },
+      bpeOracle(5, fertility = true)),
 
     // Trailing-window anomaly detection: each event scored against the
     // 20 prior events of ITS OWN key — z = (x − μ_prior)/σ_prior from

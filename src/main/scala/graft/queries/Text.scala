@@ -876,15 +876,20 @@ object Text {
     // long one, which symmetric Jaccard misses by construction (the
     // union denominator dilutes). Blocking: B-side inverted index over
     // ALL shingles (the x_span_dedup gram-keyed shape), probed with
-    // A's lexicographically-minimum shingle — if A ⊆ B that shingle is
-    // in B's index by definition, so full containment has exact
-    // recall; partial (≥0.9) containment can miss only when the min
-    // shingle falls in A's uncovered tail (approximate recall, like
-    // any LSH blocking). Grams with document frequency above the cap
-    // are excluded from candidacy (the bandCap discipline — bounded
-    // fan-out on boilerplate grams, never a quadratic bucket).
-    // Shingle arrays join back on the collision-sized candidate set
-    // only; the index rows carry (gram, id), never arrays.
+    // A's TWO lexicographically-smallest shingles, candidate iff BOTH
+    // match (a 2-way AND-probe) — if A ⊆ B both are in B's index by
+    // definition, so full containment keeps exact recall, while the
+    // conjunction cuts the candidate set 34× at bench scale vs a
+    // single-shingle probe (measured 54186 → 1592 candidates, the SAME
+    // 693 verified pairs — synthetic short-vocabulary text makes any
+    // one shingle unselective). Partial (≥0.9) containment can miss
+    // only when a probe shingle falls in A's uncovered tail
+    // (approximate recall, like any LSH blocking). Grams with document
+    // frequency above the cap are excluded from candidacy (the bandCap
+    // discipline — bounded fan-out on boilerplate grams, never a
+    // quadratic bucket). Shingle arrays join back on the collision-
+    // sized candidate set only; index rows carry (gram, id), never
+    // arrays.
     "x_dedup_containment" -> Q(
       (s, dir) => {
         val cap = bandCap(s)
@@ -896,11 +901,15 @@ object Text {
             .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh")))
         val index = sh.select(col("doc_id").as("b_id"), explode(col("sh")).as("g"))
         val df = index.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        val probe = sh.select(col("doc_id").as("a_id"), array_min(col("sh")).as("g"))
+        val probe = sh.select(col("doc_id").as("a_id"), col("n_sh").as("pn"),
+          explode(expr("slice(array_sort(sh), 1, 2)")).as("g"))
         val cand = probe
           .join(index, "g").join(df, "g")
           .filter(col("df") <= cap && col("a_id") =!= col("b_id"))
-          .select("a_id", "b_id").distinct()
+          .groupBy(col("a_id"), col("b_id"), col("pn"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === least(lit(2), col("pn")))
+          .select("a_id", "b_id")
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha"),
             col("n_sh").as("na")), "a_id")
@@ -919,10 +928,14 @@ object Text {
          |sh1 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0),
          |ix AS (SELECT doc_id AS b_id, unnest(sh) AS g FROM sh1),
          |dfr AS (SELECT g, COUNT(*) AS df FROM ix GROUP BY 1),
-         |pr AS (SELECT doc_id AS a_id, list_min(sh) AS g FROM sh1),
-         |cand AS (SELECT DISTINCT a_id, b_id
+         |pr AS (SELECT doc_id AS a_id, n_sh AS pn,
+         |              unnest(list_slice(list_sort(sh), 1, 2)) AS g
+         |       FROM sh1),
+         |cand AS (SELECT a_id, b_id
          |         FROM pr JOIN ix USING (g) JOIN dfr USING (g)
-         |         WHERE df <= 4096 AND a_id != b_id),
+         |         WHERE df <= 4096 AND a_id != b_id
+         |         GROUP BY a_id, b_id, pn
+         |         HAVING COUNT(*) = LEAST(2, pn)),
          |j AS (SELECT c.a_id, c.b_id, a.sh AS sha, a.n_sh AS na,
          |             b.sh AS shb, b.n_sh AS nb
          |      FROM cand c
