@@ -170,7 +170,12 @@ object Graph {
       val minDeg = deg.agg(min(col("deg"))).head()
       if (minDeg.isNullAt(0) || minDeg.getLong(0) >= k) converged = true
       else {
-        val keep = deg.filter(col("deg") >= k).select("n")
+        // keep is node-grain (the graph's vocabulary, orders of
+        // magnitude under the edge frame) — broadcast EXPLICITLY: the
+        // materialized deg is a LogicalRDD leaf whose size statistics
+        // are unknown, so the planner otherwise falls back to
+        // sort-merge and shuffles the full edge frame TWICE per round
+        val keep = broadcast(deg.filter(col("deg") >= k).select("n"))
         e = PlanCache.materialized(e
           .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
