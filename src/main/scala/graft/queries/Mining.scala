@@ -764,6 +764,51 @@ object Mining {
         |FROM c CROSS JOIN t
         |ORDER BY cum_share, l_partkey""".stripMargin),
 
+    // Lorenz curve of revenue concentration — a29_gini's graphical
+    // sibling and Prefix's second consumer: cumulative revenue share at
+    // each part-population decile (ascending revenue, poorest first).
+    // The running sum is ops/Prefix (no single-task window); the ten
+    // curve points come from a broadcast 10-row decile-mark frame
+    // joined on rank, so the part-grain frame is never re-sorted or
+    // re-scanned per point.
+    "w10_lorenz" -> Q(
+      (s, dir) => {
+        val rev = graft.ops.PlanCache.materialized(
+          Tables.lineitem(s, dir)
+            .groupBy(col("l_partkey"))
+            .agg(sum(col("l_extendedprice").cast(Dec) *
+              (lit(1) - col("l_discount").cast(Dec))).as("rev")))
+        val stats = rev.agg(count(lit(1)).as("n"), sum(col("rev")).as("total"))
+        val marks = s.range(1, 11).select(col("id").as("i"))
+          .crossJoin(broadcast(stats))
+          .select(col("i"), expr("(n * i) div 10").as("rk1"), col("total"))
+        Prefix.rankAndRunningSum(rev,
+            Seq(col("rev"), col("l_partkey")), "rev", "rk", "cum")
+          .withColumn("rk1", col("rk") + 1)
+          .join(broadcast(marks), "rk1")
+          .select((col("i") * 10).cast("int").as("pct_parts"),
+            expr("round(cast(cum AS double) / cast(total AS double), 6)")
+              .as("cum_rev_share"))
+          .orderBy(col("pct_parts"))
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, SUM(rev) AS total FROM rev),
+        |c AS (SELECT rev,
+        |        SUM(rev) OVER (ORDER BY rev, l_partkey
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |        ROW_NUMBER() OVER (ORDER BY rev, l_partkey) AS rk1
+        |      FROM rev),
+        |m AS (SELECT i, (t.n * i) // 10 AS rk1, t.total
+        |      FROM range(1, 11) r(i) CROSS JOIN t)
+        |SELECT CAST(m.i * 10 AS INT) AS pct_parts,
+        |       round(CAST(c.cum AS DOUBLE) / CAST(m.total AS DOUBLE), 6) AS cum_rev_share
+        |FROM m JOIN c USING (rk1)
+        |ORDER BY pct_parts""".stripMargin),
+
     // Zipf-law fit of the token frequency distribution — the corpus
     // "law diagnostic" (natural text has slope ≈ −1; heavy synthetic
     // duplication or truncated vocabularies bend it). OLS of ln(freq)

@@ -185,5 +185,48 @@ object Streams {
         |  n_events, total_value
         |FROM g
         |WHERE epoch_ms(session_close) <= (SELECT w FROM wm)
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin),
+
+    // Event-time-bounded stream-stream join run end-to-end
+    // (streaming/StreamJoin): each purchase enriched with the same
+    // user's clicks from the preceding 30 minutes, both sides replayed
+    // as streams. Inner interval-join pairs emit as soon as both rows
+    // arrive — no watermark wait — and the watermark+range bound state,
+    // not the result, so the AvailableNow replay's emitted set is
+    // exactly the batch join: the oracle is the plain SQL interval
+    // join, no emission clause needed (unlike t11/t17's windows).
+    "t18_stream_join" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        def stream() = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          purchases, "ts", "35 minutes", clicks, "c_ts", "35 minutes",
+          "user_id", horizonSec = 1800)
+        val name = s"t18_stream_join_${runSeq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("p_id"), col("c_id"), col("user_id"),
+            expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000").as("gap_s"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ep
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_ep
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p_id, c_id, user_id, (p_ep - c_ep) // 1000000 AS gap_s
+        |FROM p JOIN c USING (user_id)
+        |WHERE c_ep <= p_ep AND c_ep >= p_ep - 1800000000
+        |ORDER BY p_id, c_id""".stripMargin))
 }

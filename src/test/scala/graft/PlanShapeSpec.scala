@@ -63,8 +63,9 @@ class PlanShapeSpec extends SparkTestBase {
       "x_triangles", "a25_psi_drift", "w9_abc_pareto",
       // r8: label-confusion scores corpus × (broadcast) corpus — the
       // deliberate fixture-scale all-pairs; LSH buckets are the 100 TB
-      // candidate path (comment at the query)
-      "x_label_confusion")
+      // candidate path (comment at the query). Lorenz joins the 1-row
+      // (n, total) stats frame into the 10-row decile-mark frame.
+      "x_label_confusion", "w10_lorenz")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
