@@ -32,6 +32,26 @@ object Streams {
     * query). */
   private val runSeq = new AtomicInteger(0)
 
+  /** Run a streaming replay with a bounded number of state partitions.
+    *
+    * Stateful operators allocate one state-store instance per shuffle
+    * partition PER MICRO-BATCH — at the session default (32 here, 200
+    * in stock Spark) a fixture replay pays dozens of near-empty store
+    * lifecycles per batch, pure fixed overhead (measured ~35% of
+    * t17's wall time). State cardinality is a deployment knob sized to
+    * keys×retention, independent of the compute parallelism the rest
+    * of the engine wants, so the replay queries pin it low and restore
+    * the session default after. Results are unaffected: every state
+    * partition computes the same exact aggregates wherever its keys
+    * land. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, before)
+  }
+
   val all: Map[String, Q] = Map(
 
     "t11_stream_hourly" -> Q(
@@ -56,12 +76,14 @@ object Streams {
             col("value").as("price"),
             col("ts").cast("timestamp").as("created_at"))
         val name = s"t11_stream_hourly_${runSeq.incrementAndGet()}"
-        val q = HourlyMicroBatch.hourlyAggregates(ticks)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 8) {
+          val q = HourlyMicroBatch.hourlyAggregates(ticks)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // timestamps compare as microsecond strings (engine-dtype-proof,
         // the suite-wide convention)
         s.table(name)
@@ -110,11 +132,13 @@ object Streams {
         val run = runSeq.incrementAndGet()
         val base = java.nio.file.Files
           .createTempDirectory(s"t16_stream_$run").toString
-        val q = graft.streaming.IncrementalStream
-          .stateSink(ticks, keys, "value", s"$base/state")
-          .option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.IncrementalStream
+            .stateSink(ticks, keys, "value", s"$base/state")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          q.awaitTermination()
+        }
         graft.ops.Incremental.finalize(
             graft.streaming.IncrementalStream.readState(s, s"$base/state", keys))
           .orderBy(col("day"), col("event_type"))
@@ -148,13 +172,15 @@ object Streams {
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
             col("value"))
         val name = s"t17_stream_sessions_${runSeq.incrementAndGet()}"
-        val q = graft.streaming.SessionStream
-          .sessionStats(ticks, "30 minutes", "35 minutes")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.SessionStream
+            .sessionStats(ticks, "30 minutes", "35 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name)
           .withColumn("session_start",
             date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -211,11 +237,13 @@ object Streams {
           purchases, "ts", "35 minutes", clicks, "c_ts", "35 minutes",
           "user_id", horizonSec = 1800)
         val name = s"t18_stream_join_${runSeq.incrementAndGet()}"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 8) {
+          val q = joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name)
           .select(col("p_id"), col("c_id"), col("user_id"),
             expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000").as("gap_s"))
