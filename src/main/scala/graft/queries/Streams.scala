@@ -256,5 +256,72 @@ object Streams {
         |SELECT p_id, c_id, user_id, (p_ep - c_ep) // 1000000 AS gap_s
         |FROM p JOIN c USING (user_id)
         |WHERE c_ep <= p_ep AND c_ep >= p_ep - 1800000000
+        |ORDER BY p_id, c_id""".stripMargin),
+
+    // The LEFT OUTER form of t18 — the only streaming shape whose
+    // EMISSION (not just its state) is watermark-decided: a matched
+    // pair emits immediately, but a null-padded row emits only when
+    // the watermark proves no matching click can still arrive
+    // (clicks with event time ≤ the purchase's could match, so the
+    // purchase finalizes once the watermark passes it). The subtlety
+    // the oracle must restate — pinned empirically at BOTH sf0.01 and
+    // sf0.1, 0 miss / 0 extra — is WHOSE maximum drives the
+    // watermark: each side's withWatermark tracks the event times
+    // flowing through ITS OWN (post-filter) stream, and the query's
+    // global watermark is the MIN of the two, so the final watermark
+    // is min(max purchase ts, max click ts) − 35 min — at sf0.01 the
+    // click stream ends 797 s before the purchase stream and holds
+    // the whole query's watermark back by that much. An all-events
+    // maximum (t11's single-source spelling) is simply wrong here.
+    // Watermarks compare at ms precision (Spark truncates).
+    "t19_stream_left_join" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        def stream() = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          purchases.withColumnRenamed("user_id", "key"),
+          "ts", "35 minutes",
+          clicks.withColumnRenamed("c_user", "key"),
+          "c_ts", "35 minutes",
+          "key", horizonSec = 1800, joinType = "left_outer")
+        val name = s"t19_stream_left_join_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name)
+          .select(col("p_id"), col("c_id"), col("key").as("user_id"),
+            expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000").as("gap_s"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ep,
+        |             epoch_ms(ts) AS p_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_ep
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT LEAST(
+        |         (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase'),
+        |         (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'))
+        |         - 35 * 60 * 1000 AS w),
+        |m AS (SELECT p.p_id, c.c_id, p.user_id, (p.p_ep - c.c_ep) // 1000000 AS gap_s
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.c_ep <= p.p_ep AND c.c_ep >= p.p_ep - 1800000000)
+        |SELECT p_id, c_id, user_id, gap_s FROM m
+        |UNION ALL
+        |SELECT p.p_id, NULL, p.user_id, NULL
+        |FROM p
+        |WHERE p.p_id NOT IN (SELECT p_id FROM m)
+        |  AND p.p_ms < (SELECT w FROM wm)
         |ORDER BY p_id, c_id""".stripMargin))
 }

@@ -25,11 +25,16 @@ object StreamJoin {
     * falls in `[leftTs - horizonSec, leftTs]`. Works identically on
     * batch frames (same API, no watermark requirement) — the spec
     * asserts batch ≡ stream on interior data.
-    */
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form
+    * null-pads a left row once the watermark proves no matching right
+    * row can still arrive (right event times ≤ leftTs could match, so
+    * the row finalizes when the watermark passes leftTs) — the
+    * streaming spelling of an enrich-with-default lookup. */
   def intervalJoin(
       left: DataFrame, leftTs: String, leftWm: String,
       right: DataFrame, rightTs: String, rightWm: String,
-      key: String, horizonSec: Long): DataFrame = {
+      key: String, horizonSec: Long, joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark(leftTs, leftWm)
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, rightWm)
@@ -38,7 +43,8 @@ object StreamJoin {
         col(s"l.$key") === col(s"r.$key") &&
           col(s"r.$rightTs") <= col(s"l.$leftTs") &&
           col(s"r.$rightTs") >= col(s"l.$leftTs") -
-            expr(s"INTERVAL $horizonSec SECONDS"))
+            expr(s"INTERVAL $horizonSec SECONDS"),
+        joinType)
       .drop(col(s"r.$key"))
   }
 }
