@@ -40,6 +40,77 @@ object Analytics {
 
   val all: Map[String, Q] = Map(
 
+    // RFM customer segmentation — the classic lifecycle readout:
+    // recency (last purchase), frequency (count), monetary (exact
+    // decimal total) per user, each turned into a 1–5 quintile score
+    // by RANK (rank-based quintiles are deterministic under ties with
+    // the user_id tie-break, where value-threshold quintiles collapse
+    // on duplicated values), then a rule-based segment label. The
+    // three ranks are ops/DenseId over the USER-grain frame (fact
+    // collapses first; no un-partitioned NTILE/ROW_NUMBER window
+    // anywhere), quintile = 1 + (5·rank0) div n with n from a 1-row
+    // broadcast. Scores join back on user_id — user-grain exchanges
+    // only.
+    "a31_rfm" -> Q(
+      (s, dir) => {
+        val per = graft.ops.PlanCache.materialized(
+          Tables.events(s, dir)
+            .filter(col("event_type") === "purchase" && col("value").isNotNull)
+            .groupBy(col("user_id"))
+            .agg(max(unix_micros(col("ts"))).as("last_ep"),
+              count(lit(1)).as("freq"),
+              sum(col("value").cast(Dec)).as("mon")))
+        val n = per.agg(count(lit(1)).as("n"))
+        def score(orderCol: String, name: String) =
+          graft.ops.DenseId.assign(
+              per.select(col("user_id"), col(orderCol)),
+              Seq(col(orderCol), col("user_id")), "rk0")
+            .crossJoin(broadcast(n))
+            .select(col("user_id"),
+              expr("cast(1 + (5 * rk0) div n AS int)").as(name))
+        per
+          .join(score("last_ep", "r_score"), "user_id")
+          .join(score("freq", "f_score"), "user_id")
+          .join(score("mon", "m_score"), "user_id")
+          .select(col("user_id"), col("last_ep"), col("freq"),
+            col("mon").cast("double").as("monetary"),
+            col("r_score"), col("f_score"), col("m_score"),
+            expr("""CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                   |     WHEN f_score >= 4 THEN 'loyal'
+                   |     WHEN r_score >= 4 THEN 'recent'
+                   |     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                   |     WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                   |     ELSE 'regular' END""".stripMargin).as("segment"))
+          .orderBy(col("user_id"))
+      },
+      """WITH per AS (
+        |  SELECT user_id, epoch_us(MAX(ts)) AS last_ep,
+        |         COUNT(*) AS freq,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS mon
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM per),
+        |r AS (SELECT user_id,
+        |        CAST(1 + (5 * (ROW_NUMBER() OVER (ORDER BY last_ep, user_id) - 1)) // t.n AS INT) AS r_score
+        |      FROM per CROSS JOIN t),
+        |f AS (SELECT user_id,
+        |        CAST(1 + (5 * (ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1)) // t.n AS INT) AS f_score
+        |      FROM per CROSS JOIN t),
+        |m AS (SELECT user_id,
+        |        CAST(1 + (5 * (ROW_NUMBER() OVER (ORDER BY mon, user_id) - 1)) // t.n AS INT) AS m_score
+        |      FROM per CROSS JOIN t)
+        |SELECT per.user_id, per.last_ep, per.freq,
+        |  CAST(per.mon AS DOUBLE) AS monetary,
+        |  r.r_score, f.f_score, m.m_score,
+        |  CASE WHEN r.r_score >= 4 AND f.f_score >= 4 THEN 'champion'
+        |       WHEN f.f_score >= 4 THEN 'loyal'
+        |       WHEN r.r_score >= 4 THEN 'recent'
+        |       WHEN r.r_score <= 2 AND f.f_score >= 3 THEN 'at_risk'
+        |       WHEN r.r_score <= 2 AND f.f_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM per JOIN r USING (user_id) JOIN f USING (user_id) JOIN m USING (user_id)
+        |ORDER BY per.user_id""".stripMargin),
+
     // W3 (beyond W1/W2): explicit ROWS frame — 7-event moving average
     // per user plus exact lag delta. One shuffle on user_id; both
     // windows share the same sort.

@@ -301,4 +301,31 @@ class AnalyticsInvariantSpec extends SparkTestBase {
     assert(o.filter(col("n_oov") > col("n_tokens") ||
       col("oov_rate") < 0.0 || col("oov_rate") > 1.0).count() == 0)
   }
+
+  test("RFM: scores are balanced rank quintiles and the label rules hold") {
+    val r = run("a31_rfm").cache()
+    try {
+      val n = r.count()
+      assert(n > 0)
+      // every score in 1..5, each quintile bucket sized n/5 (+1 at the
+      // remainder boundary) — the rank construction's defining property
+      for (c <- Seq("r_score", "f_score", "m_score")) {
+        val sizes = r.groupBy(c).count().collect()
+          .map(row => row.getInt(0) -> row.getLong(1)).toMap
+        assert(sizes.keySet.forall(s => s >= 1 && s <= 5), s"$c out of 1..5")
+        sizes.foreach { case (s, cnt) =>
+          assert(cnt >= n / 5 && cnt <= n / 5 + 1, s"$c=$s bucket $cnt of $n")
+        }
+      }
+      // labels must agree with the published rule on every row
+      val bad = r.filter(expr("""NOT (
+          |  (segment = 'champion'    AND r_score >= 4 AND f_score >= 4) OR
+          |  (segment = 'loyal'       AND NOT (r_score >= 4 AND f_score >= 4) AND f_score >= 4) OR
+          |  (segment = 'recent'      AND f_score < 4 AND r_score >= 4) OR
+          |  (segment = 'at_risk'     AND f_score < 4 AND r_score < 4 AND r_score <= 2 AND f_score >= 3) OR
+          |  (segment = 'hibernating' AND f_score < 4 AND r_score < 4 AND NOT (r_score <= 2 AND f_score >= 3) AND r_score <= 2 AND f_score <= 2) OR
+          |  (segment = 'regular'     AND f_score < 4 AND r_score < 4 AND NOT (r_score <= 2 AND f_score >= 3) AND NOT (r_score <= 2 AND f_score <= 2)))""".stripMargin))
+      assert(bad.count() == 0, "a segment label disagrees with the score rule")
+    } finally r.unpersist()
+  }
 }

@@ -65,7 +65,10 @@ class PlanShapeSpec extends SparkTestBase {
       // deliberate fixture-scale all-pairs; LSH buckets are the 100 TB
       // candidate path (comment at the query). Lorenz joins the 1-row
       // (n, total) stats frame into the 10-row decile-mark frame.
-      "x_label_confusion", "w10_lorenz")
+      "x_label_confusion", "w10_lorenz",
+      // r8: RFM quintiles join the 1-row user-count frame into each
+      // user-grain rank frame
+      "a31_rfm")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
