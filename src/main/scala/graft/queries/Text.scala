@@ -675,6 +675,40 @@ object Text {
          |SELECT node AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Duplicate-cluster size histogram — the dedup-yield readout a
+    // corpus report leads with: how many near-dup clusters exist at
+    // each size, how many documents they absorb, and what canonical-
+    // keep dedup would save (size − 1 per cluster). Rides the exact
+    // cluster assembly (minhashClustersOver — banded pairs on class
+    // representatives + min-label components); the rollup is two
+    // cluster-grain aggregates, nothing document-sized shuffles twice.
+    "x_dedup_cluster_stats" -> Q(
+      (s, dir) =>
+        minhashClustersOver(corpus(s, dir))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("n_clusters") * col("sz")).cast("long").as("n_docs"),
+            (col("n_clusters") * (col("sz") - 1)).cast("long").as("n_removable"))
+          .orderBy(col("cluster_size")),
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsj
+         |          UNION SELECT b_id, a_id FROM pairsj),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |       CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_removable
+         |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin),
+
     // Incremental dedup admission — the nightly-ingest shape: a NEW
     // batch of documents (doc_id % 4 = 0, a deterministic stand-in
     // for the arrival partition) is admitted against the EXISTING
