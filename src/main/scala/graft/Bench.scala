@@ -93,7 +93,14 @@ object Bench {
       name -> (if (ok) elapsed else Double.PositiveInfinity)
     }
     pass() // warm (JIT/codegen), untimed
-    val timed = Seq(pass(), pass(), pass(recordShuffle = true))
+    val timed1 = pass()
+    val timed2 = pass()
+    // spill shares shuffle_mb's denominator (the final pass only):
+    // settle the async task-end bus, then zero before the recorded pass
+    settled(spillBytes); spillBytes.set(0)
+    val timed = Seq(timed1, timed2, pass(recordShuffle = true))
+    // capture before the skew measurement below adds its own spill
+    val spillFinalPassBytes = settled(spillBytes)
     val resultsAll = timed.head.keys.map { k =>
       k -> timed.map(_(k)).min
     }.toMap
@@ -175,9 +182,12 @@ object Bench {
     val fixturesJson = Fixtures.fingerprintJson(spark, sfDir)
     val shuffleJson = shuffleMb
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spillMb = math.round(spillBytes.get / 1e5) / 10.0
+    // same denominator as shuffle_mb: the final timed pass only (reset
+    // above) — the r8 artifact accumulated spill over all four passes
+    // while shuffle covered one, inviting cross-metric misreading
+    val spillMb = math.round(spillFinalPassBytes / 1e5) / 10.0
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_total":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir"}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +

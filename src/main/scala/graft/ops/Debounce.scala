@@ -44,8 +44,14 @@ object Debounce {
       require(integral.contains(dt),
         s"debounce column '$c' must be an integral type (byte/short/int/long), got $dt")
     }
-    df.select(col(keyCol).cast("long"), col(epochCol).cast("long"),
-        col(idCol).cast("long"))
+    // NULLs are rejected at runtime (codegen'd raise_error, no extra
+    // job): a NULL key/epoch/id would otherwise decode as 0L through
+    // the tuple Encoder and silently join the key-0 chain.
+    def guarded(c: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"debounce column '$c' must be non-NULL")))
+        .otherwise(col(c)).cast("long")
+    df.select(guarded(keyCol), guarded(epochCol), guarded(idCol))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>

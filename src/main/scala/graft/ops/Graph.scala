@@ -167,15 +167,33 @@ object Graph {
       // running the full bound (the oracle unrolls all of them; an
       // identity round maps its CTEs through unchanged). An empty
       // survivor set (min = NULL) is likewise a fixpoint.
-      val minDeg = deg.agg(min(col("deg"))).head()
-      if (minDeg.isNullAt(0) || minDeg.getLong(0) >= k) converged = true
+      // one head() per round carries BOTH the convergence probe and the
+      // survivor count (sizes the broadcast decision below) — no extra job
+      val probe = deg.agg(min(col("deg")),
+        sum(when(col("deg") >= k, 1L).otherwise(0L))).head()
+      if (probe.isNullAt(0) || probe.getLong(0) >= k) converged = true
       else {
-        // keep is node-grain (the graph's vocabulary, orders of
-        // magnitude under the edge frame) — broadcast EXPLICITLY: the
+        // keep is node-grain (usually orders of magnitude under the
+        // edge frame) — broadcast EXPLICITLY when it fits: the
         // materialized deg is a LogicalRDD leaf whose size statistics
         // are unknown, so the planner otherwise falls back to
-        // sort-merge and shuffles the full edge frame TWICE per round
-        val keep = broadcast(deg.filter(col("deg") >= k).select("n"))
+        // sort-merge and shuffles the full edge frame TWICE per round.
+        // On near-chain graphs (nodes ≈ edges) the survivor set is NOT
+        // small; forcing the broadcast there would OOM where sort-merge
+        // degrades gracefully, so the force is guarded by an explicit
+        // size estimate (~16 B per long row + overhead) against the
+        // session's own broadcast threshold.
+        val survivors = probe.getLong(1)
+        // conf may be a plain long ("-1" disables broadcast) or a byte
+        // string ("10MB") — accept both
+        val thresholdB = e.sparkSession.conf
+          .getOption("spark.sql.autoBroadcastJoinThreshold")
+          .map(v => scala.util.Try(v.toLong).getOrElse(
+            scala.util.Try(org.apache.spark.network.util.JavaUtils
+              .byteStringAsBytes(v)).getOrElse(-1L)))
+          .getOrElse(10L * 1024 * 1024)
+        val keep0 = deg.filter(col("deg") >= k).select("n")
+        val keep = if (survivors * 32L <= thresholdB) broadcast(keep0) else keep0
         e = PlanCache.materialized(e
           .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")

@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   *
   * Input contract (validated): key/epoch/id integral and non-NULL,
   * value double — a NULL key would decode as 0L and join the key-0
-  * fold, the [[Debounce]] failure mode.
+  * fold, the [[Debounce]] failure mode. Types are checked at plan
+  * build; NULLs are rejected at RUNTIME by a codegen'd per-row
+  * raise_error guard ([[nonNullLong]]) — no extra job, the row that
+  * violates the contract aborts the query with the column name
+  * instead of silently merging into the key-0 fold.
   */
 object SeqFold {
 
@@ -40,6 +44,19 @@ object SeqFold {
       s"SeqFold value column '$dblCol' must be double/float, got $vt")
   }
 
+  /** NULL-rejecting cast: errors (with the offending column named) on
+    * the first NULL instead of letting the tuple Encoder decode it as
+    * 0L/0.0. Inline in the projection — codegen'd, no extra pass. */
+  private def guarded(c: String, op: String): org.apache.spark.sql.Column =
+    when(col(c).isNull,
+      raise_error(lit(s"$op column '$c' must be non-NULL")))
+      .otherwise(col(c)).cast("long")
+
+  private def guardedD(c: String, op: String): org.apache.spark.sql.Column =
+    when(col(c).isNull,
+      raise_error(lit(s"$op column '$c' must be non-NULL")))
+      .otherwise(col(c)).cast("double")
+
   /** Per-key EWMA in (epoch, id) order: first row passes through, then
     * e' = α·x + (1−α)·e. Returns (key, epoch, id, value, ewma). */
   def ewma(df: DataFrame, keyCol: String, epochCol: String, idCol: String,
@@ -48,8 +65,8 @@ object SeqFold {
     val spark = df.sparkSession
     import spark.implicits._
     val beta = 1.0 - alpha // dyadic α ⇒ exact
-    df.select(col(keyCol).cast("long"), col(epochCol).cast("long"),
-        col(idCol).cast("long"), col(valueCol).cast("double"))
+    df.select(guarded(keyCol, "SeqFold"), guarded(epochCol, "SeqFold"),
+        guarded(idCol, "SeqFold"), guardedD(valueCol, "SeqFold"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
@@ -77,8 +94,8 @@ object SeqFold {
     import spark.implicits._
     val a1 = 1.0 - alpha
     val b1 = 1.0 - beta
-    df.select(col(keyCol).cast("long"), col(epochCol).cast("long"),
-        col(idCol).cast("long"), col(valueCol).cast("double"))
+    df.select(guarded(keyCol, "SeqFold"), guarded(epochCol, "SeqFold"),
+        guarded(idCol, "SeqFold"), guardedD(valueCol, "SeqFold"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>

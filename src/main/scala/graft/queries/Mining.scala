@@ -621,18 +621,24 @@ object Mining {
 
     // Top principal component of the embedding corpus: the exact
     // distributed Gram reduction (x_gram_matrix's 2^20 fixed-point
-    // DECIMAL(38,0) discipline, full 64×64 here) feeds a driver-local
-    // 8-step power iteration (ops/Eigen) — dim² values on the driver,
-    // corpus-sized work distributed, the KMeans broadcast-centroid
-    // split. Every float op is a fixed-order fold and sqrt is IEEE
-    // correctly rounded, so the oracle's recursive-CTE re-execution of
-    // the same sequence is bit-identical with NO rounding fudge.
+    // DECIMAL(38,0) discipline) feeds a driver-local 8-step power
+    // iteration (ops/Eigen) — dim² values on the driver, corpus-sized
+    // work distributed, the KMeans broadcast-centroid split. The Gram
+    // matrix is symmetric, so only the UPPER TRIANGLE (i ≤ j: 2080
+    // structs/row, not 64² = 4096) is exploded and aggregated — the
+    // mirror happens on the driver where the dense 64×64 array is
+    // assembled anyway. Halves the explode fan-out and the map-side
+    // combine input; values are identical because g(i,j) and g(j,i)
+    // sum the exact same integer products. Every float op is a
+    // fixed-order fold and sqrt is IEEE correctly rounded, so the
+    // oracle's recursive-CTE re-execution of the same sequence is
+    // bit-identical with NO rounding fudge.
     "x_pca_power" -> Q(
       (s, dir) => {
         val gramRows = Tables.embeddings(s, dir)
           .select(explode(expr(
             """flatten(transform(sequence(1, 64), i ->
-              |  transform(sequence(1, 64), j -> struct(
+              |  transform(sequence(i, 64), j -> struct(
               |    i AS i, j AS j,
               |    cast(round(cast(element_at(embedding, i) AS double) * 1048576.0d) AS bigint)
               |      * cast(round(cast(element_at(embedding, j) AS double) * 1048576.0d) AS bigint)
@@ -644,8 +650,11 @@ object Mining {
             (col("sq").cast("double") / lit(1099511627776.0d)).as("g"))
           .collect()
         val g = Array.ofDim[Double](64, 64)
-        gramRows.foreach(r =>
-          g(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) = r.getAs[Double]("g"))
+        gramRows.foreach { r =>
+          val (i, j, v) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1, r.getAs[Double]("g"))
+          g(i)(j) = v
+          g(j)(i) = v
+        }
         val (v, eig) = graft.ops.Eigen.power(g, iters = 8)
         import s.implicits._
         (1 to 64).map(i => (i, v(i - 1), eig)).toDF("i", "loading", "eigval")

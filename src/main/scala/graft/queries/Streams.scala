@@ -139,9 +139,21 @@ object Streams {
             .start()
           q.awaitTermination()
         }
-        graft.ops.Incremental.finalize(
+        // materialize (localCheckpoint cuts lineage off the state files)
+        // so the per-invocation temp dir can be deleted immediately —
+        // a bench run is 4 invocations, and without cleanup each leaks
+        // a state log + checkpoint in /tmp
+        val out = graft.ops.Incremental.finalize(
             graft.streaming.IncrementalStream.readState(s, s"$base/state", keys))
           .orderBy(col("day"), col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
       },
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  COUNT(value) AS cnt,

@@ -110,9 +110,16 @@ object Text {
     * case entirely; the cap bounds the residual near-identical case.
     * Buckets at the cap drop candidates (approximate recall, like any
     * production LSH dedup) — [[minhashBandDrops]] reports exactly how
-    * many, so the loss is measured, never silent. */
+    * many, so the loss is measured, never silent.
+    *
+    * NOTE: oracle-gated queries interpolate [[BandCapDefault]] into
+    * their DuckDB SQL at object init, so they assume the DEFAULT cap —
+    * setting spark.graft.dedup.bandCap desyncs engine and oracle (by
+    * design: the conf is a production knob, the oracles pin the
+    * default). */
+  private[graft] val BandCapDefault = 4096
   private[graft] def bandCap(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.dedup.bandCap").map(_.toInt).getOrElse(4096)
+    s.conf.getOption("spark.graft.dedup.bandCap").map(_.toInt).getOrElse(BandCapDefault)
 
   /** The same pipeline over an explicit (doc_id, text) corpus — shared
     * with the ScaleCheck probe so scale measurements can never drift
@@ -967,7 +974,7 @@ object Text {
          |       FROM sh1),
          |cand AS (SELECT a_id, b_id
          |         FROM pr JOIN ix USING (g) JOIN dfr USING (g)
-         |         WHERE df <= 4096 AND a_id != b_id
+         |         WHERE df <= $BandCapDefault AND a_id != b_id
          |         GROUP BY a_id, b_id, pn
          |         HAVING COUNT(*) = LEAST(2, pn)),
          |j AS (SELECT c.a_id, c.b_id, a.sh AS sha, a.n_sh AS na,
