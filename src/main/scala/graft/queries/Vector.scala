@@ -197,6 +197,76 @@ object Vector {
       .filter(col("overflow_buckets") > 0)
   }
 
+  /** Per-vector top-1 cosine neighbor via the LSH candidate path: the
+    * 8-bit hyperplane-signature index probed at Hamming ≤ 2 (37 probes,
+    * the x_ann_lsh_mp discipline), candidate side capped per bucket
+    * (Text.bandCap), exact cosine re-scoring inside the probed buckets
+    * only, SORT-FREE argmax per vector. The only corpus-sized shuffle
+    * key is the signature; nothing broadcasts. Returns
+    * (vec_id, label, n_id, neighbor_label); a vector whose probed
+    * buckets hold no other vector emits no row. Shared by
+    * x_label_confusion and AnnSpec's agreement floor. */
+  private[graft] def top1NeighborLsh(s: SparkSession, dir: String): DataFrame = {
+    val cap = Text.bandCap(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorOps.sig(col("embedding"), Bits).as("sig"))
+    val cand = e
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"), col("sig"))
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy("sig").orderBy("n_id")))
+      .filter(col("_rnk") <= cap)
+      .drop("_rnk")
+    val probeSigs = expr(
+      s"""concat(
+         |  array(sig),
+         |  transform(sequence(0, ${Bits - 1}),
+         |    h -> sig ^ shiftleft(CAST(1 AS BIGINT), h)),
+         |  flatten(transform(sequence(0, ${Bits - 2}), i ->
+         |    transform(sequence(i + 1, ${Bits - 1}),
+         |      j -> sig ^ shiftleft(CAST(1 AS BIGINT), i)
+         |             ^ shiftleft(CAST(1 AS BIGINT), j)))))""".stripMargin)
+    val probes = e.select(col("vec_id"), col("label"), col("embedding"),
+      explode(probeSigs).as("sig"))
+    probes.join(cand, Seq("sig"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("n_emb")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cosine"), (-col("n_id")).as("neg_id"),
+        col("n_label"))).as("m"))
+      .select(col("vec_id"), col("label"), (-col("m.neg_id")).as("n_id"),
+        col("m.n_label").as("neighbor_label"))
+  }
+
+  /** Per-vector top-1 cosine neighbor, EXACT all-pairs against the
+    * broadcast corpus — x_label_confusion's fixture-scale verifier. */
+  private[graft] def top1NeighborExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val nb = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"))
+    e.crossJoin(broadcast(nb))
+      .filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("n_emb")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cosine"), (-col("n_id")).as("neg_id"),
+        col("n_label"))).as("m"))
+      .select(col("vec_id"), col("label"), (-col("m.neg_id")).as("n_id"),
+        col("m.n_label").as("neighbor_label"))
+  }
+
+  /** Winner votes → confusion matrix with per-label share (the window
+    * runs on the labels²-sized aggregated frame only). */
+  private def confusionMatrix(winners: DataFrame): DataFrame = {
+    val byLabel = Window.partitionBy(col("label"))
+    winners
+      .groupBy(col("label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(byLabel), 6))
+      .orderBy(col("label"), col("neighbor_label"))
+  }
+
   /** DuckDB CTE chain producing the same verified pairs as
     * [[embedPairs]] (names: pairse(a_id, b_id, cosine)). */
   private def EmbedPairsCte: String =
@@ -243,34 +313,65 @@ object Vector {
     // class-overlap diagnostic a labeled embedding set gets before
     // training a classifier on it: each vector votes its top-1 cosine
     // neighbor's label; off-diagonal mass = classes that bleed into
-    // each other (or mislabeled rows). Engine: one corpus scan against
-    // the broadcast corpus (deliberate all-pairs at fixture scale — at
-    // 100 TB the candidate set comes from the x_ann_lsh bucket join
-    // instead, same downstream), then a SORT-FREE argmax per vector
-    // (max over a (cosine, −id, label) struct — no per-vector window),
-    // and a labels²-sized confusion aggregate; the share window runs on
-    // that tiny frame only. Winner determinism: cosine is the
+    // each other (or mislabeled rows). Engine (the 100 TB shape):
+    // candidate generation rides the SAME hyperplane-signature index as
+    // x_ann_lsh_mp — every vector probes its own bucket plus all
+    // buckets at Hamming distance 1 and 2 (37 probes of 2^8), exact
+    // cosine re-scores only inside the probed buckets, and the
+    // candidate side is capped per bucket (Text.bandCap, the dedup
+    // discipline) so a degenerate bucket can never go quadratic. The
+    // only corpus-sized shuffle key is the signature; NOTHING is
+    // broadcast and no all-pairs stage exists. Per-vector winner is a
+    // SORT-FREE argmax (max over a (cosine, −id, label) struct), then a
+    // labels²-sized confusion aggregate; the share window runs on that
+    // tiny frame only. Approximate by design — x_label_confusion_exact
+    // below is the all-pairs fixture-scale verifier, and AnnSpec pins
+    // the top-1 agreement floor between the two at sf0.1. A vector
+    // whose probed buckets hold no other vector casts no vote (both
+    // engines drop it identically). Winner determinism: cosine is the
     // bit-portable VectorOps kernel and ties break on vec_id, so both
-    // engines elect identical neighbors.
+    // engines elect identical neighbors among identical candidates.
     "x_label_confusion" -> Q(
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-        val nb = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-          col("embedding").as("n_emb"))
-        val byLabel = Window.partitionBy(col("label"))
-        e.crossJoin(broadcast(nb))
-          .filter(col("vec_id") =!= col("n_id"))
-          .withColumn("cosine", VectorOps.cosine(col("embedding"), col("n_emb")))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(max(struct(col("cosine"), (-col("n_id")).as("neg_id"),
-            col("n_label"))).as("m"))
-          .select(col("label"), col("m.n_label").as("neighbor_label"))
-          .groupBy(col("label"), col("neighbor_label"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("share",
-            round(col("n").cast("double") / sum(col("n")).over(byLabel), 6))
-          .orderBy(col("label"), col("neighbor_label"))
-      },
+      (s, dir) => confusionMatrix(top1NeighborLsh(s, dir)),
+      s"""WITH es AS (SELECT vec_id, label, embedding, ${dSig("embedding")} AS sig FROM embeddings),
+         |cd AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb, sig,
+         |         ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) AS rnk
+         |       FROM es),
+         |c2 AS (SELECT n_id, n_label, n_emb, sig FROM cd WHERE rnk <= ${Text.BandCapDefault}),
+         |pr AS (
+         |  SELECT vec_id, label, embedding,
+         |         unnest([sig]
+         |           || list_transform(range(0, $Bits), h -> xor(sig, CAST(1 AS BIGINT) << h))
+         |           || flatten(list_transform(range(0, ${Bits - 1}), i ->
+         |                list_transform(range(i + 1, $Bits),
+         |                  j -> xor(xor(sig, CAST(1 AS BIGINT) << i), CAST(1 AS BIGINT) << j))))) AS sig
+         |  FROM es),
+         |sc AS (
+         |  SELECT p.vec_id, p.label, c.n_id, c.n_label,
+         |         ${dCos("p.embedding", "c.n_emb")} AS cosine
+         |  FROM pr p JOIN c2 c USING (sig)
+         |  WHERE p.vec_id != c.n_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id ORDER BY cosine DESC, n_id ASC) AS rk
+         |      FROM sc),
+         |c AS (SELECT label, n_label AS neighbor_label, COUNT(*) AS n
+         |      FROM r WHERE rk = 1 GROUP BY 1, 2),
+         |tot AS (SELECT label, SUM(n) AS t FROM c GROUP BY 1)
+         |SELECT c.label, c.neighbor_label, c.n,
+         |       round(CAST(c.n AS DOUBLE) / t, 6) AS share
+         |FROM c JOIN tot USING (label)
+         |ORDER BY c.label, c.neighbor_label""".stripMargin),
+
+    // The ALL-PAIRS form of the confusion matrix — the fixture-scale
+    // verifier for x_label_confusion's LSH candidate generation (the
+    // AnnSpec brute-force discipline): one corpus scan against the
+    // broadcast corpus scores n² cosines exactly. Deliberately NOT the
+    // scale path — broadcasting the corpus stops at executor memory and
+    // n² work is a wall regardless; it exists so the approximate
+    // variant's quality is measured (top-1 agreement floor in AnnSpec),
+    // never assumed.
+    "x_label_confusion_exact" -> Q(
+      (s, dir) => confusionMatrix(top1NeighborExact(s, dir)),
       s"""WITH sc AS (
          |  SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS n_label,
          |         ${dCos("a.embedding", "b.embedding")} AS cosine

@@ -63,6 +63,31 @@ class AnnSpec extends SparkTestBase {
     assert(mpRecall3 >= 0.25, f"multi-probe recall@3 $mpRecall3%.3f below floor 0.25")
   }
 
+  test("label-confusion LSH candidates agree with the exact top-1 winners") {
+    // x_label_confusion's candidate generation is the Hamming<=2
+    // multi-probe bucket join; this pins its QUALITY against the
+    // all-pairs exact form (x_label_confusion_exact) — the IVF-recall
+    // discipline: share of vectors electing the IDENTICAL top-1
+    // neighbor (by vec_id, not just label). Vectors the LSH path drops
+    // (no candidate in any probed bucket) count as disagreement, so a
+    // probe-generation bug that empties buckets trips the floor too.
+    val exact = queries.Vector.top1NeighborExact(spark, sf01)
+      .select("vec_id", "n_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = queries.Vector.top1NeighborLsh(spark, sf01)
+      .select("vec_id", "n_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    val agree = exact.count { case (v, n) => lsh.get(v).contains(n) }
+    val agreement = agree.toDouble / exact.size
+    info(f"top-1 winner agreement lsh vs exact = $agreement%.3f (${exact.size} vectors)")
+    // measured 0.427 at sf0.1 (tracks mp recall@5 = 0.425 — same index,
+    // same probe set); floor ~7pts under so fixture regeneration with
+    // the same distribution passes while a probe/cap bug that collapses
+    // the candidate set toward single-probe (~0.04) trips it hard
+    assert(agreement >= 0.35, f"LSH top-1 agreement $agreement%.3f below floor 0.35")
+  }
+
   test("IVF recall@k vs brute force holds its floor") {
     // x_ann_ivf emits top-3 per query (rnk <= 3) over nprobe=2 cells
     // of a 16-centroid coarse quantizer. Measured 1.000 at sf0.1 (two

@@ -61,11 +61,12 @@ class PlanShapeSpec extends SparkTestBase {
       // cross), PSI (midpoint + ref-range + totals singles), ABC
       // (one-row revenue total against the part-grain frame)
       "x_triangles", "a25_psi_drift", "w9_abc_pareto",
-      // r8: label-confusion scores corpus × (broadcast) corpus — the
-      // deliberate fixture-scale all-pairs; LSH buckets are the 100 TB
-      // candidate path (comment at the query). Lorenz joins the 1-row
-      // (n, total) stats frame into the 10-row decile-mark frame.
-      "x_label_confusion", "w10_lorenz",
+      // r9: the EXACT label-confusion verifier scores corpus ×
+      // (broadcast) corpus — deliberate fixture-scale all-pairs; the
+      // headline x_label_confusion now rides the LSH bucket join and
+      // must NOT nested-loop. Lorenz joins the 1-row (n, total) stats
+      // frame into the 10-row decile-mark frame.
+      "x_label_confusion_exact", "w10_lorenz",
       // r8: RFM quintiles join the 1-row user-count frame into each
       // user-grain rank frame
       "a31_rfm")
