@@ -39,12 +39,12 @@ import org.apache.spark.sql.functions._
   *
   * This is the same single-writer-per-table model as the reference's
   * hourly DAG (one serialized task per target). Callers needing
-  * concurrent writers must either partition ownership so touched
-  * sets never overlap, serialize through an external lock, or move
-  * to a transactional table format where this call becomes MERGE
-  * INTO with optimistic conflict detection. Idempotence (replaying
-  * the SAME batch) is guaranteed; concurrent DISTINCT batches on the
-  * same partition are not.
+  * concurrent writers use [[TxTable.upsert]] — the manifest-versioned
+  * variant whose optimistic CAS commit makes concurrent distinct
+  * batches first-committer-wins with loser re-merge (both batches
+  * survive; MergeWriterSpec proves both contracts side by side).
+  * Idempotence (replaying the SAME batch) is guaranteed here;
+  * concurrent DISTINCT batches on the same partition are not.
   */
 object MergeWriter {
 

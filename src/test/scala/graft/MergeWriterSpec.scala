@@ -67,8 +67,87 @@ class MergeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(target).count() === 2)
   }
 
-  test("interleaved writers on one partition are last-writer-wins: the lost update is real") {
-    // The scaladoc's single-writer contract, demonstrated rather than
+  test("interleaved TRANSACTIONAL writers on one partition: both batches survive") {
+    // The concurrency gap the fast path documents, closed by TxTable's
+    // optimistic CAS: writer A merges against snapshot v1 and stages;
+    // writer B commits v2 inside A's stage→commit window (injected via
+    // the beforeCommit seam); A's CAS on v2 then FAILS, A re-merges
+    // against B's snapshot and commits v3 — so B's insert into the
+    // contended partition survives alongside A's, where the legacy
+    // path silently dropped it (next test).
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_race").toString + "/fact"
+    TxTable.upsert(spark, target,
+      Seq((1L, 10.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+
+    var bRan = false
+    TxTable.upsert(spark, target,
+      Seq((2L, 20.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id",
+      beforeCommit = () => {
+        // writer B lands inside A's race window: contended partition
+        // AND a fresh one
+        TxTable.upsert(spark, target,
+          Seq((3L, 30.0, 2L, 20240101), (4L, 40.0, 2L, 20240102))
+            .toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id")
+        bRan = true
+      })
+    assert(bRan)
+
+    val out = TxTable.snapshot(spark, target).get
+      .select("id", "date_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out === Set(
+      (1L, 20240101), // pre-race row
+      (2L, 20240101), // A's insert: re-merged after losing the CAS
+      (3L, 20240101), // B's insert on the CONTENDED partition: survives
+      (4L, 20240102)  // B's insert on the fresh partition: survives
+    ), s"transactional interleaving lost a batch: $out")
+    assert(TxTable.latest(target)._1 === 3L) // bootstrap, B, then A's retry
+  }
+
+  test("TxTable upsert is idempotent, snapshot-pruned, and vacuumable") {
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_idem").toString + "/fact"
+    val batch = Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+      .toDF("id", "price", "etl_seq", "date_id")
+    TxTable.upsert(spark, target, batch, "id", "etl_seq", "date_id")
+    TxTable.upsert(spark, target, batch, "id", "etl_seq", "date_id")
+    assert(TxTable.snapshot(spark, target).get.count() === 2)
+
+    // a commit touching only 20240101 leaves 20240102's manifest entry
+    // (and therefore its immutable files) untouched — the O(touched)
+    // property, now visible at manifest level
+    val before = TxTable.latest(target)._2
+    TxTable.upsert(spark, target,
+      Seq((1L, 11.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    val after = TxTable.latest(target)._2
+    assert(after("20240102") === before("20240102"))
+    assert(after("20240101") !== before("20240101"))
+
+    val snap = TxTable.snapshot(spark, target).get
+      .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap === Set((1L, 11.0), (2L, 20.0)))
+
+    // vacuum drops the superseded dir + old manifests; snapshot unchanged
+    TxTable.vacuum(target)
+    val dataDirs = new java.io.File(target, "data").list().toSet
+    assert(dataDirs === TxTable.latest(target)._2.values
+      .map(_.stripPrefix("data/")).toSet)
+    val snap2 = TxTable.snapshot(spark, target).get
+      .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap2 === snap)
+  }
+
+  test("interleaved LEGACY writers on one partition are last-writer-wins: the lost update is real") {
+    // The fast path's single-writer contract, demonstrated rather than
     // implied: writer A reads the table, writer B commits a full upsert,
     // then A writes its (now stale) merge. A's dynamic overwrite
     // replaces the whole touched partition with A's merge of the PRE-B
