@@ -68,7 +68,7 @@ object Bench {
       cur
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def pass(recordShuffle: Boolean = false): Map[String, Double] =
+    def pass(recordShuffle: Boolean = false, dir: String = sfDir): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
       // drop shared materialized intermediates (dedup signature frames)
       // so each query's timing charges its own full compute —
@@ -81,7 +81,7 @@ object Bench {
       // A plain .count() would let Catalyst prune computed columns and
       // under-report any query whose cost is in its projections.
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { fn(spark, dir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           failed.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
@@ -172,6 +172,33 @@ object Bench {
         s""""skew":{"direct_s":$directT,"direct_noskewjoin_s":$directNoAqeT,"salted_s":$saltedT}"""
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restoreBroadcast)
     }
+    // Second-scale sweep: sf0.1 timings alone can't distinguish a flat
+    // query from a super-linear one — both can be green and fast at one
+    // scale. Re-time the whole surface at the sibling sf0.01 (1 warm +
+    // 2 timed, min) and emit the per-query 10×-data scaling ratio
+    // t(sf0.1)/t(sf0.01): ≈1 = fixed-overhead-bound, ≈10 = linear,
+    // >>10 = super-linear shape that will not survive the next 10×.
+    // Ratios are only as sharp as the sf0.01 floor (~0.05s startup per
+    // query), so sub-0.2s denominators are reported but read as noisy.
+    val secondaryDir = {
+      val f = new java.io.File(sfDir)
+      val sib = new java.io.File(f.getParentFile, "sf0.01")
+      if (f.getName != "sf0.01" && sib.isDirectory) Some(sib.toString) else None
+    }
+    val (secondaryJson, ratioJson) = secondaryDir match {
+      case None => ("null", "null")
+      case Some(d) =>
+        pass(dir = d) // warm at the secondary scale
+        val s1 = pass(dir = d); val s2 = pass(dir = d)
+        val sec = s1.keys.map(k => k -> math.min(s1(k), s2(k)))
+          .collect { case (k, v) if v.isFinite => k -> v }.toMap
+        val secJ = sec.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val ratJ = sec.collect { case (k, v) if v > 0 && results.contains(k) =>
+          s"\"" + k + "\":" + (math.round(results(k) / v * 100) / 100.0)
+        }.mkString("{", ",", "}")
+        (secJ, ratJ)
+    }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
       failedNames.map(k => s"\"" + k + "\":null"))
       .mkString("{", ",", "}")
@@ -187,7 +214,7 @@ object Bench {
     // while shuffle covered one, inviting cross-metric misreading
     val spillMb = math.round(spillFinalPassBytes / 1e5) / 10.0
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir","sf_secondary":${secondaryDir.fold("null")("\"" + _ + "\"")},"queries_secondary":$secondaryJson,"scale_ratio":$ratioJson}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +
