@@ -47,5 +47,108 @@ object Maintenance {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_v
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin),
+
+    // The layout layer run END-TO-END under the oracle gate (it was
+    // spec-only before): events are rewritten through
+    // SortedWriter.writeZOrdered on (user_id, value) with deliberately
+    // small row groups, then a 2-D range probe — the exact query shape
+    // Z-ordering exists for — reads BACK through the skipping path
+    // (both predicates push to the parquet scan, whose row-group
+    // min/max bounds are tight in both dimensions under the Z layout)
+    // and aggregates per event_type with decimal sums. The oracle runs
+    // the same probe over the RAW table: values must survive the
+    // rewrite bit-for-bit, proving the layout pass reorders rows and
+    // nothing else. Temp layout dirs are deleted once the result
+    // materializes (the t16 discipline — a bench run is 10+
+    // invocations).
+    "x_zorder_scan" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_zorder").toString
+        val zDir = s"$base/events_z"
+        graft.io.SortedWriter.writeZOrdered(
+          Tables.events(s, dir), zDir, "user_id", "value",
+          rowGroupBytes = 256L * 1024)
+        val out = s.read.parquet(zDir)
+          .filter(col("user_id").between(10, 60) &&
+            col("value").between(10.0, 60.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 60
+        |  AND value BETWEEN 10.0 AND 60.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // The TRANSACTIONAL table (io/TxTable) under the oracle gate,
+    // end-to-end: bootstrap-commit the first 20 days of events keyed by
+    // event_id and partitioned by event_type, then upsert a revision
+    // batch (days 15–25 re-land with doubled values — ×2 is an exponent
+    // bump, exact in double in both engines), and read the final
+    // SNAPSHOT back through the manifest. The oracle states the upsert
+    // algebra directly: revision rows, plus bootstrap rows whose key the
+    // revision didn't touch. Every row crosses a manifest-committed
+    // parquet round-trip, so the protocol's read path (latest-pointer
+    // resolution, per-partition data dirs, snapshot union) is value-
+    // checked by the same harness as every operator — concurrency
+    // itself is MergeWriterSpec's race-seam test; this gates the
+    // single-writer data path those races reduce to. Temp table dirs
+    // are deleted once the result materializes (the t16 discipline).
+    "x_tx_upsert" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txq").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        val lo = lit("2024-01-15 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-26 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") < cut),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= lo && col("ts") < hi)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """WITH b1 AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |b2 AS (
+        |  SELECT event_id, event_type, value * 2 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-26 00:00:00')
+        |SELECT event_id, event_type, value FROM b2
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM b1
+        |WHERE event_id NOT IN (SELECT event_id FROM b2)
+        |ORDER BY event_id""".stripMargin))
 }
