@@ -266,6 +266,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("every global window in the registry sits above an aggregate") {
+    // The r7 defect class, pinned REGISTRY-WIDE instead of query by
+    // query: a WindowExec with an empty partition spec funnels its
+    // whole input through ONE task, so it is only admissible when that
+    // input is already an aggregated (keys-cardinality-sized) frame —
+    // the grand-total-share shape (ops/Report, Analytics' lift/PSI,
+    // Corpus' share windows). A future query that windows the RAW fact
+    // globally is exactly the single-task scale bug DenseId/Prefix
+    // exist to avoid, and this sweep makes it fail CI instead of a
+    // cluster. Structural, not string-matched: for each empty-
+    // partition WindowExec in any registered query's final (AQE-
+    // settled) plan, some node STRICTLY BELOW it must be an aggregate.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: unwrap(a.executedPlan)
+      case q: QueryStageExec => p +: unwrap(q.plan)
+      case _ => p +: p.children.flatMap(unwrap)
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfSmoke)
+      df.count() // settle AQE on the final plan
+      unwrap(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        assert(unwrap(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"$name plans a GLOBAL window over a non-aggregated frame:\n$w")
+      }
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // x_fingerprint touches only doc_id and text of the 5-column table
     val df = SparkEntry.queries("x_fingerprint")(spark, sfSmoke)
