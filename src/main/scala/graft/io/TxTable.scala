@@ -1,12 +1,10 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
 import graft.ops.Merge
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,9 +32,8 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   targetDir/
-  *     _graft_log/v00000000000000000001   # symlink → m-<uuid>.tsv (the CAS)
-  *     _graft_log/m-<uuid>.tsv            # manifest body: partition → data dir
-  *     data/<uuid>/part-*.parquet         # immutable; one dir per (commit, touched partition)
+  *     _graft_log/v00000000000000000001   # version slot (see CommitStore)
+  *     data/<uuid>-<i>/part-*.parquet     # immutable; one dir per (commit, touched partition)
   * }}}
   *
   * A manifest maps each partition VALUE to the single data dir holding
@@ -54,24 +51,21 @@ import org.apache.spark.sql.functions._
   *     (immutable — a concurrent commit cannot tear this read);
   *  3. stage the merged partitions as new data dirs under unique names
   *     (all the expensive work happens outside any critical region);
-  *  4. publish manifest v+1 via an ATOMIC-EXCLUSIVE primitive. Success
-  *     = the commit point. Failure = someone else committed v+1 since
-  *     step 1: delete the staged dirs and RETRY THE MERGE from the new
-  *     snapshot, so the loser's rows land on top of the winner's
-  *     instead of over them. First-committer-wins, losers re-merge —
-  *     lost updates are impossible by construction.
+  *  4. publish manifest v+1 through [[CommitStore]] — an
+  *     ATOMIC-EXCLUSIVE primitive per storage class (local symlink,
+  *     HDFS rename-without-overwrite; see CommitStore's scaladoc).
+  *     Success = the commit point. Failure = someone else committed
+  *     v+1 since step 1: delete the staged dirs and RETRY THE MERGE
+  *     from the new snapshot, so the loser's rows land on top of the
+  *     winner's instead of over them. First-committer-wins, losers
+  *     re-merge — lost updates are impossible by construction.
   *
-  * The local-filesystem primitive is `Files.createSymbolicLink`
-  * (POSIX `symlink(2)`: atomic, exclusive, and the pointer travels
-  * inside the link itself, so there is no claimed-but-bodyless crash
-  * window). On HDFS the same slot is exclusive `create(overwrite=false)`
-  * / rename-without-replace; on S3 it is put-if-absent — one
-  * ~10-line primitive per store, the public Delta LogStore design.
-  *
-  * Readers resolve the latest pointer and read immutable files: every
+  * Readers resolve the latest manifest and read immutable files: every
   * read is a consistent snapshot, torn reads are gone too. Files
   * superseded by later commits stay on disk for in-flight readers
-  * (and as time travel) until [[vacuum]].
+  * (and as time travel) until [[vacuum]]. All data-file I/O goes
+  * through the Hadoop FileSystem API, so the table works on any
+  * Spark-reachable store whose CommitStore primitive holds.
   */
 object TxTable {
 
@@ -83,53 +77,24 @@ object TxTable {
     if (v == null) NullKey
     else java.net.URLEncoder.encode(v.toString, UTF_8)
 
-  // ---- manifest log -------------------------------------------------
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def logPath(dir: String): Path = Paths.get(dir, LogDir)
+  private def parse(lines: Seq[String]): Map[String, String] =
+    lines.map { line =>
+      val Array(k, d) = line.split('\t')
+      k -> d
+    }.toMap
 
-  private def versionOf(p: Path): Option[Long] = {
-    val n = p.getFileName.toString
-    if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong)
-    else None
-  }
+  private def render(entries: Map[String, String]): Seq[String] =
+    entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
 
   /** Latest committed (version, partition → data dir). (0, empty) on a
     * fresh table. */
-  def latest(dir: String): (Long, Map[String, String]) = {
-    val log = logPath(dir)
-    if (!Files.isDirectory(log)) return (0L, Map.empty)
-    val versions = Files.list(log).iterator().asScala
-      .flatMap(p => versionOf(p).map(_ -> p)).toSeq
-    if (versions.isEmpty) return (0L, Map.empty)
-    val (v, ptr) = versions.maxBy(_._1)
-    val body = ptr.resolveSibling(Files.readSymbolicLink(ptr))
-    val entries = Files.readAllLines(body, UTF_8).asScala
-      .filter(_.nonEmpty)
-      .map { line =>
-        val Array(k, d) = line.split('\t')
-        k -> d
-      }.toMap
-    (v, entries)
-  }
-
-  /** Atomic-exclusive publish of manifest `version`: write the body,
-    * then CAS the version slot. False = the slot was taken (a
-    * concurrent commit won) — the caller re-merges and retries. */
-  private def tryPublish(
-      dir: String, version: Long, entries: Map[String, String]): Boolean = {
-    val log = logPath(dir)
-    Files.createDirectories(log)
-    val body = log.resolve(s"m-${UUID.randomUUID()}.tsv")
-    Files.write(body,
-      entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.asJava, UTF_8)
-    try {
-      Files.createSymbolicLink(log.resolve(f"v$version%020d"), body.getFileName)
-      true
-    } catch {
-      case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(body)
-        false
-    }
+  def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {
+    val log = s"$dir/$LogDir"
+    val (v, lines) = CommitStore.forPath(fsOf(spark, dir), log).latest(log)
+    (v, parse(lines))
   }
 
   // ---- reads ---------------------------------------------------------
@@ -137,7 +102,7 @@ object TxTable {
   /** The table's current committed state as one consistent snapshot
     * (empty option on a never-committed table). */
   def snapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val (_, entries) = latest(dir)
+    val (_, entries) = latest(spark, dir)
     if (entries.isEmpty) None
     else Some(spark.read.parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*))
   }
@@ -165,6 +130,9 @@ object TxTable {
     val batch = incoming.localCheckpoint(true)
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
     require(touched.nonEmpty, "empty incoming batch")
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
 
     var attempt = 0
     var committed = false
@@ -173,7 +141,8 @@ object TxTable {
       if (attempt > maxRetries)
         throw new IllegalStateException(
           s"TxTable.upsert lost the commit race $maxRetries times on $targetDir")
-      val (v, entries) = latest(targetDir)
+      val (v, lines) = store.latest(log)
+      val entries = parse(lines)
       val existingDirs =
         touched.flatMap(pv => entries.get(keyOf(pv))).distinct.toSeq
       val merged0 =
@@ -212,43 +181,48 @@ object TxTable {
 
       if (attempt == 1) beforeCommit()
 
-      if (tryPublish(targetDir, v + 1, entries ++ staged)) committed = true
+      if (store.tryCommit(log, v + 1, render(entries ++ staged))) committed = true
       else {
         // lost the race: discard our stale staging and re-merge against
         // the winner's snapshot
-        staged.foreach { case (_, rel) => deleteRecursively(Paths.get(targetDir, rel)) }
+        staged.foreach { case (_, rel) =>
+          fs.delete(new Path(s"$targetDir/$rel"), true): Unit
+        }
       }
     }
   }
 
   /** Drop everything the LATEST manifest no longer references — data
     * dirs superseded by later commits, loser stagings orphaned by a
-    * writer crash, and old manifest versions. Destroys time travel and
-    * must not run while snapshot readers of older versions are in
-    * flight (the retention trade every table format documents). */
-  def vacuum(dir: String): Unit = {
-    val (v, entries) = latest(dir)
+    * writer crash, old version slots and (on the symlink store) their
+    * body files. Destroys time travel and must not run while snapshot
+    * readers of older versions are in flight (the retention trade
+    * every table format documents). */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val (v, entries) = latest(spark, dir)
     if (v == 0) return
     val live = entries.values.toSet
-    val data = Paths.get(dir, DataDir)
-    if (Files.isDirectory(data))
-      Files.list(data).iterator().asScala.toSeq.foreach { d =>
-        if (!live.contains(s"$DataDir/${d.getFileName}")) deleteRecursively(d)
+    val data = new Path(s"$dir/$DataDir")
+    if (fs.exists(data))
+      fs.listStatus(data).foreach { st =>
+        if (!live.contains(s"$DataDir/${st.getPath.getName}"))
+          fs.delete(st.getPath, true): Unit
       }
-    val log = logPath(dir)
-    val liveBody = Files.readSymbolicLink(log.resolve(f"v$v%020d")).toString
-    Files.list(log).iterator().asScala.toSeq.foreach { p =>
-      val n = p.getFileName.toString
-      val stale = versionOf(p).exists(_ < v) ||
-        (n.startsWith("m-") && n != liveBody)
-      if (stale) Files.deleteIfExists(p)
+    // the latest slot (and, on the symlink store, the body it points
+    // to) survives; every older slot and unreferenced body goes
+    val log = new Path(s"$dir/$LogDir")
+    val liveSlot = CommitStore.slotName(v)
+    val liveBody = {
+      val slot = java.nio.file.Paths.get(s"$dir/$LogDir/$liveSlot")
+      if (java.nio.file.Files.isSymbolicLink(slot))
+        Some(java.nio.file.Files.readSymbolicLink(slot).toString)
+      else None
+    }
+    fs.listStatus(log).foreach { st =>
+      val n = st.getPath.getName
+      if (n != liveSlot && !liveBody.contains(n))
+        fs.delete(st.getPath, false): Unit
     }
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-      Files.deleteIfExists(p): Unit
-    }
 }

@@ -107,7 +107,7 @@ class MergeWriterSpec extends SparkTestBase {
       (3L, 20240101), // B's insert on the CONTENDED partition: survives
       (4L, 20240102)  // B's insert on the fresh partition: survives
     ), s"transactional interleaving lost a batch: $out")
-    assert(TxTable.latest(target)._1 === 3L) // bootstrap, B, then A's retry
+    assert(TxTable.latest(spark, target)._1 === 3L) // bootstrap, B, then A's retry
   }
 
   test("TxTable upsert is idempotent, snapshot-pruned, and vacuumable") {
@@ -124,11 +124,11 @@ class MergeWriterSpec extends SparkTestBase {
     // a commit touching only 20240101 leaves 20240102's manifest entry
     // (and therefore its immutable files) untouched — the O(touched)
     // property, now visible at manifest level
-    val before = TxTable.latest(target)._2
+    val before = TxTable.latest(spark, target)._2
     TxTable.upsert(spark, target,
       Seq((1L, 11.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
       "id", "etl_seq", "date_id")
-    val after = TxTable.latest(target)._2
+    val after = TxTable.latest(spark, target)._2
     assert(after("20240102") === before("20240102"))
     assert(after("20240101") !== before("20240101"))
 
@@ -137,13 +137,42 @@ class MergeWriterSpec extends SparkTestBase {
     assert(snap === Set((1L, 11.0), (2L, 20.0)))
 
     // vacuum drops the superseded dir + old manifests; snapshot unchanged
-    TxTable.vacuum(target)
+    TxTable.vacuum(spark, target)
     val dataDirs = new java.io.File(target, "data").list().toSet
-    assert(dataDirs === TxTable.latest(target)._2.values
+    assert(dataDirs === TxTable.latest(spark, target)._2.values
       .map(_.stripPrefix("data/")).toSet)
     val snap2 = TxTable.snapshot(spark, target).get
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(snap2 === snap)
+  }
+
+  test("RenameCommitStore: version slots are exclusive and manifests round-trip") {
+    // The HDFS-class primitive (rename-without-overwrite), exercised
+    // through the Hadoop LocalFileSystem: the PROTOCOL logic — slot
+    // exclusivity, full-content publish, latest() resolution across
+    // versions, loser temp cleanup — is store-independent; only the
+    // atomicity of the final rename is HDFS's to guarantee (on a raw
+    // local FS it is check-then-rename, which is why file: paths
+    // default to the symlink store instead).
+    import graft.io.RenameCommitStore
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val store = new RenameCommitStore(fs)
+    val log = Files.createTempDirectory("graft_rename_store").toString + "/_graft_log"
+
+    assert(store.latest(log) === ((0L, Nil)))
+    assert(store.tryCommit(log, 1L, Seq("a\tdata/x-0")))
+    assert(store.latest(log) === ((1L, Seq("a\tdata/x-0"))))
+    // the slot is taken: a concurrent commit of the SAME version loses
+    assert(!store.tryCommit(log, 1L, Seq("a\tdata/y-0")))
+    assert(store.latest(log) === ((1L, Seq("a\tdata/x-0"))))
+    // the loser's temp file was cleaned up (checksum sidecars of the
+    // Hadoop local FS are dotfiles — not part of the protocol)
+    assert(new java.io.File(log).list().filterNot(_.startsWith(".")).toSet
+      === Set("v" + "0" * 19 + "1"))
+    // the next version wins and becomes latest
+    assert(store.tryCommit(log, 2L, Seq("a\tdata/y-0", "b\tdata/y-1")))
+    assert(store.latest(log) === ((2L, Seq("a\tdata/y-0", "b\tdata/y-1"))))
   }
 
   test("interleaved LEGACY writers on one partition are last-writer-wins: the lost update is real") {
