@@ -1,6 +1,5 @@
 package graft.io
 
-import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
 
 import graft.ops.Merge
@@ -32,17 +31,26 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   targetDir/
-  *     _graft_log/v00000000000000000001   # version slot (see CommitStore)
-  *     data/<uuid>-<i>/part-*.parquet     # immutable; one dir per (commit, touched partition)
+  *     _graft_log/v00000000000000000001     # version slot (see CommitStore)
+  *     data/<uuid>/__p=<key>/part-*.parquet # immutable; one leaf per (commit, touched partition)
   * }}}
   *
-  * A manifest maps each partition VALUE to the single data dir holding
-  * its current rows (the dir written by the commit that last touched
-  * it). Data files keep the partition column as an ordinary column —
+  * A manifest maps each partition KEY to the single data leaf holding
+  * its current rows (the leaf written by the commit that last touched
+  * it). The key is md5 of the partition value's Spark string cast
+  * (NULL → the literal `NULL` — md5 is 32 hex chars, no collision),
+  * computed ONLY as a Spark expression on both the incoming batch and
+  * the snapshot read — there is no driver-side toString anywhere, so
+  * engine and manifest can never disagree on a value's identity, and
+  * the key doubles as a filesystem-safe directory name (hive escaping
+  * is the identity on hex). Staging is therefore ONE partitionBy job
+  * whatever the touched-partition count — a backfill touching 500
+  * partitions costs one write, not 500 driver-sequential jobs. Data
+  * files keep the partition column as an ordinary column —
   * manifest-level pruning replaces hive directory pruning, exactly the
   * move the real table formats made, and it prunes through the SAME
   * O(touched-partitions) path at 100 TB: a snapshot read of k
-  * partitions opens k directories, never lists the table.
+  * partitions opens k leaf directories, never lists the table.
   *
   * ==Commit protocol (optimistic CAS, no locks)==
   *
@@ -71,11 +79,13 @@ object TxTable {
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
-  private val NullKey = "\\N" // URLEncoder never emits '\', so no collision
+  private val PKey = "__p" // internal partition-key column, dropped by partitionBy
 
-  private def keyOf(v: Any): String =
-    if (v == null) NullKey
-    else java.net.URLEncoder.encode(v.toString, UTF_8)
+  /** Engine-canonical partition key: evaluated only inside Spark, never
+    * re-derived on the driver. */
+  private def keyExpr(partitionCol: String) =
+    when(col(partitionCol).isNull, lit("NULL"))
+      .otherwise(md5(col(partitionCol).cast("string")))
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -127,9 +137,11 @@ object TxTable {
       layout: Layout = Layout.none, maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit = {
     // stable across retries: the batch itself never changes
-    val batch = incoming.localCheckpoint(true)
-    val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
-    require(touched.nonEmpty, "empty incoming batch")
+    val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
+      .localCheckpoint(true)
+    val touchedKeys = batch.select(PKey).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(touchedKeys.nonEmpty, "empty incoming batch")
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -143,41 +155,46 @@ object TxTable {
           s"TxTable.upsert lost the commit race $maxRetries times on $targetDir")
       val (v, lines) = store.latest(log)
       val entries = parse(lines)
-      val existingDirs =
-        touched.flatMap(pv => entries.get(keyOf(pv))).distinct.toSeq
+      val existingDirs = touchedKeys.flatMap(entries.get).distinct
       val merged0 =
         if (existingDirs.isEmpty) batch
         else {
           // immutable snapshot files: this read cannot be torn by a
           // concurrent commit, unlike the live-directory read of the
-          // single-writer path
+          // single-writer path. The key is re-derived by the SAME Spark
+          // expression (leaves are partition-pure, but defend the
+          // invariant anyway).
           val existing = spark.read
             .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
-            // a dir written by a multi-partition commit batch holds only
-            // its own partition, but defend the invariant anyway
-            .filter(col(partitionCol).isInCollection(
-              touched.filter(_ != null).toIndexedSeq) ||
-              (if (touched.contains(null)) col(partitionCol).isNull else lit(false)))
+            .withColumn(PKey, keyExpr(partitionCol))
+            .filter(col(PKey).isInCollection(touchedKeys))
           Merge.upsertLatestWins(existing, batch, key, version)
         }
       val merged = merged0.localCheckpoint(true)
 
-      // stage: one immutable dir per touched partition, unique names
+      // stage ALL touched partitions in ONE job: partitionBy on the key
+      // column fans the write out per partition without a driver loop.
+      // The leading PKey sort satisfies FileFormatWriter's required
+      // ordering, so a secondary layout sort survives into the files
+      // (the MergeWriter.laidOut discipline).
       val commitId = UUID.randomUUID().toString
-      val staged = touched.zipWithIndex.map { case (pv, i) =>
-        val rel = s"$DataDir/$commitId-$i"
-        val slice = merged.filter(col(partitionCol) <=> lit(pv))
-        val sorted =
-          if (layout.sortCols.isEmpty) slice
-          else slice.sortWithinPartitions(layout.sortCols.map(col): _*)
-        val w0 = sorted.write.mode("error")
-        val w1 = layout.rowGroupBytes.fold(w0)(b => w0.option("parquet.block.size", b))
-        layout.bloomCols.foldLeft(w1) { (acc, c) =>
-          acc.option(s"parquet.bloom.filter.enabled#$c", "true")
-            .option(s"parquet.bloom.filter.expected.ndv#$c", layout.bloomNdv.toString)
-        }.parquet(s"$targetDir/$rel")
-        keyOf(pv) -> rel
-      }
+      val stageRel = s"$DataDir/$commitId"
+      val sorted =
+        if (layout.sortCols.isEmpty) merged
+        else merged.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)
+      val w0 = sorted.write.mode("error")
+      val w1 = layout.rowGroupBytes.fold(w0)(b => w0.option("parquet.block.size", b))
+      layout.bloomCols.foldLeft(w1) { (acc, c) =>
+        acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", layout.bloomNdv.toString)
+      }.partitionBy(PKey).parquet(s"$targetDir/$stageRel")
+      // the written leaves ARE the staged manifest entries (key = leaf
+      // name minus the column prefix; hive escaping is the identity on
+      // the hex/NULL key alphabet)
+      val staged = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
 
       if (attempt == 1) beforeCommit()
 
@@ -185,9 +202,7 @@ object TxTable {
       else {
         // lost the race: discard our stale staging and re-merge against
         // the winner's snapshot
-        staged.foreach { case (_, rel) =>
-          fs.delete(new Path(s"$targetDir/$rel"), true): Unit
-        }
+        fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
       }
     }
   }
@@ -205,9 +220,15 @@ object TxTable {
     val live = entries.values.toSet
     val data = new Path(s"$dir/$DataDir")
     if (fs.exists(data))
-      fs.listStatus(data).foreach { st =>
-        if (!live.contains(s"$DataDir/${st.getPath.getName}"))
-          fs.delete(st.getPath, true): Unit
+      fs.listStatus(data).foreach { commitDir =>
+        val cname = commitDir.getPath.getName
+        fs.listStatus(commitDir.getPath).foreach { leaf =>
+          if (!live.contains(s"$DataDir/$cname/${leaf.getPath.getName}"))
+            fs.delete(leaf.getPath, true): Unit
+        }
+        // a commit whose every leaf was superseded leaves an empty shell
+        if (fs.listStatus(commitDir.getPath).isEmpty)
+          fs.delete(commitDir.getPath, true): Unit
       }
     // the latest slot (and, on the symlink store, the body it points
     // to) survives; every older slot and unreferenced body goes

@@ -123,23 +123,29 @@ class MergeWriterSpec extends SparkTestBase {
 
     // a commit touching only 20240101 leaves 20240102's manifest entry
     // (and therefore its immutable files) untouched — the O(touched)
-    // property, now visible at manifest level
+    // property, now visible at manifest level. Manifest keys are md5 of
+    // the partition value's Spark string cast (int → decimal string, so
+    // the driver-side digest here matches the engine's expression).
+    def pkey(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val before = TxTable.latest(spark, target)._2
     TxTable.upsert(spark, target,
       Seq((1L, 11.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
       "id", "etl_seq", "date_id")
     val after = TxTable.latest(spark, target)._2
-    assert(after("20240102") === before("20240102"))
-    assert(after("20240101") !== before("20240101"))
+    assert(after(pkey("20240102")) === before(pkey("20240102")))
+    assert(after(pkey("20240101")) !== before(pkey("20240101")))
 
     val snap = TxTable.snapshot(spark, target).get
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(snap === Set((1L, 11.0), (2L, 20.0)))
 
-    // vacuum drops the superseded dir + old manifests; snapshot unchanged
+    // vacuum drops the superseded leaves + old manifests; snapshot unchanged
     TxTable.vacuum(spark, target)
-    val dataDirs = new java.io.File(target, "data").list().toSet
-    assert(dataDirs === TxTable.latest(spark, target)._2.values
+    val dataLeaves = new java.io.File(target, "data").listFiles().flatMap(cd =>
+      cd.listFiles().map(leaf => s"${cd.getName}/${leaf.getName}")).toSet
+    assert(dataLeaves === TxTable.latest(spark, target)._2.values
       .map(_.stripPrefix("data/")).toSet)
     val snap2 = TxTable.snapshot(spark, target).get
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
