@@ -31,7 +31,9 @@ class DeterminismSpec extends SparkTestBase {
     "x_kmv_distinct",     // mergeable sketch (merge-order invariance)
     "x_sample_stratified",// hash-threshold sampling
     "x_shard_shuffle",    // md5 permutation + round-robin shards
-    "x_label_confusion"   // argmax winners over bit-portable cosine
+    "x_label_confusion",  // argmax winners over bit-portable cosine
+    "x_zorder_scan",      // layout rewrite + skipping read-back (r9)
+    "x_tx_upsert"         // manifest-committed upsert round-trip (r9)
   )
 
   /** Canonical row multiset: raw Catalyst values stringified — for

@@ -339,6 +339,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session state survives a query restart: a session spanning the stop is assembled whole") {
+    // The state-STORE recovery path (complementing the foreachBatch
+    // sink-replay test above): an OPEN session's only existence is rows
+    // inside the streaming aggregation state when the query stops — no
+    // sink has seen it. A fresh query on the same checkpoint must
+    // reload that state, extend the session with post-restart events,
+    // and emit ONE merged session when the watermark finally passes its
+    // close. A recovery bug shows up as two fragments split at the
+    // restart boundary (or a lost first half). File sink: the memory
+    // sink deliberately refuses checkpoint recovery.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val outDir = Files.createTempDirectory("graft_sess_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_restart_ckpt").toString
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    def start() = graft.streaming.SessionStream.sessionStats(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // first life: two events of a session that stays OPEN (the
+    // watermark never passes its close), then stop — the half-built
+    // session now lives only in the checkpointed state store
+    val q1 = start()
+    in.addData(
+      (1L, 100L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 101L, ts("2024-01-01 10:10:00"), 2.5))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() === 0,
+      "an open session leaked to the sink before its close")
+
+    // second life: extend the SAME session across the restart, then
+    // push the watermark past everything so it emits
+    val q2 = start()
+    in.addData((1L, 102L, ts("2024-01-01 10:25:00"), 3.0))
+    q2.processAllAvailable()
+    in.addData((9L, 999L, ts("2024-01-02 00:00:00"), 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .filter($"user_id" === 1L)
+      .select("session_start", "session_close", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:55:00.0", 3L, 6.5)
+    ), s"session split or lost across the restart: $out")
+  }
+
   test("streaming windowed OHLC bars match the batch argmax aggregation") {
     // t9's min_by/max_by argmax aggregates run unchanged inside a
     // watermarked streaming window — the bars a stream emits when its
