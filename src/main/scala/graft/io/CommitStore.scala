@@ -36,6 +36,10 @@ trait CommitStore {
     * table. */
   def latest(logDir: String): (Long, Seq[String])
 
+  /** Manifest lines of a SPECIFIC committed version (time travel);
+    * None if that version was never committed or has been vacuumed. */
+  def at(logDir: String, version: Long): Option[Seq[String]]
+
   /** Atomically publish `lines` as manifest `version`. False = the
     * version slot was already taken by a concurrent commit. */
   def tryCommit(logDir: String, version: Long, lines: Seq[String]): Boolean
@@ -72,8 +76,20 @@ object SymlinkCommitStore extends CommitStore {
       .toSeq
     if (versions.isEmpty) return (0L, Nil)
     val (v, ptr) = versions.maxBy(_._1)
+    (v, readSlot(ptr))
+  }
+
+  override def at(logDir: String, version: Long): Option[Seq[String]] = {
+    val slot = Paths.get(logDir).resolve(CommitStore.slotName(version))
+    // a dangling slot (body vacuumed, or a partially-reclaimed log)
+    // reads as absent, not as a crash
+    if (Files.isSymbolicLink(slot) && Files.exists(slot)) Some(readSlot(slot))
+    else None
+  }
+
+  private def readSlot(ptr: java.nio.file.Path): Seq[String] = {
     val body = ptr.resolveSibling(Files.readSymbolicLink(ptr))
-    (v, Files.readAllLines(body, UTF_8).asScala.toSeq.filter(_.nonEmpty))
+    Files.readAllLines(body, UTF_8).asScala.toSeq.filter(_.nonEmpty)
   }
 
   override def tryCommit(
@@ -108,12 +124,19 @@ final class RenameCommitStore(fs: FileSystem) extends CommitStore {
       .flatMap(s => CommitStore.versionOf(s.getPath.getName).map(_ -> s.getPath))
     if (versions.isEmpty) return (0L, Nil)
     val (v, slot) = versions.maxBy(_._1)
+    (v, readSlot(slot))
+  }
+
+  override def at(logDir: String, version: Long): Option[Seq[String]] = {
+    val slot = new Path(logDir, CommitStore.slotName(version))
+    if (fs.exists(slot)) Some(readSlot(slot)) else None
+  }
+
+  private def readSlot(slot: Path): Seq[String] = {
     val in = fs.open(slot)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    (v, lines)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   override def tryCommit(

@@ -114,8 +114,22 @@ object TxTable {
   def snapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
     val (_, entries) = latest(spark, dir)
     if (entries.isEmpty) None
-    else Some(spark.read.parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*))
+    else Some(read(spark, dir, entries))
   }
+
+  /** Time travel: the table exactly as committed at `version`. Data
+    * files are immutable and manifests are never rewritten, so every
+    * version remains readable until [[vacuum]] reclaims it (None after
+    * that, or for a version never committed). */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): Option[DataFrame] = {
+    val log = s"$dir/$LogDir"
+    CommitStore.forPath(fsOf(spark, dir), log).at(log, version)
+      .map(lines => read(spark, dir, parse(lines)))
+  }
+
+  private def read(
+      spark: SparkSession, dir: String, entries: Map[String, String]): DataFrame =
+    spark.read.parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
 
   // ---- transactional upsert -------------------------------------------
 
@@ -240,7 +254,13 @@ object TxTable {
         Some(java.nio.file.Files.readSymbolicLink(slot).toString)
       else None
     }
-    fs.listStatus(log).foreach { st =>
+    // slots BEFORE bodies: deleting a body first would leave its slot a
+    // dangling symlink, which the Hadoop local FS can no longer delete
+    // (getFileStatus follows the link) — and a dangling slot would read
+    // as a corrupt version
+    val (slots, bodies) = fs.listStatus(log).toSeq
+      .partition(_.getPath.getName.startsWith("v"))
+    (slots ++ bodies).foreach { st =>
       val n = st.getPath.getName
       if (n != liveSlot && !liveBody.contains(n))
         fs.delete(st.getPath, false): Unit

@@ -141,6 +141,14 @@ class MergeWriterSpec extends SparkTestBase {
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(snap === Set((1L, 11.0), (2L, 20.0)))
 
+    // time travel: version 2 (pre-revision) still reads the old value —
+    // immutable files + never-rewritten manifests make every version a
+    // consistent snapshot until vacuum
+    val v2 = TxTable.snapshotAt(spark, target, 2L).get
+      .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(v2 === Set((1L, 10.0), (2L, 20.0)))
+    assert(TxTable.snapshotAt(spark, target, 99L).isEmpty)
+
     // vacuum drops the superseded leaves + old manifests; snapshot unchanged
     TxTable.vacuum(spark, target)
     val dataLeaves = new java.io.File(target, "data").listFiles().flatMap(cd =>
@@ -150,6 +158,8 @@ class MergeWriterSpec extends SparkTestBase {
     val snap2 = TxTable.snapshot(spark, target).get
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(snap2 === snap)
+    // vacuum reclaimed the old version: time travel to it is gone
+    assert(TxTable.snapshotAt(spark, target, 2L).isEmpty)
   }
 
   test("RenameCommitStore: version slots are exclusive and manifests round-trip") {
