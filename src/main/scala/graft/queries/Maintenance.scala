@@ -150,5 +150,62 @@ object Maintenance {
         |UNION ALL
         |SELECT event_id, event_type, value FROM b1
         |WHERE event_id NOT IN (SELECT event_id FROM b2)
+        |ORDER BY event_id""".stripMargin),
+
+    // Version-to-version CDC over the transactional table — the
+    // `table_changes` readout: the same bootstrap + revision commits as
+    // x_tx_upsert, then TxTable.diff(v1 → v2) keyed by event_id. The
+    // oracle restates the change algebra over the raw batches: days
+    // 21–25 exist only at v2 (insert), days 15–20 exist in both with a
+    // doubled value (update, NEW payload emitted — ×2 differs for every
+    // non-zero double, exactly), earlier days are untouched and emit
+    // NOTHING (the silence of unchanged keys is the point — a consumer
+    // replaying this stream touches only what moved). One full-outer
+    // hash join of two manifest-pruned snapshots; at 100 TB the caller
+    // restricts to partitions whose manifest entries differ.
+    "x_tx_diff" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txd").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        val lo = lit("2024-01-15 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-26 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") < cut),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= lo && col("ts") < hi)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        val out = graft.io.TxTable.diff(s, tbl, 1L, 2L, "event_id")
+          .select(col("change_type"), col("event_id"), col("event_type"),
+            col("value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """WITH b1 AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |rev AS (
+        |  SELECT event_id, event_type, value * 2 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-26 00:00:00')
+        |SELECT 'insert' AS change_type, event_id, event_type, value
+        |FROM rev WHERE event_id NOT IN (SELECT event_id FROM b1)
+        |UNION ALL
+        |SELECT 'update' AS change_type, r.event_id, r.event_type, r.value
+        |FROM rev r JOIN b1 USING (event_id)
+        |WHERE r.value IS DISTINCT FROM b1.value
+        |   OR r.event_type IS DISTINCT FROM b1.event_type
         |ORDER BY event_id""".stripMargin))
 }

@@ -162,6 +162,50 @@ class MergeWriterSpec extends SparkTestBase {
     assert(TxTable.snapshotAt(spark, target, 2L).isEmpty)
   }
 
+  test("TxTable under real concurrent writers: every batch survives, every commit is a version") {
+    // The injected-seam test above proves the protocol's logic; this
+    // proves it under actual thread interleaving — 4 writers, 2
+    // sequential commits each, every commit contending on the same
+    // partition AND writing a private one. No coordination beyond the
+    // CAS. All 8 commits must land (losers re-merge), so the final
+    // snapshot holds every row of every batch and the version counter
+    // equals the commit count exactly.
+    import graft.io.TxTable
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_stress").toString + "/fact"
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = (0 until 4).map { w =>
+        Future {
+          (0 until 2).foreach { i =>
+            val id = (w * 10 + i).toLong
+            TxTable.upsert(spark, target,
+              Seq(
+                (id, id * 1.0, 1L, 20240101),          // contended partition
+                (1000L + id, 1.0, 1L, 20240200 + w)    // writer-private partition
+              ).toDF("id", "price", "etl_seq", "date_id"),
+              "id", "etl_seq", "date_id", maxRetries = 50)
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+    } finally pool.shutdown()
+
+    val ids = TxTable.snapshot(spark, target).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = (for (w <- 0 until 4; i <- 0 until 2) yield {
+      val id = (w * 10 + i).toLong; Seq(id, 1000L + id)
+    }).flatten.toSet
+    assert(ids === expected, s"lost rows under contention: ${expected -- ids}")
+    assert(TxTable.latest(spark, target)._1 === 8L,
+      "commit count drifted from version counter")
+  }
+
   test("RenameCommitStore: version slots are exclusive and manifests round-trip") {
     // The HDFS-class primitive (rename-without-overwrite), exercised
     // through the Hadoop LocalFileSystem: the PROTOCOL logic — slot
