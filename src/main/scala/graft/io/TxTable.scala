@@ -136,19 +136,35 @@ object TxTable {
     * surface): for each `key`, `insert` (present only at `toVersion`),
     * `delete` (present only at `fromVersion`), or `update` (present in
     * both with any non-key column differing, null-safely; the emitted
-    * payload is the NEW row). Unchanged keys emit nothing. One
-    * full-outer hash join of the two snapshots on the key — both sides
-    * are manifest-pruned file sets, so diffing two adjacent versions of
-    * a 100 TB table costs the touched partitions, not the table, once
-    * the caller restricts to the partitions the manifests disagree on
-    * (a whole-table diff is the worst case, not the design point). */
+    * payload is the NEW row). Unchanged keys emit nothing.
+    *
+    * PRUNES AT MANIFEST LEVEL BEFORE TOUCHING A FILE: a partition
+    * whose manifest entry is IDENTICAL in both versions points at the
+    * same immutable leaf — its rows are bit-for-bit the same, so it
+    * cannot contribute a change and neither side reads it. Diffing two
+    * adjacent versions of a 100 TB table therefore costs the
+    * partitions the intervening commits touched, not the table — the
+    * pruning is automatic, not a caller discipline. What remains is
+    * one full-outer hash join of the changed-partition row sets. */
   def diff(
       spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long, key: String): DataFrame = {
-    val a = snapshotAt(spark, dir, fromVersion).getOrElse(
-      throw new IllegalArgumentException(s"version $fromVersion not readable"))
-    val b = snapshotAt(spark, dir, toVersion).getOrElse(
-      throw new IllegalArgumentException(s"version $toVersion not readable"))
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    def entriesOf(v: Long): Map[String, String] =
+      parse(store.at(log, v).getOrElse(
+        throw new IllegalArgumentException(s"version $v not readable")))
+    val aE = entriesOf(fromVersion)
+    val bE = entriesOf(toVersion)
+    val changedKeys = (aE.keySet ++ bE.keySet).filter(k => aE.get(k) != bE.get(k))
+    def side(entries: Map[String, String]): DataFrame = {
+      val dirs = changedKeys.toSeq.flatMap(entries.get).sorted
+      val all = read(spark, dir, entries) // schema anchor
+      if (dirs.isEmpty) all.limit(0)
+      else spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+    }
+    val a = side(aE)
+    val b = side(bE)
     val payload = a.columns.filterNot(_ == key).toSeq
     val an = payload.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
       .withColumnRenamed(key, "__a_key")
@@ -267,9 +283,12 @@ object TxTable {
   /** Drop everything the LATEST manifest no longer references — data
     * dirs superseded by later commits, loser stagings orphaned by a
     * writer crash, old version slots and (on the symlink store) their
-    * body files. Destroys time travel and must not run while snapshot
-    * readers of older versions are in flight (the retention trade
-    * every table format documents). */
+    * body files. Destroys time travel and is a MAINTENANCE-WINDOW
+    * operation: it must not run while snapshot readers of older
+    * versions are in flight (the retention trade every table format
+    * documents), NOR while a writer is mid-commit — an in-flight
+    * writer's staged-but-uncommitted leaves are indistinguishable from
+    * crash orphans and would be reclaimed under it. */
   def vacuum(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val (v, entries) = latest(spark, dir)

@@ -141,6 +141,19 @@ class MergeWriterSpec extends SparkTestBase {
       .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(snap === Set((1L, 11.0), (2L, 20.0)))
 
+    // CDC between versions, manifest-pruned: only id=1 changed v2→v3,
+    // so diff emits exactly its update — and never READS the unchanged
+    // 20240102 partition (identical manifest entry ⇒ identical leaf):
+    // every file behind the diff plan is a changed-partition file
+    val d = TxTable.diff(spark, target, 2L, 3L, "id")
+    val changes = d.select("change_type", "id", "price").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(changes === Set(("update", 1L, 11.0)))
+    val unchangedLeaf = before(pkey("20240102"))
+    assert(d.inputFiles.nonEmpty &&
+      d.inputFiles.forall(f => !f.contains(unchangedLeaf)),
+      "diff read an unchanged partition's leaf")
+
     // time travel: version 2 (pre-revision) still reads the old value —
     // immutable files + never-rewritten manifests make every version a
     // consistent snapshot until vacuum

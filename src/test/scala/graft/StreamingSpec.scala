@@ -339,6 +339,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TxStreamSink: micro-batches land as transactional commits, replay stays idempotent") {
+    // Each micro-batch = one TxTable commit; a replayed batch (the
+    // at-least-once case) re-upserts the same (key, version) rows and
+    // the keyed merge collapses them — state identical, one extra
+    // version on the log (the replay IS a commit, it just changes
+    // nothing).
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    case class Upd(id: Long, price: Double, etl_seq: Long, date_id: Int)
+    val target = Files.createTempDirectory("graft_tx_stream").toString + "/fact"
+    val ckpt = Files.createTempDirectory("graft_tx_stream_ckpt").toString
+    val in = MemoryStream[(Long, Double, Long, Int)]
+    def runBatch(rows: (Long, Double, Long, Int)*): Unit = {
+      in.addData(rows: _*)
+      val q = graft.streaming.TxStreamSink.sink(
+          in.toDF().toDF("id", "price", "etl_seq", "date_id"),
+          target, "id", "etl_seq", "date_id")
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    runBatch((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240101))
+    runBatch((2L, 25.0, 2L, 20240101), (3L, 30.0, 2L, 20240102))
+
+    def state() = graft.io.TxTable.snapshot(spark, target).get
+      .select("id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val afterStream = state()
+    assert(afterStream === Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    val vStream = graft.io.TxTable.latest(spark, target)._1
+
+    // at-least-once replay of batch 1's rows (what a recovered query
+    // re-delivers): same keys, same versions — state unchanged
+    graft.io.TxTable.upsert(spark, target,
+      Seq((2L, 25.0, 2L, 20240101), (3L, 30.0, 2L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    assert(state() === afterStream, "replayed micro-batch changed state")
+    assert(graft.io.TxTable.latest(spark, target)._1 === vStream + 1)
+  }
+
   test("session state survives a query restart: a session spanning the stop is assembled whole") {
     // The state-STORE recovery path (complementing the foreachBatch
     // sink-replay test above): an OPEN session's only existence is rows
