@@ -280,6 +280,54 @@ object TxTable {
     }
   }
 
+  /** Fold fragmented leaves — a rows-preserving maintenance commit:
+    * every live leaf holding more than `maxFilesPerLeaf` data files is
+    * rewritten as a single-file leaf in one new commit; partitions
+    * already compact keep their manifest entries untouched. Runs
+    * through the SAME CAS as any writer, so it is safe to run
+    * concurrently with upserts: a lost race re-reads the winner's
+    * manifest and recomputes which leaves still need folding (a
+    * partition the winner just rewrote is a fresh leaf — it drops out).
+    * The rewrite is one job: all fragmented leaves read together, hash
+    * repartitioned on the partition key (every partition's rows land in
+    * exactly one task → exactly one file), one partitionBy write.
+    * [[diff]] across a compaction commit emits nothing — same rows,
+    * new leaves — which doubles as its correctness probe. */
+  def compactFiles(
+      spark: SparkSession, dir: String, partitionCol: String,
+      maxFilesPerLeaf: Int = 4, maxRetries: Int = 10): Unit = {
+    val fs = fsOf(spark, dir)
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, lines) = store.latest(log)
+      if (v == 0) return
+      val entries = parse(lines)
+      val needy = entries.filter { case (_, leaf) =>
+        fs.listStatus(new Path(s"$dir/$leaf"))
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerLeaf
+      }
+      if (needy.isEmpty) return
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      spark.read.parquet(needy.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .withColumn(PKey, keyExpr(partitionCol))
+        .repartition(needy.size, col(PKey))
+        .write.mode("error").partitionBy(PKey)
+        .parquet(s"$dir/$stageRel")
+      val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
+      if (store.tryCommit(log, v + 1, render(entries ++ staged))) return
+      fs.delete(new Path(s"$dir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.compactFiles lost the commit race $maxRetries times on $dir")
+  }
+
   /** Drop everything the LATEST manifest no longer references — data
     * dirs superseded by later commits, loser stagings orphaned by a
     * writer crash, old version slots and (on the symlink store) their

@@ -219,6 +219,38 @@ class MergeWriterSpec extends SparkTestBase {
       "commit count drifted from version counter")
   }
 
+  test("compactFiles folds fragmented leaves; diff across the compaction commit is empty") {
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_compact").toString + "/fact"
+    // a deliberately fragmented batch: 6 tasks → up to 6 files per leaf
+    TxTable.upsert(spark, target,
+      (1L to 60L).map(i => (i, i * 1.0, 1L, 20240101 + (i % 2).toInt))
+        .toDF("id", "price", "etl_seq", "date_id").repartition(6),
+      "id", "etl_seq", "date_id")
+    def leafFiles(): Map[String, Int] =
+      TxTable.latest(spark, target)._2.map { case (k, leaf) =>
+        k -> new java.io.File(target, leaf).list()
+          .count(_.endsWith(".parquet"))
+      }
+    assert(leafFiles().values.exists(_ > 2), "fixture failed to fragment")
+    val before = TxTable.snapshot(spark, target).get
+      .collect().map(_.toString).sorted.toSeq
+
+    TxTable.compactFiles(spark, target, "date_id", maxFilesPerLeaf = 2)
+    assert(leafFiles().values.forall(_ === 1), s"still fragmented: ${leafFiles()}")
+    val after = TxTable.snapshot(spark, target).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "compaction changed rows")
+    // rows-preserving by construction: the CDC readout across the
+    // compaction commit is empty even though every leaf moved
+    assert(TxTable.diff(spark, target, 1L, 2L, "id").count() === 0L)
+    // already-compact table: second run is a no-op (no new version)
+    TxTable.compactFiles(spark, target, "date_id", maxFilesPerLeaf = 2)
+    assert(TxTable.latest(spark, target)._1 === 2L)
+  }
+
   test("RenameCommitStore: version slots are exclusive and manifests round-trip") {
     // The HDFS-class primitive (rename-without-overwrite), exercised
     // through the Hadoop LocalFileSystem: the PROTOCOL logic — slot
