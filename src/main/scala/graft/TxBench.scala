@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (Explain/ScaleCheck discipline): TxTable commit cost as
+  * the touched-partition count grows. The claim under test is the
+  * single-job staging — a commit touching 30 partitions must cost
+  * about what a commit touching 5 costs (one read, one merge, one
+  * partitionBy write, one CAS), NOT 6× (the per-partition-job shape
+  * the r9 refactor removed). Day-partitioned events at sf0.1; each
+  * round bootstraps a fresh table then times an overlapping revision
+  * commit touching k day partitions. */
+object TxBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "day", "event_type", "value")
+      .localCheckpoint(true)
+    for (k <- Seq(5, 10, 20, 30)) {
+      val base = java.nio.file.Files.createTempDirectory(s"txbench_$k").toString
+      val tbl = s"$base/fact"
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getString(0)).take(k)
+      val slice = ev.filter(col("day").isInCollection(days.toIndexedSeq))
+      graft.io.TxTable.upsert(spark, tbl, slice, "event_id", "value", "day")
+      val revision = slice.withColumn("value", col("value") * 2)
+      val t0 = System.nanoTime()
+      graft.io.TxTable.upsert(spark, tbl, revision, "event_id", "value", "day")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = graft.io.TxTable.snapshot(spark, tbl).get.count()
+      println(f"touched=$k%2d commit_s=$sec%.2f rows=$rows")
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(base))
+    }
+    spark.stop()
+  }
+}
