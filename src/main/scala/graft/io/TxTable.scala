@@ -208,7 +208,36 @@ object TxTable {
       spark: SparkSession, targetDir: String, incoming: DataFrame,
       key: String, version: String, partitionCol: String,
       layout: Layout = Layout.none, maxRetries: Int = 10,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => ()): Unit =
+    commitLoop(spark, targetDir, incoming, partitionCol, layout,
+      maxRetries, beforeCommit, "upsert")(
+      (existing, batch) => Merge.upsertLatestWins(existing, batch, key, version))
+
+  /** Replace a predicate-scoped WINDOW of the table — the idempotent
+    * write for RECOMPUTE-style loads (MergeWriter.replaceWindow's
+    * semantics, CAS-committed): within the batch's touched partitions,
+    * existing rows matching `windowPred` are dropped and `incoming`
+    * takes their place; rows outside the window and untouched
+    * partitions survive untouched. Same contract as the single-writer
+    * form: `windowPred` must be FALSE-or-TRUE on every existing row
+    * and `incoming` must lie inside the window. */
+  def replaceWindow(
+      spark: SparkSession, targetDir: String, incoming: DataFrame,
+      partitionCol: String, windowPred: org.apache.spark.sql.Column,
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit =
+    commitLoop(spark, targetDir, incoming, partitionCol, layout,
+      maxRetries, beforeCommit, "replaceWindow")(
+      (existing, batch) => existing.filter(!windowPred).unionByName(batch))
+
+  /** The shared optimistic-commit loop: snapshot → merge (strategy
+    * supplied by the caller) → single-job staging → CAS → loser
+    * cleanup + retry. */
+  private def commitLoop(
+      spark: SparkSession, targetDir: String, incoming: DataFrame,
+      partitionCol: String, layout: Layout, maxRetries: Int,
+      beforeCommit: () => Unit, op: String)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // stable across retries: the batch itself never changes
     val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
       .localCheckpoint(true)
@@ -225,7 +254,7 @@ object TxTable {
       attempt += 1
       if (attempt > maxRetries)
         throw new IllegalStateException(
-          s"TxTable.upsert lost the commit race $maxRetries times on $targetDir")
+          s"TxTable.$op lost the commit race $maxRetries times on $targetDir")
       val (v, lines) = store.latest(log)
       val entries = parse(lines)
       val existingDirs = touchedKeys.flatMap(entries.get).distinct
@@ -241,7 +270,7 @@ object TxTable {
             .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
-          Merge.upsertLatestWins(existing, batch, key, version)
+          merge(existing, batch)
         }
       val merged = merged0.localCheckpoint(true)
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.io.{Compaction, Layout, MergeWriter}
+import graft.io.{Compaction, Layout, MergeWriter, TxTable}
 import graft.ops.{GoldModel, Interpolate, Validation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,6 +61,17 @@ object FactPipeline {
     *                     per-file sort order coarsens to per-run runs;
     *                     zone-map-critical tables should recluster with
     *                     SortedWriter in their maintenance window
+    * @param transactional run both tables as TxTables (io/TxTable):
+    *                     every write is a CAS-committed manifest
+    *                     version, so a concurrent backfill or a second
+    *                     hourly run cannot clobber this one, readers
+    *                     never see a torn hour, and the run history is
+    *                     time-travelable. Same merge/replace semantics,
+    *                     same HourRun counters; small-file folding
+    *                     rides TxTable.compactFiles. Default off — the
+    *                     single-writer layout reads with any plain
+    *                     parquet tool, the TxTable layout needs the
+    *                     manifest-aware snapshot read
     */
   def runHour(
       spark: SparkSession, events: DataFrame, warehouseDir: String,
@@ -68,7 +79,8 @@ object FactPipeline {
       onSuccess: HourRun => Unit = _ => (),
       onFailure: Throwable => Unit = _ => (),
       layout: Layout = Layout.none,
-      compactTargetBytes: Option[Long] = None): Try[HourRun] = {
+      compactTargetBytes: Option[Long] = None,
+      transactional: Boolean = false): Try[HourRun] = {
     val result = Try {
       // extract + normalize + key derivation (S1: P1/P2/P3), the closed
       // hour only — on a date-partitioned lake the predicate prunes to
@@ -81,14 +93,22 @@ object FactPipeline {
 
       // S5: keyed latest-wins upsert into the raw fact — replay-safe
       val factDir = s"$warehouseDir/fact_gold_price"
-      MergeWriter.upsertPartitioned(spark, factDir, hourFacts,
-        key = "id", version = "etl_version", partitionCol = "date_id",
-        layout = layout.restrictedTo(hourFacts.columns.toSeq))
+      if (transactional)
+        TxTable.upsert(spark, factDir, hourFacts,
+          key = "id", version = "etl_version", partitionCol = "date_id",
+          layout = layout.restrictedTo(hourFacts.columns.toSeq))
+      else
+        MergeWriter.upsertPartitioned(spark, factDir, hourFacts,
+          key = "id", version = "etl_version", partitionCol = "date_id",
+          layout = layout.restrictedTo(hourFacts.columns.toSeq))
 
       // T1–T3: read-back the hour (read-your-writes, like the
       // reference's interpolation task re-selecting from the warehouse),
       // densify + interpolate
-      val t1 = spark.read.parquet(factDir)
+      val factTable =
+        if (transactional) TxTable.snapshot(spark, factDir).get
+        else spark.read.parquet(factDir)
+      val t1 = factTable
         .filter(col("date_id") === dateId &&
           floor(col("time_id") / 10000) === hour)
         .drop("etl_version")
@@ -99,15 +119,24 @@ object FactPipeline {
       // S6/S7 as hour-window replacement instead of blind appends (see
       // class doc): the recomputed hour replaces its previous slice
       val interpDir = s"$warehouseDir/fact_gold_price_interpolated"
-      MergeWriter.replaceWindow(spark, interpDir, densified,
-        partitionCol = "date_id",
-        windowPred = col("date_id") === dateId &&
-          floor(col("rounded_time_id") / 10000) === hour,
-        layout = layout.restrictedTo(densified.columns.toSeq))
-      compactTargetBytes.foreach(t => Compaction.compact(spark, interpDir, t))
+      val hourWindow = col("date_id") === dateId &&
+        floor(col("rounded_time_id") / 10000) === hour
+      if (transactional) {
+        TxTable.replaceWindow(spark, interpDir, densified,
+          partitionCol = "date_id", windowPred = hourWindow,
+          layout = layout.restrictedTo(densified.columns.toSeq))
+        compactTargetBytes.foreach(_ =>
+          TxTable.compactFiles(spark, interpDir, "date_id"))
+      } else {
+        MergeWriter.replaceWindow(spark, interpDir, densified,
+          partitionCol = "date_id", windowPred = hourWindow,
+          layout = layout.restrictedTo(densified.columns.toSeq))
+        compactTargetBytes.foreach(t => Compaction.compact(spark, interpDir, t))
+      }
 
       // §2.12 gates on what was just written, scoped to the window
-      val window = spark.read.parquet(interpDir)
+      val window = (if (transactional) TxTable.snapshot(spark, interpDir).get
+                    else spark.read.parquet(interpDir))
         .filter(col("date_id") === dateId &&
           floor(col("rounded_time_id") / 10000) === hour)
       val gridMinutes = window.select(col("rounded_time_id")).distinct().count()

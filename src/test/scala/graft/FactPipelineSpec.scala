@@ -67,6 +67,45 @@ class FactPipelineSpec extends SparkTestBase {
     assert(interp == ((102.0, true)))
   }
 
+  test("transactional mode: same results, replay-idempotent, tables are versioned TxTables") {
+    // The same hour through TxTable-backed writes: identical HourRun
+    // counters and identical row contents as the single-writer mode,
+    // plus the transactional properties — every write is a manifest
+    // version (fact: v1 upsert + v2 replay; interp: v1 replace + v2
+    // replay) and the pre-replay state is still time-travelable.
+    import graft.io.TxTable
+    val wh = Files.createTempDirectory("graft_pipeline_tx").toString
+    val whRef = Files.createTempDirectory("graft_pipeline_ref").toString
+
+    val tx1 = FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 1L, transactional = true).get
+    val ref1 = FactPipeline.runHour(spark, goodEvents, whRef, D, hour = 10,
+      runVersion = 1L).get
+    assert(tx1 === ref1)
+
+    // fixed column order: the hive layout reads its partition column
+    // last, the TxTable layout preserves write order — values must match
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(rows(TxTable.snapshot(spark, s"$wh/fact_gold_price").get)
+      === rows(spark.read.parquet(s"$whRef/fact_gold_price")))
+    assert(rows(TxTable.snapshot(spark, s"$wh/fact_gold_price_interpolated").get)
+      === rows(spark.read.parquet(s"$whRef/fact_gold_price_interpolated")))
+
+    // replay: idempotent, and the write history is on the log
+    val tx2 = FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 2L, transactional = true).get
+    assert(tx2.densifiedRows === tx1.densifiedRows)
+    assert(TxTable.snapshot(spark, s"$wh/fact_gold_price").get.count() === 5L)
+    assert(TxTable.latest(spark, s"$wh/fact_gold_price")._1 === 2L)
+    assert(TxTable.latest(spark, s"$wh/fact_gold_price_interpolated")._1 === 2L)
+    // time travel: run 1's interp table is intact behind run 2's
+    assert(TxTable.snapshotAt(spark,
+      s"$wh/fact_gold_price_interpolated", 1L).get.count() === 12L)
+  }
+
   test("late data retracts stale interpolated rows; same-second ticks both survive") {
     val wh = Files.createTempDirectory("graft_pipeline_late").toString
     // run 1: ticks only at wall minutes 10:00 and 10:05 → 10:01–10:04
