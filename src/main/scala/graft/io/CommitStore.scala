@@ -71,9 +71,15 @@ object SymlinkCommitStore extends CommitStore {
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = Paths.get(logDir)
     if (!Files.isDirectory(log)) return (0L, Nil)
-    val versions = Files.list(log).iterator().asScala
-      .flatMap(p => CommitStore.versionOf(p.getFileName.toString).map(_ -> p))
-      .toSeq
+    // Files.list holds a directory handle until closed — this runs on
+    // every snapshot resolve and commit attempt, so leaking it would
+    // exhaust fds in a long-running driver
+    val listing = Files.list(log)
+    val versions =
+      try listing.iterator().asScala
+        .flatMap(p => CommitStore.versionOf(p.getFileName.toString).map(_ -> p))
+        .toList
+      finally listing.close()
     if (versions.isEmpty) return (0L, Nil)
     val (v, ptr) = versions.maxBy(_._1)
     (v, readSlot(ptr))

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import graft.ops.Merge
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal optimistic-concurrency commit protocol for a partitioned
@@ -50,7 +50,21 @@ import org.apache.spark.sql.functions._
   * manifest-level pruning replaces hive directory pruning, exactly the
   * move the real table formats made, and it prunes through the SAME
   * O(touched-partitions) path at 100 TB: a snapshot read of k
-  * partitions opens k leaf directories, never lists the table.
+  * partitions opens k leaf directories, never lists the table
+  * ([[snapshotPartitions]] is that read).
+  *
+  * ==Manifest bodies: deltas + periodic checkpoints==
+  *
+  * A body is either a CHECKPOINT (the full key→leaf map) or a DELTA
+  * (only the entries this commit touched), marked by a `#\tkind`
+  * header line. Version 1 and every `spark.graft.tx.checkpointInterval`-th
+  * version (default 10) is a checkpoint; everything else is a delta.
+  * So a 1-key commit on a 10k-partition table writes O(touched)
+  * manifest bytes, not O(table) — the Delta/Iceberg log-compaction
+  * move — and the full-map write is amortized 1/interval. Resolving a
+  * snapshot walks back at most `interval` bodies to the nearest
+  * checkpoint and folds the deltas forward; headerless bodies (the
+  * pre-delta format) read as checkpoints, so old tables stay readable.
   *
   * ==Commit protocol (optimistic CAS, no locks)==
   *
@@ -71,40 +85,85 @@ import org.apache.spark.sql.functions._
   * Readers resolve the latest manifest and read immutable files: every
   * read is a consistent snapshot, torn reads are gone too. Files
   * superseded by later commits stay on disk for in-flight readers
-  * (and as time travel) until [[vacuum]]. All data-file I/O goes
-  * through the Hadoop FileSystem API, so the table works on any
-  * Spark-reachable store whose CommitStore primitive holds.
+  * (and as time travel) until [[vacuum]] — which is retention-windowed,
+  * so it can run concurrently with snapshot readers of recent versions
+  * and with in-flight writers (grace period on staged dirs). All data-
+  * file I/O goes through the Hadoop FileSystem API, so the table works
+  * on any Spark-reachable store whose CommitStore primitive holds.
+  *
+  * ==Schema evolution==
+  *
+  * A commit may carry a WIDENED schema (new columns): the merge aligns
+  * both sides by nulling each side's missing columns (the
+  * ops/SchemaEvolution discipline applied across versions), and every
+  * multi-leaf read runs with parquet `mergeSchema`, so snapshots of
+  * old versions read the old shape, snapshots after the evolution read
+  * the union shape with pre-evolution rows nulled, and [[diff]] across
+  * the evolution commit aligns its two sides the same way.
   */
 object TxTable {
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
   private val PKey = "__p" // internal partition-key column, dropped by partitionBy
+  private val Header = "#" // manifest body header marker (first tab field)
 
   /** Engine-canonical partition key: evaluated only inside Spark, never
     * re-derived on the driver. */
-  private def keyExpr(partitionCol: String) =
-    when(col(partitionCol).isNull, lit("NULL"))
-      .otherwise(md5(col(partitionCol).cast("string")))
+  private def keyExpr(partitionVal: Column): Column =
+    when(partitionVal.isNull, lit("NULL"))
+      .otherwise(md5(partitionVal.cast("string")))
+
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.tx.checkpointInterval", "10").toInt
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def parse(lines: Seq[String]): Map[String, String] =
-    lines.map { line =>
+    lines.filterNot(_.startsWith(Header + "\t")).map { line =>
       val Array(k, d) = line.split('\t')
       k -> d
     }.toMap
 
-  private def render(entries: Map[String, String]): Seq[String] =
-    entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
+  /** (kind, entry lines) of a manifest body. Headerless bodies are the
+    * pre-delta format — full maps, i.e. checkpoints. */
+  private def kindOf(lines: Seq[String]): String =
+    lines.headOption.filter(_.startsWith(Header + "\t"))
+      .map(_.split('\t')(1)).getOrElse("checkpoint")
 
-  /** Latest committed (version, partition → data dir). (0, empty) on a
-    * fresh table. */
+  private def render(kind: String, entries: Map[String, String]): Seq[String] =
+    s"$Header\t$kind" +: entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
+
+  /** Full key→leaf map of `version`, folding deltas back to the nearest
+    * checkpoint (≤ interval bodies). None if any body on the chain was
+    * vacuumed or the version was never committed; Some(empty) at 0. */
+  private def resolveAt(
+      store: CommitStore, log: String, version: Long): Option[Map[String, String]] = {
+    if (version <= 0) return Some(Map.empty)
+    var deltas = List.empty[Seq[String]] // ascending version order
+    var cur = version
+    while (cur >= 1) {
+      store.at(log, cur) match {
+        case None => return None
+        case Some(lines) =>
+          if (kindOf(lines) == "checkpoint")
+            return Some(deltas.foldLeft(parse(lines))((m, d) => m ++ parse(d)))
+          deltas = lines :: deltas
+          cur -= 1
+      }
+    }
+    None // walked below version 1 without meeting a checkpoint
+  }
+
+  /** Latest committed (version, full partition → data dir map).
+    * (0, empty) on a fresh table. */
   def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {
     val log = s"$dir/$LogDir"
-    val (v, lines) = CommitStore.forPath(fsOf(spark, dir), log).latest(log)
-    (v, parse(lines))
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    val (v, _) = store.latest(log)
+    (v, resolveAt(store, log, v).getOrElse(throw new IllegalStateException(
+      s"manifest chain for version $v is broken (concurrent unsafe vacuum?)")))
   }
 
   // ---- reads ---------------------------------------------------------
@@ -117,19 +176,55 @@ object TxTable {
     else Some(read(spark, dir, entries))
   }
 
+  /** Partition-pruned snapshot: only the manifest entries whose
+    * partition VALUE is in `values` are read — a k-partition read
+    * opens k leaf directories and never lists or plans over the rest
+    * of the table (the manifest replaces hive directory pruning).
+    * Values are turned into manifest keys by the SAME Spark expression
+    * the write side uses (one 1-row local job — no driver-side
+    * toString, so engine and manifest cannot disagree on identity).
+    * None on a never-committed table; an empty frame with the
+    * snapshot's schema when no requested partition exists. */
+  def snapshotPartitions(
+      spark: SparkSession, dir: String, values: Seq[Column]): Option[DataFrame] = {
+    val (_, entries) = latest(spark, dir)
+    if (entries.isEmpty) return None
+    val keys = spark.range(1)
+      .select(explode(array(values.map(keyExpr): _*)).as("k"))
+      .collect().map(_.getString(0)).toSet
+    val hit = entries.filter { case (k, _) => keys(k) }
+    if (hit.nonEmpty) Some(read(spark, dir, hit))
+    else Some(read(spark, dir, Map(entries.head)).limit(0))
+  }
+
   /** Time travel: the table exactly as committed at `version`. Data
     * files are immutable and manifests are never rewritten, so every
     * version remains readable until [[vacuum]] reclaims it (None after
     * that, or for a version never committed). */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): Option[DataFrame] = {
     val log = s"$dir/$LogDir"
-    CommitStore.forPath(fsOf(spark, dir), log).at(log, version)
-      .map(lines => read(spark, dir, parse(lines)))
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    if (store.at(log, version).isEmpty) None
+    else resolveAt(store, log, version).map(read(spark, dir, _))
   }
 
+  // mergeSchema: leaves written before a schema-widening commit lack
+  // the new columns; the merged read nulls them (S10 across versions)
   private def read(
       spark: SparkSession, dir: String, entries: Map[String, String]): DataFrame =
-    spark.read.parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+
+  /** Null-pad each frame with the columns only the other one has (type
+    * taken from the owning side) — the cross-version face of
+    * ops/SchemaEvolution.ensureColumns. */
+  private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    def widen(x: DataFrame, y: DataFrame): DataFrame =
+      y.schema.fields.foldLeft(x)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    (widen(a, b), widen(b, a))
+  }
 
   /** Row-level changes between two committed versions — the
     * table-format CDC readout (`table_changes` in the public Delta
@@ -137,6 +232,8 @@ object TxTable {
     * `delete` (present only at `fromVersion`), or `update` (present in
     * both with any non-key column differing, null-safely; the emitted
     * payload is the NEW row). Unchanged keys emit nothing.
+    * `fromVersion = 0` diffs against the empty table (every row an
+    * insert) — the change-feed bootstrap.
     *
     * PRUNES AT MANIFEST LEVEL BEFORE TOUCHING A FILE: a partition
     * whose manifest entry is IDENTICAL in both versions points at the
@@ -152,21 +249,31 @@ object TxTable {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
     def entriesOf(v: Long): Map[String, String] =
-      parse(store.at(log, v).getOrElse(
-        throw new IllegalArgumentException(s"version $v not readable")))
+      resolveAt(store, log, v).getOrElse(
+        throw new IllegalArgumentException(s"version $v not readable"))
     val aE = entriesOf(fromVersion)
     val bE = entriesOf(toVersion)
     val changedKeys = (aE.keySet ++ bE.keySet).filter(k => aE.get(k) != bE.get(k))
-    def side(entries: Map[String, String]): DataFrame = {
-      val dirs = changedKeys.toSeq.flatMap(entries.get).sorted
-      val all = read(spark, dir, entries) // schema anchor
-      if (dirs.isEmpty) all.limit(0)
-      else spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
-    }
-    val a = side(aE)
-    val b = side(bE)
-    val payload = a.columns.filterNot(_ == key).toSeq
-    val an = payload.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
+    def changedDirs(entries: Map[String, String]): Seq[String] =
+      changedKeys.toSeq.flatMap(entries.get).distinct.sorted
+    val aDirs = changedDirs(aE)
+    val bDirs = changedDirs(bE)
+    require(aE.nonEmpty || bE.nonEmpty, "diff between two empty versions")
+    def readDirs(dirs: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$dir/$d"): _*)
+    // schema anchor for a side with no changed (or no) leaves: one leaf
+    // of that version, or the other side's — a column living only in
+    // unchanged leaves cannot contribute a change row anyway, and
+    // alignSchemas below squares up whatever remains
+    def side(dirs: Seq[String], own: Map[String, String]): DataFrame =
+      if (dirs.nonEmpty) readDirs(dirs)
+      else if (own.nonEmpty) readDirs(Seq(own.values.min)).limit(0)
+      else readDirs(Seq((bE ++ aE).values.min)).limit(0)
+    val (a, b) = alignSchemas(side(aDirs, aE), side(bDirs, bE))
+    val payload = b.columns.filterNot(_ == key).toSeq
+    val an = payload.foldLeft(a.select(b.columns.toSeq.map(col): _*))(
+        (d, c) => d.withColumnRenamed(c, s"__a_$c"))
       .withColumnRenamed(key, "__a_key")
     val joined = an.join(b, an("__a_key") === b(key), "full_outer")
     val changed = payload
@@ -195,10 +302,11 @@ object TxTable {
   /** Keyed latest-wins upsert with first-committer-wins concurrency:
     * safe for any number of concurrent writers landing DISTINCT
     * batches; a replay of the SAME batch stays idempotent through the
-    * keyed merge. Single-writer plan shape is identical to
-    * `MergeWriter.upsertPartitioned` (snapshot-pruned read of touched
-    * partitions, one keyed merge, O(touched) write) plus one manifest
-    * round-trip.
+    * keyed merge; an EMPTY batch is a no-op (no version published) —
+    * an hour with zero events must not fail the pipeline. Single-writer
+    * plan shape is identical to `MergeWriter.upsertPartitioned`
+    * (snapshot-pruned read of touched partitions, one keyed merge,
+    * O(touched) write) plus one manifest round-trip.
     *
     * @param beforeCommit test seam: runs between staging and the CAS on
     *   the FIRST attempt only — lets a spec interleave a competing
@@ -220,7 +328,8 @@ object TxTable {
     * takes their place; rows outside the window and untouched
     * partitions survive untouched. Same contract as the single-writer
     * form: `windowPred` must be FALSE-or-TRUE on every existing row
-    * and `incoming` must lie inside the window. */
+    * and `incoming` must lie inside the window. An empty batch is a
+    * no-op (nothing to locate the window's partitions by). */
   def replaceWindow(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
       partitionCol: String, windowPred: org.apache.spark.sql.Column,
@@ -239,11 +348,11 @@ object TxTable {
       beforeCommit: () => Unit, op: String)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // stable across retries: the batch itself never changes
-    val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
+    val batch = incoming.withColumn(PKey, keyExpr(col(partitionCol)))
       .localCheckpoint(true)
     val touchedKeys = batch.select(PKey).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
-    require(touchedKeys.nonEmpty, "empty incoming batch")
+    if (touchedKeys.isEmpty) return // empty batch: a no-op, not a failure
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -255,8 +364,9 @@ object TxTable {
       if (attempt > maxRetries)
         throw new IllegalStateException(
           s"TxTable.$op lost the commit race $maxRetries times on $targetDir")
-      val (v, lines) = store.latest(log)
-      val entries = parse(lines)
+      val (v, _) = store.latest(log)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val existingDirs = touchedKeys.flatMap(entries.get).distinct
       val merged0 =
         if (existingDirs.isEmpty) batch
@@ -265,12 +375,15 @@ object TxTable {
           // concurrent commit, unlike the live-directory read of the
           // single-writer path. The key is re-derived by the SAME Spark
           // expression (leaves are partition-pure, but defend the
-          // invariant anyway).
-          val existing = spark.read
+          // invariant anyway). Schemas align across an evolution commit:
+          // a widened batch nulls old rows' new columns, a narrow batch
+          // nulls its own missing ones.
+          val existing = spark.read.option("mergeSchema", "true")
             .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
-            .withColumn(PKey, keyExpr(partitionCol))
+            .withColumn(PKey, keyExpr(col(partitionCol)))
             .filter(col(PKey).isInCollection(touchedKeys))
-          merge(existing, batch)
+          val (e2, b2) = alignSchemas(existing, batch)
+          merge(e2, b2)
         }
       val merged = merged0.localCheckpoint(true)
 
@@ -300,13 +413,30 @@ object TxTable {
 
       if (attempt == 1) beforeCommit()
 
-      if (store.tryCommit(log, v + 1, render(entries ++ staged))) committed = true
+      if (tryPublish(spark, store, log, v, entries, staged.toMap)) committed = true
       else {
         // lost the race: discard our stale staging and re-merge against
         // the winner's snapshot
         fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
       }
     }
+  }
+
+  /** Publish version v+1: a DELTA body of just this commit's entries,
+    * except at the checkpoint cadence (v+1 = 1 or a multiple of the
+    * interval) where the full folded map is written — so steady-state
+    * commit cost is O(touched partitions), with the O(table) write
+    * amortized to 1/interval (and version 1 trivially full). */
+  private def tryPublish(
+      spark: SparkSession, store: CommitStore, log: String,
+      v: Long, baseEntries: Map[String, String],
+      staged: Map[String, String]): Boolean = {
+    val next = v + 1
+    val body =
+      if (next == 1 || next % checkpointInterval(spark) == 0)
+        render("checkpoint", baseEntries ++ staged)
+      else render("delta", staged)
+    store.tryCommit(log, next, body)
   }
 
   /** Fold fragmented leaves — a rows-preserving maintenance commit:
@@ -324,25 +454,50 @@ object TxTable {
     * new leaves — which doubles as its correctness probe. */
   def compactFiles(
       spark: SparkSession, dir: String, partitionCol: String,
-      maxFilesPerLeaf: Int = 4, maxRetries: Int = 10): Unit = {
+      maxFilesPerLeaf: Int = 4, maxRetries: Int = 10): Unit =
+    compactWhere(spark, dir, partitionCol, maxRetries, "compactFiles")(
+      files => files.length > maxFilesPerLeaf)
+
+  /** [[compactFiles]] with a BYTE threshold instead of a file count —
+    * the transactional face of Compaction.compact's `targetBytes`
+    * semantics: a leaf is folded when it holds more files than its
+    * total size warrants at `targetBytes` per file (i.e. its files are
+    * small relative to the target). The rewrite grain is unchanged —
+    * one file per leaf — so `targetBytes` decides WHICH leaves fold,
+    * not the output file size (a partition leaf is the table's
+    * maintenance grain). */
+  def compactSmallFiles(
+      spark: SparkSession, dir: String, partitionCol: String,
+      targetBytes: Long, maxRetries: Int = 10): Unit =
+    compactWhere(spark, dir, partitionCol, maxRetries, "compactSmallFiles") { files =>
+      val total = files.map(_.getLen).sum
+      files.length > math.max(1L, (total + targetBytes - 1) / targetBytes)
+    }
+
+  private def compactWhere(
+      spark: SparkSession, dir: String, partitionCol: String,
+      maxRetries: Int, op: String)(
+      needsFold: Seq[org.apache.hadoop.fs.FileStatus] => Boolean): Unit = {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, lines) = store.latest(log)
+      val (v, _) = store.latest(log)
       if (v == 0) return
-      val entries = parse(lines)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val needy = entries.filter { case (_, leaf) =>
-        fs.listStatus(new Path(s"$dir/$leaf"))
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerLeaf
+        needsFold(fs.listStatus(new Path(s"$dir/$leaf")).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")))
       }
       if (needy.isEmpty) return
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      spark.read.parquet(needy.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
-        .withColumn(PKey, keyExpr(partitionCol))
+      spark.read.option("mergeSchema", "true")
+        .parquet(needy.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .withColumn(PKey, keyExpr(col(partitionCol)))
         .repartition(needy.size, col(PKey))
         .write.mode("error").partitionBy(PKey)
         .parquet(s"$dir/$stageRel")
@@ -350,58 +505,114 @@ object TxTable {
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
         .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
-      if (store.tryCommit(log, v + 1, render(entries ++ staged))) return
+      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
-      s"TxTable.compactFiles lost the commit race $maxRetries times on $dir")
+      s"TxTable.$op lost the commit race $maxRetries times on $dir")
   }
 
-  /** Drop everything the LATEST manifest no longer references — data
-    * dirs superseded by later commits, loser stagings orphaned by a
-    * writer crash, old version slots and (on the symlink store) their
-    * body files. Destroys time travel and is a MAINTENANCE-WINDOW
-    * operation: it must not run while snapshot readers of older
-    * versions are in flight (the retention trade every table format
-    * documents), NOR while a writer is mid-commit — an in-flight
-    * writer's staged-but-uncommitted leaves are indistinguishable from
-    * crash orphans and would be reclaimed under it. */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  /** Retention-windowed garbage collection: keep the last
+    * `retainVersions` versions fully readable (plus any older version
+    * sharing their manifest-chain checkpoint — readability is at-least,
+    * never at-most), reclaim every data leaf and log body nothing
+    * retained references, and leave UNREFERENCED data dirs younger
+    * than `graceMs` alone — those are (or may be) a live writer's
+    * staged-but-uncommitted leaves, indistinguishable from crash
+    * orphans except by age.
+    *
+    * Safe to run concurrently with snapshot readers of retained
+    * versions (their files survive by construction) and, with a
+    * generous grace period, with in-flight writers. The defaults
+    * (retain 1, no grace) reproduce the maintenance-window behavior:
+    * everything but the latest version is reclaimed and time travel is
+    * destroyed.
+    *
+    * Implementation note: if the tip manifest is a delta, a CHECKPOINT
+    * version is first published through the normal CAS (content
+    * identical to the tip — a no-data commit), so the retained window
+    * never needs chain bodies beneath itself; a lost race to a live
+    * writer just re-reads the new tip. */
+  def vacuum(
+      spark: SparkSession, dir: String,
+      retainVersions: Int = 1, graceMs: Long = 0L): Unit = {
     val fs = fsOf(spark, dir)
-    val (v, entries) = latest(spark, dir)
-    if (v == 0) return
-    val live = entries.values.toSet
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var (tip, tipLines) = store.latest(log)
+    if (tip == 0) return
+    var guard = 0
+    while (kindOf(tipLines) != "checkpoint") {
+      guard += 1
+      if (guard > 50) throw new IllegalStateException(
+        s"vacuum lost the checkpoint race 50 times on $dir")
+      val full = resolveAt(store, log, tip).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $tip is broken"))
+      if (!store.tryCommit(log, tip + 1, render("checkpoint", full))) {
+        // a live writer took the slot; fall through and re-read
+      }
+      val t = store.latest(log)
+      tip = t._1; tipLines = t._2
+    }
+
+    val keepOldest = math.max(1L, tip - math.max(1, retainVersions) + 1)
+    // walk down to the checkpoint the oldest retained version resolves
+    // through; every slot/body from there up survives (versions in
+    // [keepFrom, keepOldest) stay readable too — the documented
+    // at-least semantics)
+    var keepFrom = keepOldest
+    var walking = true
+    while (walking && keepFrom >= 1) {
+      store.at(log, keepFrom) match {
+        case Some(lines) if kindOf(lines) == "checkpoint" => walking = false
+        case Some(_) => keepFrom -= 1
+        case None => walking = false // chain already truncated below
+      }
+    }
+    val live: Set[String] = (keepFrom to tip)
+      .flatMap(w => resolveAt(store, log, w).map(_.values).getOrElse(Nil)).toSet
+
+    val cutoff = System.currentTimeMillis() - graceMs
     val data = new Path(s"$dir/$DataDir")
     if (fs.exists(data))
       fs.listStatus(data).foreach { commitDir =>
         val cname = commitDir.getPath.getName
         fs.listStatus(commitDir.getPath).foreach { leaf =>
-          if (!live.contains(s"$DataDir/$cname/${leaf.getPath.getName}"))
+          if (!live.contains(s"$DataDir/$cname/${leaf.getPath.getName}") &&
+              leaf.getModificationTime <= cutoff)
             fs.delete(leaf.getPath, true): Unit
         }
-        // a commit whose every leaf was superseded leaves an empty shell
-        if (fs.listStatus(commitDir.getPath).isEmpty)
+        // a commit whose every leaf was superseded leaves an empty
+        // shell — but a YOUNG shell may be a writer mid-stage
+        if (fs.listStatus(commitDir.getPath).isEmpty &&
+            commitDir.getModificationTime <= cutoff)
           fs.delete(commitDir.getPath, true): Unit
       }
-    // the latest slot (and, on the symlink store, the body it points
-    // to) survives; every older slot and unreferenced body goes
-    val log = new Path(s"$dir/$LogDir")
-    val liveSlot = CommitStore.slotName(v)
-    val liveBody = {
-      val slot = java.nio.file.Paths.get(s"$dir/$LogDir/$liveSlot")
-      if (java.nio.file.Files.isSymbolicLink(slot))
-        Some(java.nio.file.Files.readSymbolicLink(slot).toString)
-      else None
-    }
-    // slots BEFORE bodies: deleting a body first would leave its slot a
-    // dangling symlink, which the Hadoop local FS can no longer delete
+
+    // log reclaim: slots below keepFrom go; then bodies (the symlink
+    // store's m-*.tsv files) no surviving slot points to. Slots BEFORE
+    // bodies: deleting a body first would leave its slot a dangling
+    // symlink, which the Hadoop local FS can no longer delete
     // (getFileStatus follows the link) — and a dangling slot would read
-    // as a corrupt version
-    val (slots, bodies) = fs.listStatus(log).toSeq
-      .partition(_.getPath.getName.startsWith("v"))
-    (slots ++ bodies).foreach { st =>
-      val n = st.getPath.getName
-      if (n != liveSlot && !liveBody.contains(n))
+    // as a corrupt version.
+    val logPath = new Path(log)
+    val (slots, bodies) = fs.listStatus(logPath).toSeq
+      .partition(s => CommitStore.versionOf(s.getPath.getName).isDefined)
+    val (dead, kept) = slots.partition(s =>
+      CommitStore.versionOf(s.getPath.getName).exists(_ < keepFrom))
+    dead.foreach(s => fs.delete(s.getPath, false): Unit)
+    val liveBodies: Set[String] = kept.flatMap { s =>
+      val p = java.nio.file.Paths.get(log, s.getPath.getName)
+      if (java.nio.file.Files.isSymbolicLink(p))
+        Some(java.nio.file.Files.readSymbolicLink(p).toString)
+      else None
+    }.toSet
+    bodies.foreach { st =>
+      // grace applies here too: a rename-store writer's .tmp body (or a
+      // symlink-store body written microseconds before its CAS) must
+      // not be reclaimed from under an in-flight commit
+      if (!liveBodies.contains(st.getPath.getName) &&
+          st.getModificationTime <= cutoff)
         fs.delete(st.getPath, false): Unit
     }
   }

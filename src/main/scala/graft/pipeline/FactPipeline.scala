@@ -104,9 +104,13 @@ object FactPipeline {
 
       // T1–T3: read-back the hour (read-your-writes, like the
       // reference's interpolation task re-selecting from the warehouse),
-      // densify + interpolate
+      // densify + interpolate. Transactional read-back is PARTITION-
+      // PRUNED at the manifest (snapshotPartitions): only this date's
+      // leaf opens, matching the legacy path's date_id= directory
+      // pruning instead of planning over every leaf in the table.
       val factTable =
-        if (transactional) TxTable.snapshot(spark, factDir).get
+        if (transactional)
+          TxTable.snapshotPartitions(spark, factDir, Seq(lit(dateId))).get
         else spark.read.parquet(factDir)
       val t1 = factTable
         .filter(col("date_id") === dateId &&
@@ -125,8 +129,11 @@ object FactPipeline {
         TxTable.replaceWindow(spark, interpDir, densified,
           partitionCol = "date_id", windowPred = hourWindow,
           layout = layout.restrictedTo(densified.columns.toSeq))
-        compactTargetBytes.foreach(_ =>
-          TxTable.compactFiles(spark, interpDir, "date_id"))
+        // same byte-threshold semantics as the legacy Compaction.compact
+        // path: the target decides which leaves are fragmented enough
+        // to fold (TxTable.compactSmallFiles), not a fixed file count
+        compactTargetBytes.foreach(t =>
+          TxTable.compactSmallFiles(spark, interpDir, "date_id", t))
       } else {
         MergeWriter.replaceWindow(spark, interpDir, densified,
           partitionCol = "date_id", windowPred = hourWindow,
@@ -135,7 +142,9 @@ object FactPipeline {
       }
 
       // §2.12 gates on what was just written, scoped to the window
-      val window = (if (transactional) TxTable.snapshot(spark, interpDir).get
+      // (manifest-pruned to the date in transactional mode, like above)
+      val window = (if (transactional)
+                      TxTable.snapshotPartitions(spark, interpDir, Seq(lit(dateId))).get
                     else spark.read.parquet(interpDir))
         .filter(col("date_id") === dateId &&
           floor(col("rounded_time_id") / 10000) === hour)
