@@ -156,6 +156,13 @@ object TxTable {
     None // walked below version 1 without meeting a checkpoint
   }
 
+  /** Latest committed version alone — no manifest resolution (the
+    * change-feed's cursor probe; a poll must not pay a map fold). */
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val log = s"$dir/$LogDir"
+    CommitStore.forPath(fsOf(spark, dir), log).latest(log)._1
+  }
+
   /** Latest committed (version, full partition → data dir map).
     * (0, empty) on a fresh table. */
   def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {

@@ -335,5 +335,89 @@ object Streams {
         |FROM p
         |WHERE p.p_id NOT IN (SELECT p_id FROM m)
         |  AND p.p_ms < (SELECT w FROM wm)
-        |ORDER BY p_id, c_id""".stripMargin))
+        |ORDER BY p_id, c_id""".stripMargin),
+
+    // The CDC loop CLOSED end-to-end (streaming/TxChangeFeed): four
+    // transactional commits land on a TxTable (bootstrap, a doubled-
+    // value revision, late inserts, and a window replacement that
+    // DELETES rows), then the change feed tails the commit log from
+    // genesis and folds each commit's diff into a downstream replica
+    // via Merge.applyCdc — insert/update upsert, delete drops the key,
+    // exactly what a CDC consumer maintains. The replica is aggregated
+    // per (day, event_type) and the oracle is the FULL RECOMPUTE of the
+    // final table state from the raw batch algebra (the t16
+    // discipline): feed-replayed state ≡ direct state, proven on
+    // values, including the deletes. Each feed batch reads only the
+    // partitions its commit touched (manifest-pruned diff), so the
+    // consumer's cost tracks change volume, not table size. Temp table
+    // dirs are deleted once the result materializes.
+    "t20_stream_changefeed" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txcf").toString
+        val tbl = s"$base/fact"
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+        val d10 = lit("2024-01-10 00:00:00").cast("timestamp")
+        val d15 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val d20 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val d28 = lit("2024-01-28 00:00:00").cast("timestamp")
+        // v1 bootstrap; v2 revision (updates 10–15, inserts 15–20, ×2 is
+        // an exponent bump — exact in double in both engines); v3 late
+        // inserts; v4 window replacement that deletes clicks ≥ d28
+        // (incoming mirrors current values so the diff is deletes only)
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") < d15),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= d10 && col("ts") < d20)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") >= d20),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.replaceWindow(s, tbl,
+          ev.filter(col("event_type") === "click" && col("ts") < d28)
+            .withColumn("value",
+              when(col("ts") >= d10 && col("ts") < d20, col("value") * 2)
+                .otherwise(col("value"))),
+          partitionCol = "event_type",
+          windowPred = col("event_type") === "click")
+
+        // all four batches are non-empty at every shipped sf, but an
+        // empty one would be a no-op commit on BOTH sides of the oracle
+        // (the CASE/ filter ranges match the commit ranges), so the
+        // compare stays sound without pinning the commit count
+        val (_, replica) =
+          graft.streaming.TxChangeFeed.replicate(s, tbl, "event_id")
+        val out = replica
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("day"), col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """WITH st AS (
+        |  SELECT event_id, event_type, ts,
+        |         CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |               AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |              THEN value * 2 ELSE value END AS value
+        |  FROM events),
+        |fin AS (
+        |  SELECT * FROM st
+        |  WHERE NOT (event_type = 'click'
+        |             AND ts >= TIMESTAMP '2024-01-28 00:00:00'))
+        |SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM fin
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin))
 }

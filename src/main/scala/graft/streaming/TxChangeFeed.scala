@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.io.TxTable
+import graft.ops.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming change-feed SOURCE over a [[graft.io.TxTable]] — the read
+  * half of the CDC loop [[TxStreamSink]] opened: the sink lands each
+  * micro-batch as one transactional commit; this tails the commit log
+  * and emits each commit's row-level diff, so a downstream consumer
+  * replays exactly what changed, in commit order, never rescanning the
+  * table. Together they are the public Delta "streaming from a table"
+  * surface (its streaming source is the same thing: a commit-log tailer
+  * that turns each version's file delta into a micro-batch).
+  *
+  * Why this is a driver loop and not a DataSourceV2 stream: each
+  * micro-batch here IS [[TxTable.diff]] — a manifest-pruned two-version
+  * join Spark plans per commit. Wrapping that in a V2 `MicroBatchStream`
+  * would re-express the same loop behind the streaming scaffolding
+  * without changing a single plan; the drain/poll surface below matches
+  * Trigger.AvailableNow / continuous-poll semantics directly and keeps
+  * the cursor (a plain version number) in the consumer's hands, which
+  * is exactly what a CDC consumer checkpoints anyway.
+  *
+  * Scale shape: a poll costs one commit-log `latest` probe (no manifest
+  * fold — [[TxTable.latestVersion]]); each emitted batch costs the
+  * partitions its commit touched (diff prunes identical manifest
+  * entries before opening a file). Versions are dense (the CAS admits
+  * no gaps), so the cursor advances +1 per batch. The cursor must stay
+  * within [[TxTable.vacuum]]'s retention window — resuming a feed from
+  * below the oldest retained version throws (re-bootstrap from a
+  * snapshot instead), the same contract every log-tailing CDC source
+  * documents.
+  */
+object TxChangeFeed {
+
+  /** Drain every commit after `fromVersion` (exclusive) up to the
+    * current tip — the Trigger.AvailableNow analog. Returns
+    * (version, diff) in commit order; `fromVersion = 0` replays the
+    * table from genesis (the first batch is the bootstrap commit's
+    * all-insert diff). Frames are lazy — nothing executes until the
+    * consumer acts on a batch. */
+  def drain(
+      spark: SparkSession, dir: String, key: String,
+      fromVersion: Long = 0L): Seq[(Long, DataFrame)] = {
+    val tip = TxTable.latestVersion(spark, dir)
+    ((fromVersion + 1) to tip).map(v => v -> TxTable.diff(spark, dir, v - 1, v, key))
+  }
+
+  /** Continuous tail: poll the commit log every `pollMs`, handing each
+    * new commit's diff to `onBatch` in order, until `stop()` — the
+    * processing-trigger analog. Returns the final cursor (last version
+    * delivered); persist it and resume with `fromVersion = cursor`. */
+  def follow(
+      spark: SparkSession, dir: String, key: String,
+      fromVersion: Long, pollMs: Long, stop: () => Boolean)(
+      onBatch: (Long, DataFrame) => Unit): Long = {
+    var cursor = fromVersion
+    while (!stop()) {
+      drain(spark, dir, key, cursor).foreach { case (v, d) =>
+        onBatch(v, d); cursor = v
+      }
+      if (!stop()) Thread.sleep(pollMs)
+    }
+    cursor
+  }
+
+  /** The CDC loop closed in one call: fold the feed into a replica via
+    * [[Merge.applyCdc]] (insert/update upsert, delete drops the key) —
+    * the downstream "current state by key" table a change consumer
+    * maintains. Starts from `base` (a prior replica at `fromVersion`)
+    * or empty. Each step materializes (localCheckpoint) so the replica
+    * never accumulates a per-commit lineage chain — the iterative-
+    * operator discipline. Returns (cursor, replica); the replica
+    * equals `TxTable.snapshot` at that version by construction, which
+    * is exactly what the t20 oracle pins. */
+  def replicate(
+      spark: SparkSession, dir: String, key: String,
+      fromVersion: Long = 0L, base: Option[DataFrame] = None): (Long, DataFrame) = {
+    val batches = drain(spark, dir, key, fromVersion)
+    require(batches.nonEmpty || base.nonEmpty,
+      s"nothing to replicate: no commits after $fromVersion and no base")
+    var replica = base.getOrElse(
+      batches.head._2.drop("change_type").limit(0).localCheckpoint(true))
+    var cursor = fromVersion
+    batches.foreach { case (v, d) =>
+      val changes = d.withColumn("_op",
+          when(col("change_type") === "delete", "D").otherwise("U"))
+        .withColumn("_seq", lit(v))
+        .drop("change_type")
+      replica = Merge.applyCdc(replica, changes, key, "_op", "_seq")
+        .localCheckpoint(true)
+      cursor = v
+    }
+    (cursor, replica)
+  }
+}
