@@ -27,6 +27,12 @@ object Vector {
   private val Bits = 8
   private val NearDupThreshold = 0.9
 
+  /** Independent 8-bit bands OR-ed in the label-confusion index (one
+    * band caught the exact top-1 for 0.43 of sf0.1 vectors; 2 bands
+    * measured 0.605, 3 measured comfortably over the 0.6 AnnSpec
+    * floor). Bands share one wide signature — disjoint hyperplanes. */
+  private val ConfusionBands = 3
+
   /** DuckDB cosine of two list columns — same index-order reduction as
     * VectorOps.cosineSim. */
   private def dCos(a: String, b: String): String =
@@ -36,8 +42,8 @@ object Vector {
 
   /** DuckDB hyperplane signature — same weights as
     * VectorOps.hyperplaneSig. */
-  private def dSig(e: String): String =
-    s"""list_reduce(list_transform(range(0, $Bits), h ->
+  private def dSig(e: String, bits: Int = Bits): String =
+    s"""list_reduce(list_transform(range(0, $bits), h ->
        |  CASE WHEN list_reduce(list_transform(range(0, len($e)), i ->
        |         CAST($e[i+1] AS DOUBLE) * ((((h+1)*131 + i*31) % 97) - 48)), (x,y) -> x+y) > 0
        |       THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END), (x,y) -> x+y)""".stripMargin
@@ -197,25 +203,41 @@ object Vector {
       .filter(col("overflow_buckets") > 0)
   }
 
-  /** Per-vector top-1 cosine neighbor via the LSH candidate path: the
-    * 8-bit hyperplane-signature index probed at Hamming ≤ 2 (37 probes,
-    * the x_ann_lsh_mp discipline), candidate side capped per bucket
-    * (Text.bandCap), exact cosine re-scoring inside the probed buckets
-    * only, SORT-FREE argmax per vector. The only corpus-sized shuffle
-    * key is the signature; nothing broadcasts. Returns
-    * (vec_id, label, n_id, neighbor_label); a vector whose probed
-    * buckets hold no other vector emits no row. Shared by
-    * x_label_confusion and AnnSpec's agreement floor. */
+  /** Per-vector top-1 cosine neighbor via the LSH candidate path:
+    * [[ConfusionBands]] independent 8-bit hyperplane indexes (the
+    * bands of one wide signature — disjoint hyperplane sets, so the
+    * bands' miss events are near-independent), each probed at
+    * Hamming ≤ 2 (37 probes per band, the x_ann_lsh_mp discipline),
+    * candidates capped per (band, bucket) (Text.bandCap), exact cosine
+    * re-scoring inside the probed buckets only, SORT-FREE argmax per
+    * vector. OR-ing independent indexes is the standard LSH recall
+    * amplifier: one band caught the exact top-1 winner for 0.43 of
+    * sf0.1 vectors; OR-ing bands compounds toward 1-(1-p)^k (AnnSpec
+    * pins the floor). The only corpus-sized shuffle key is
+    * (band, signature); nothing broadcasts, no all-pairs stage exists,
+    * and a pair surfacing through several bands is harmless — the
+    * argmax is duplicate-insensitive. Returns (vec_id, label, n_id,
+    * neighbor_label); a vector whose probed buckets hold no other
+    * vector emits no row. Shared by x_label_confusion and AnnSpec's
+    * agreement floor. */
   private[graft] def top1NeighborLsh(s: SparkSession, dir: String): DataFrame = {
     val cap = Text.bandCap(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        VectorOps.sig(col("embedding"), Bits).as("sig"))
-    val cand = e
+        VectorOps.sig(col("embedding"), ConfusionBands * Bits).as("sigw"))
+    // band b = bits [8b, 8b+8) — band 0 is bit-identical to the 8-bit
+    // index; higher bands use disjoint hyperplane sets
+    val banded = e.select(col("vec_id"), col("label"), col("embedding"),
+      explode(array((0 until ConfusionBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sigw"), b * Bits).bitwiseAND(lit(255L)).as("sig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = banded
       .select(col("vec_id").as("n_id"), col("label").as("n_label"),
-        col("embedding").as("n_emb"), col("sig"))
+        col("embedding").as("n_emb"), col("band"), col("sig"))
       .withColumn("_rnk", row_number().over(
-        Window.partitionBy("sig").orderBy("n_id")))
+        Window.partitionBy("band", "sig").orderBy("n_id")))
       .filter(col("_rnk") <= cap)
       .drop("_rnk")
     val probeSigs = expr(
@@ -227,9 +249,9 @@ object Vector {
          |    transform(sequence(i + 1, ${Bits - 1}),
          |      j -> sig ^ shiftleft(CAST(1 AS BIGINT), i)
          |             ^ shiftleft(CAST(1 AS BIGINT), j)))))""".stripMargin)
-    val probes = e.select(col("vec_id"), col("label"), col("embedding"),
-      explode(probeSigs).as("sig"))
-    probes.join(cand, Seq("sig"))
+    val probes = banded.select(col("vec_id"), col("label"), col("embedding"),
+      col("band"), explode(probeSigs).as("sig"))
+    probes.join(cand, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("n_id"))
       .withColumn("cosine", VectorOps.cosine(col("embedding"), col("n_emb")))
       .groupBy(col("vec_id"), col("label"))
@@ -314,42 +336,49 @@ object Vector {
     // training a classifier on it: each vector votes its top-1 cosine
     // neighbor's label; off-diagonal mass = classes that bleed into
     // each other (or mislabeled rows). Engine (the 100 TB shape):
-    // candidate generation rides the SAME hyperplane-signature index as
-    // x_ann_lsh_mp — every vector probes its own bucket plus all
-    // buckets at Hamming distance 1 and 2 (37 probes of 2^8), exact
-    // cosine re-scores only inside the probed buckets, and the
-    // candidate side is capped per bucket (Text.bandCap, the dedup
-    // discipline) so a degenerate bucket can never go quadratic. The
-    // only corpus-sized shuffle key is the signature; NOTHING is
-    // broadcast and no all-pairs stage exists. Per-vector winner is a
-    // SORT-FREE argmax (max over a (cosine, −id, label) struct), then a
+    // candidate generation rides THREE independent 8-bit hyperplane
+    // indexes (the bands of one 24-bit signature), each probed at
+    // Hamming ≤ 2 (37 probes of 2^8 per band — the x_ann_lsh_mp
+    // discipline, OR-amplified across bands), exact cosine re-scores
+    // only inside the probed buckets, and the candidate side is capped
+    // per (band, bucket) (Text.bandCap, the dedup discipline) so a
+    // degenerate bucket can never go quadratic. The only corpus-sized
+    // shuffle key is (band, signature); NOTHING is broadcast and no
+    // all-pairs stage exists. Per-vector winner is a SORT-FREE argmax
+    // (max over a (cosine, −id, label) struct — duplicate-insensitive,
+    // so a pair surfacing through both bands is harmless), then a
     // labels²-sized confusion aggregate; the share window runs on that
     // tiny frame only. Approximate by design — x_label_confusion_exact
     // below is the all-pairs fixture-scale verifier, and AnnSpec pins
-    // the top-1 agreement floor between the two at sf0.1. A vector
-    // whose probed buckets hold no other vector casts no vote (both
-    // engines drop it identically). Winner determinism: cosine is the
-    // bit-portable VectorOps kernel and ties break on vec_id, so both
-    // engines elect identical neighbors among identical candidates.
+    // the top-1 agreement floor between the two at sf0.1 (0.70
+    // measured, floor 0.6). A vector whose probed buckets hold no
+    // other vector casts no vote (both engines drop it identically).
+    // Winner determinism: cosine is the bit-portable VectorOps kernel
+    // and ties break on vec_id, so both engines elect identical
+    // neighbors among identical candidates.
     "x_label_confusion" -> Q(
       (s, dir) => confusionMatrix(top1NeighborLsh(s, dir)),
-      s"""WITH es AS (SELECT vec_id, label, embedding, ${dSig("embedding")} AS sig FROM embeddings),
-         |cd AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb, sig,
-         |         ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) AS rnk
-         |       FROM es),
-         |c2 AS (SELECT n_id, n_label, n_emb, sig FROM cd WHERE rnk <= ${Text.BandCapDefault}),
+      s"""WITH es AS (SELECT vec_id, label, embedding, ${dSig("embedding", ConfusionBands * Bits)} AS sigw FROM embeddings),
+         |bd AS (
+         |  SELECT vec_id, label, embedding, b.band,
+         |         (sigw >> (b.band * $Bits)) & 255 AS sig
+         |  FROM es, (VALUES ${(0 until ConfusionBands).map(b => s"($b)").mkString(", ")}) b(band)),
+         |cd AS (SELECT vec_id AS n_id, label AS n_label, embedding AS n_emb, band, sig,
+         |         ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY vec_id) AS rnk
+         |       FROM bd),
+         |c2 AS (SELECT n_id, n_label, n_emb, band, sig FROM cd WHERE rnk <= ${Text.BandCapDefault}),
          |pr AS (
-         |  SELECT vec_id, label, embedding,
+         |  SELECT vec_id, label, embedding, band,
          |         unnest([sig]
          |           || list_transform(range(0, $Bits), h -> xor(sig, CAST(1 AS BIGINT) << h))
          |           || flatten(list_transform(range(0, ${Bits - 1}), i ->
          |                list_transform(range(i + 1, $Bits),
          |                  j -> xor(xor(sig, CAST(1 AS BIGINT) << i), CAST(1 AS BIGINT) << j))))) AS sig
-         |  FROM es),
+         |  FROM bd),
          |sc AS (
          |  SELECT p.vec_id, p.label, c.n_id, c.n_label,
          |         ${dCos("p.embedding", "c.n_emb")} AS cosine
-         |  FROM pr p JOIN c2 c USING (sig)
+         |  FROM pr p JOIN c2 c USING (band, sig)
          |  WHERE p.vec_id != c.n_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (
          |        PARTITION BY vec_id ORDER BY cosine DESC, n_id ASC) AS rk
