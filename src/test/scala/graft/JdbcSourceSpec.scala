@@ -77,6 +77,40 @@ class JdbcSourceSpec extends SparkTestBase {
     assert(got == Seq(2L, 3L))
   }
 
+  test("JdbcWriter.upsert round-trips through Derby and replays idempotently") {
+    import graft.io.JdbcWriter
+    // bootstrap through Spark's JDBC writer (owns the DDL, like the
+    // reference's separately-managed CREATE TABLE)
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"))
+      .toDF("id", "price", "tag")
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "upsert_rt")
+      .mode("overwrite").save()
+
+    def state(): Set[(Long, Double, String)] =
+      JdbcSource.read(spark, url, "upsert_rt")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+
+    // revision batch: update id=2, insert id=3 — batched update-then-
+    // insert, no per-row loop
+    val batch = Seq((2L, 25.0, "b2"), (3L, 30.0, "c")).toDF("id", "price", "tag")
+    JdbcWriter.upsert(batch, url, "upsert_rt", "id")
+    val expected = Set((1L, 10.0, "a"), (2L, 25.0, "b2"), (3L, 30.0, "c"))
+    assert(state() === expected)
+
+    // at-least-once replay: the same batch lands the same state
+    JdbcWriter.upsert(batch, url, "upsert_rt", "id")
+    assert(state() === expected)
+
+    // a multi-chunk batch (batchSize 2 over 5 rows) exercises the
+    // per-chunk commit path
+    val wide = Seq((1L, 11.0, "a1"), (3L, 33.0, "c1"), (4L, 40.0, "d"),
+      (5L, 50.0, "e"), (6L, 60.0, "f")).toDF("id", "price", "tag")
+    JdbcWriter.upsert(wide, url, "upsert_rt", "id", batchSize = 2)
+    assert(state() === Set((1L, 11.0, "a1"), (2L, 25.0, "b2"), (3L, 33.0, "c1"),
+      (4L, 40.0, "d"), (5L, 50.0, "e"), (6L, 60.0, "f")))
+  }
+
   test("partitioned read splits into N cursors and stays complete") {
     eventsInDerby
     val df = JdbcSource.readPartitioned(
