@@ -185,8 +185,8 @@ object Bench {
       val sib = new java.io.File(f.getParentFile, "sf0.01")
       if (f.getName != "sf0.01" && sib.isDirectory) Some(sib.toString) else None
     }
-    val (secondaryJson, ratioJson) = secondaryDir match {
-      case None => ("null", "null")
+    val (secondaryJson, ratioJson, ratioNoisyJson) = secondaryDir match {
+      case None => ("null", "null", "[]")
       case Some(d) =>
         pass(dir = d) // warm at the secondary scale
         val s1 = pass(dir = d); val s2 = pass(dir = d)
@@ -197,7 +197,12 @@ object Bench {
         val ratJ = sec.collect { case (k, v) if v > 0 && results.contains(k) =>
           s"\"" + k + "\":" + (math.round(results(k) / v * 100) / 100.0)
         }.mkString("{", ",", "}")
-        (secJ, ratJ)
+        // denominators under the per-query startup floor make the ratio
+        // mostly overhead arithmetic — mark them so a 4× "ratio" on a
+        // 0.1s query is read as noise, not a scaling alarm
+        val noisyJ = sec.collect { case (k, v) if v < 0.2 && results.contains(k) => k }
+          .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        (secJ, ratJ, noisyJ)
     }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
       failedNames.map(k => s"\"" + k + "\":null"))
@@ -214,7 +219,7 @@ object Bench {
     // while shuffle covered one, inviting cross-metric misreading
     val spillMb = math.round(spillFinalPassBytes / 1e5) / 10.0
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir","sf_secondary":${secondaryDir.fold("null")("\"" + _ + "\"")},"queries_secondary":$secondaryJson,"scale_ratio":$ratioJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir","sf_secondary":${secondaryDir.fold("null")("\"" + _ + "\"")},"queries_secondary":$secondaryJson,"scale_ratio":$ratioJson,"scale_ratio_noisy":$ratioNoisyJson}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +
