@@ -392,7 +392,12 @@ object TxTable {
           val (e2, b2) = alignSchemas(existing, batch)
           merge(e2, b2)
         }
-      val merged = merged0.localCheckpoint(true)
+      // NOT checkpointed, unlike MergeWriter's merged frame: that path
+      // must materialize before overwriting the very directories it is
+      // lazily reading, while this write lands in a FRESH immutable dir
+      // with the staging job as the merge plan's only consumer — a
+      // checkpoint here would be one whole wasted pass per commit
+      val merged = merged0
 
       // stage ALL touched partitions in ONE job: partitionBy on the key
       // column fans the write out per partition without a driver loop.
