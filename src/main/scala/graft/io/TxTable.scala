@@ -107,6 +107,10 @@ object TxTable {
   private val DataDir = "data"
   private val PKey = "__p" // internal partition-key column, dropped by partitionBy
   private val Header = "#" // manifest body header marker (first tab field)
+  // delta-entry value marking a partition REMOVED (a delete emptied it):
+  // applying the delta drops the key instead of remapping it. Checkpoints
+  // never carry tombstones — a removed key is simply absent there.
+  private val Tombstone = "-"
 
   /** Engine-canonical partition key: evaluated only inside Spark, never
     * re-derived on the driver. */
@@ -135,6 +139,14 @@ object TxTable {
   private def render(kind: String, entries: Map[String, String]): Seq[String] =
     s"$Header\t$kind" +: entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
 
+  /** Fold one delta over a base map: remapped keys overwrite,
+    * tombstoned keys drop. */
+  private def applyDelta(
+      base: Map[String, String], delta: Map[String, String]): Map[String, String] = {
+    val (dead, live) = delta.partition(_._2 == Tombstone)
+    base ++ live -- dead.keys
+  }
+
   /** Full key→leaf map of `version`, folding deltas back to the nearest
     * checkpoint (≤ interval bodies). None if any body on the chain was
     * vacuumed or the version was never committed; Some(empty) at 0. */
@@ -148,7 +160,8 @@ object TxTable {
         case None => return None
         case Some(lines) =>
           if (kindOf(lines) == "checkpoint")
-            return Some(deltas.foldLeft(parse(lines))((m, d) => m ++ parse(d)))
+            return Some(deltas.foldLeft(parse(lines))(
+              (m, d) => applyDelta(m, parse(d))))
           deltas = lines :: deltas
           cur -= 1
       }
@@ -346,6 +359,67 @@ object TxTable {
       maxRetries, beforeCommit, "replaceWindow")(
       (existing, batch) => existing.filter(!windowPred).unionByName(batch))
 
+  /** Keyed DELETE — the third DML verb, completing the
+    * insert/update/delete triad the CDC readout ([[diff]]) reports:
+    * every row whose `key` appears in `keys` is dropped. `keys` must
+    * carry the row's `partitionCol` value (the same key→partition
+    * stability contract as [[upsert]]) — only those partitions are
+    * read and rewritten, O(touched) like every other commit. A
+    * partition whose every row is deleted stages no leaf and publishes
+    * a TOMBSTONE delta entry instead, so its manifest key drops out;
+    * keys absent from the table are a no-op (no version published when
+    * nothing at all matches). Deletes surface in [[diff]] as `delete`
+    * rows and replay through the change feed's applyCdc like any other
+    * change. */
+  def delete(
+      spark: SparkSession, targetDir: String, keys: DataFrame,
+      key: String, partitionCol: String, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val batch = keys.select(col(key), keyExpr(col(partitionCol)).as(PKey))
+      .localCheckpoint(true)
+    val touchedKeys = batch.select(PKey).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (touchedKeys.isEmpty) return
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      // only partitions that EXIST participate; deleting from absent
+      // partitions is vacuously done
+      val hit = touchedKeys.filter(entries.contains)
+      if (hit.isEmpty) return
+      val existing = spark.read.option("mergeSchema", "true")
+        .parquet(hit.flatMap(entries.get).distinct.sorted
+          .map(d => s"$targetDir/$d"): _*)
+        .withColumn(PKey, keyExpr(col(partitionCol)))
+        .filter(col(PKey).isInCollection(hit))
+      val remaining = existing.join(
+        batch.select(col(key)).distinct(), Seq(key), "left_anti")
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      remaining.write.mode("error").partitionBy(PKey)
+        .parquet(s"$targetDir/$stageRel")
+      val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
+      // a touched partition with no surviving rows writes no leaf —
+      // its manifest entry must DROP, not linger pointing at old data
+      val staged = stagedLeaves.toMap ++
+        hit.filterNot(stagedLeaves.map(_._1).toSet).map(_ -> Tombstone)
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries, staged)) return
+      fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.delete lost the commit race $maxRetries times on $targetDir")
+  }
+
   /** The shared optimistic-commit loop: snapshot → merge (strategy
     * supplied by the caller) → single-job staging → CAS → loser
     * cleanup + retry. */
@@ -434,11 +508,12 @@ object TxTable {
     }
   }
 
-  /** Publish version v+1: a DELTA body of just this commit's entries,
-    * except at the checkpoint cadence (v+1 = 1 or a multiple of the
-    * interval) where the full folded map is written — so steady-state
-    * commit cost is O(touched partitions), with the O(table) write
-    * amortized to 1/interval (and version 1 trivially full). */
+  /** Publish version v+1: a DELTA body of just this commit's entries
+    * (tombstones included), except at the checkpoint cadence (v+1 = 1
+    * or a multiple of the interval) where the full folded map is
+    * written — so steady-state commit cost is O(touched partitions),
+    * with the O(table) write amortized to 1/interval (and version 1
+    * trivially full). */
   private def tryPublish(
       spark: SparkSession, store: CommitStore, log: String,
       v: Long, baseEntries: Map[String, String],
@@ -446,7 +521,7 @@ object TxTable {
     val next = v + 1
     val body =
       if (next == 1 || next % checkpointInterval(spark) == 0)
-        render("checkpoint", baseEntries ++ staged)
+        render("checkpoint", applyDelta(baseEntries, staged))
       else render("delta", staged)
     store.tryCommit(log, next, body)
   }

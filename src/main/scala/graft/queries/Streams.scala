@@ -339,8 +339,8 @@ object Streams {
 
     // The CDC loop CLOSED end-to-end (streaming/TxChangeFeed): four
     // transactional commits land on a TxTable (bootstrap, a doubled-
-    // value revision, late inserts, and a window replacement that
-    // DELETES rows), then the change feed tails the commit log from
+    // value revision, late inserts, and a keyed DELETE), then the
+    // change feed tails the commit log from
     // genesis and folds each commit's diff into a downstream replica
     // via Merge.applyCdc — insert/update upsert, delete drops the key,
     // exactly what a CDC consumer maintains. The replica is aggregated
@@ -365,8 +365,8 @@ object Streams {
         val d28 = lit("2024-01-28 00:00:00").cast("timestamp")
         // v1 bootstrap; v2 revision (updates 10–15, inserts 15–20, ×2 is
         // an exponent bump — exact in double in both engines); v3 late
-        // inserts; v4 window replacement that deletes clicks ≥ d28
-        // (incoming mirrors current values so the diff is deletes only)
+        // inserts; v4 keyed DELETE of clicks ≥ d28 (the third DML verb,
+        // surfacing as `delete` rows in the feed)
         graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") < d15),
           "event_id", "ts", "event_type")
         graft.io.TxTable.upsert(s, tbl,
@@ -375,13 +375,10 @@ object Streams {
           "event_id", "ts", "event_type")
         graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") >= d20),
           "event_id", "ts", "event_type")
-        graft.io.TxTable.replaceWindow(s, tbl,
-          ev.filter(col("event_type") === "click" && col("ts") < d28)
-            .withColumn("value",
-              when(col("ts") >= d10 && col("ts") < d20, col("value") * 2)
-                .otherwise(col("value"))),
-          partitionCol = "event_type",
-          windowPred = col("event_type") === "click")
+        graft.io.TxTable.delete(s, tbl,
+          ev.filter(col("event_type") === "click" && col("ts") >= d28)
+            .select(col("event_id"), col("event_type")),
+          "event_id", "event_type")
 
         // all four batches are non-empty at every shipped sf, but an
         // empty one would be a no-op commit on BOTH sides of the oracle

@@ -106,6 +106,26 @@ class FactPipelineSpec extends SparkTestBase {
       s"$wh/fact_gold_price_interpolated", 1L).get.count() === 12L)
   }
 
+  test("transactional mode: an hour with zero events succeeds as a no-op") {
+    // The legacy writer tolerated an empty hour; the TxTable path must
+    // too (empty batches are no-op commits) — and it must not even
+    // publish a version for one.
+    import graft.io.TxTable
+    val wh = Files.createTempDirectory("graft_pipeline_empty").toString
+    FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 1L, transactional = true).get
+    val vFact = TxTable.latest(spark, s"$wh/fact_gold_price")._1
+    val vInterp = TxTable.latest(spark, s"$wh/fact_gold_price_interpolated")._1
+
+    val empty = FactPipeline.runHour(spark, goodEvents, wh, D, hour = 23,
+      runVersion = 2L, transactional = true).get
+    assert(empty.extracted === 0L)
+    assert(empty.densifiedRows === 0L)
+    assert(empty.gridMinutes === 0L)
+    assert(TxTable.latest(spark, s"$wh/fact_gold_price")._1 === vFact)
+    assert(TxTable.latest(spark, s"$wh/fact_gold_price_interpolated")._1 === vInterp)
+  }
+
   test("late data retracts stale interpolated rows; same-second ticks both survive") {
     val wh = Files.createTempDirectory("graft_pipeline_late").toString
     // run 1: ticks only at wall minutes 10:00 and 10:05 → 10:01–10:04

@@ -489,6 +489,61 @@ class MergeWriterSpec extends SparkTestBase {
     assert(TxTable.snapshot(spark, target).get.count() === 40L)
   }
 
+  test("keyed delete: rows drop, emptied partitions tombstone out, diff reports deletes") {
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    def pkey(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    withCheckpointInterval(3) {
+      val target = Files.createTempDirectory("graft_tx_del").toString + "/fact"
+      TxTable.upsert(spark, target,
+        Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240101),
+          (3L, 3.0, 1L, 20240102), (4L, 4.0, 1L, 20240103))
+          .toDF("id", "price", "etl_seq", "date_id"),
+        "id", "etl_seq", "date_id")
+      val before = TxTable.latest(spark, target)._2
+
+      // v2: partial delete in 20240101, FULL delete of 20240102
+      TxTable.delete(spark, target,
+        Seq((2L, 20240101), (3L, 20240102)).toDF("id", "date_id"),
+        "id", "date_id")
+      val (v, after) = TxTable.latest(spark, target)
+      assert(v === 2L)
+      assert(TxTable.snapshot(spark, target).get
+        .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+      // emptied partition's manifest key dropped (tombstone), partial
+      // one rewrote, untouched one kept its leaf byte-for-byte
+      assert(!after.contains(pkey("20240102")))
+      assert(after(pkey("20240101")) !== before(pkey("20240101")))
+      assert(after(pkey("20240103")) === before(pkey("20240103")))
+      // CDC across the delete commit
+      val d = TxTable.diff(spark, target, 1L, 2L, "id")
+        .select("change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(d === Set(("delete", 2L), ("delete", 3L)))
+      // time travel: pre-delete version still shows everything
+      assert(TxTable.snapshotAt(spark, target, 1L).get.count() === 4L)
+
+      // v3 is a CHECKPOINT (interval 3): the tombstone must fold away,
+      // not resurrect — the removed partition stays absent after the
+      // checkpoint rewrites the full map
+      TxTable.upsert(spark, target,
+        Seq((5L, 5.0, 2L, 20240104)).toDF("id", "price", "etl_seq", "date_id"),
+        "id", "etl_seq", "date_id")
+      assert(bodyKind(target, 3L) === "checkpoint")
+      assert(!TxTable.latest(spark, target)._2.contains(pkey("20240102")))
+      assert(TxTable.snapshot(spark, target).get
+        .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L, 5L))
+
+      // deleting absent keys publishes nothing
+      TxTable.delete(spark, target,
+        Seq((99L, 20240199)).toDF("id", "date_id"), "id", "date_id")
+      assert(TxTable.latest(spark, target)._1 === 3L)
+    }
+  }
+
   test("partition-pruned snapshot reads only the requested partitions' leaves") {
     import graft.io.TxTable
     import org.apache.spark.sql.functions.lit
