@@ -27,8 +27,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    namenode. (On a raw local FS this rename is only
   *    check-then-rename, which is why the symlink store is the local
   *    default.)
-  *  - Object stores without atomic rename (S3) need put-if-absent or
-  *    an external coordinator — same trait, not shipped here.
+  *  - [[ExclusiveCreateCommitStore]] (object stores): the slot IS the
+  *    body, landed by one conditional create (S3 If-None-Match PUT,
+  *    GCS/ABFS preconditions) — atomic whole-object, no rename needed.
   */
 trait CommitStore {
 
@@ -54,11 +55,16 @@ object CommitStore {
   private[io] def slotName(version: Long): String = f"v$version%020d"
 
   /** Store selection by path scheme: local paths get the exact symlink
-    * CAS; anything with a non-file scheme (hdfs:, and Hadoop-API
-    * lookalikes with atomic rename) gets the rename store. */
+    * CAS; object stores with conditional-create (S3 If-None-Match via
+    * the s3a committers, GCS/ABFS preconditions) get the
+    * exclusive-create store; anything else with a non-file scheme
+    * (hdfs:, and Hadoop-API lookalikes with atomic rename) gets the
+    * rename store. */
   def forPath(fs: FileSystem, dir: String): CommitStore = {
     val scheme = new Path(dir).toUri.getScheme
     if (scheme == null || scheme == "file") SymlinkCommitStore
+    else if (Set("s3", "s3a", "s3n", "gs", "abfs", "abfss").contains(scheme))
+      new ExclusiveCreateCommitStore(fs)
     else new RenameCommitStore(fs)
   }
 }
@@ -121,7 +127,7 @@ object SymlinkCommitStore extends CommitStore {
   * name. HDFS's namenode makes that rename atomic and exclusive; the
   * body is complete before the slot exists, so readers never see a
   * torn manifest. */
-final class RenameCommitStore(fs: FileSystem) extends CommitStore {
+class RenameCommitStore(fs: FileSystem) extends CommitStore {
 
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = new Path(logDir)
@@ -161,5 +167,39 @@ final class RenameCommitStore(fs: FileSystem) extends CommitStore {
       catch { case _: java.io.IOException => false }
     if (!won) fs.delete(tmp, false)
     won
+  }
+}
+
+/** Object-store form — the put-if-absent third implementation the
+  * trait's scaladoc promises: the version slot IS the body, written in
+  * ONE conditional create (no temp name, no rename — object stores
+  * have no atomic rename to lean on). Correct wherever
+  * create-without-overwrite is atomic and whole-object:
+  * S3 conditional PUT (`If-None-Match: *`, surfaced through the s3a
+  * connector's conditional-create support), GCS `ifGenerationMatch:0`,
+  * ABFS create preconditions. A PUT either lands completely or not at
+  * all, so readers never observe a torn manifest, and the precondition
+  * makes at most one writer win a slot. NOT for raw HDFS or local
+  * paths, where client-side create is check-then-create — those take
+  * [[RenameCommitStore]] / [[SymlinkCommitStore]] (see
+  * [[CommitStore.forPath]]'s scheme dispatch). Reads are inherited —
+  * slots are plain files either way. */
+final class ExclusiveCreateCommitStore(fs: FileSystem)
+    extends RenameCommitStore(fs) {
+
+  override def tryCommit(
+      logDir: String, version: Long, lines: Seq[String]): Boolean = {
+    val log = new Path(logDir)
+    fs.mkdirs(log)
+    val slot = new Path(log, CommitStore.slotName(version))
+    try {
+      val out = fs.create(slot, false) // overwrite=false: the condition
+      try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 }

@@ -544,6 +544,56 @@ class MergeWriterSpec extends SparkTestBase {
     }
   }
 
+  test("delete racing an upsert: both linearize, no resurrection, no lost delete") {
+    // The classic delete anomaly pair, driven through the injected race
+    // seam both ways. First-committer-wins + loser re-merge gives a
+    // serial order equal to COMMIT order:
+    //  (a) upsert loses the CAS to a delete → the upsert re-merges and
+    //      its row lands (it is the LATER write — not a resurrection
+    //      bug, the linearization);
+    //  (b) delete loses the CAS to an upsert of the same key → the
+    //      delete re-runs against the winner's snapshot and the key
+    //      still dies (no lost delete).
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+
+    // (a) upsert in flight, delete commits inside its race window
+    val t1 = Files.createTempDirectory("graft_tx_race_ud").toString + "/fact"
+    TxTable.upsert(spark, t1,
+      Seq((1L, 1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxTable.upsert(spark, t1,
+      Seq((1L, 9.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id",
+      beforeCommit = () =>
+        TxTable.delete(spark, t1,
+          Seq((1L, 20240101)).toDF("id", "date_id"), "id", "date_id"))
+    assert(TxTable.snapshot(spark, t1).get
+      .select("id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 9.0)),
+      "the re-merged upsert (the later committer) must win")
+    assert(TxTable.latest(spark, t1)._1 === 3L)
+
+    // (b) delete in flight, upsert commits inside its race window
+    val t2 = Files.createTempDirectory("graft_tx_race_du").toString + "/fact"
+    TxTable.upsert(spark, t2,
+      Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240101))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxTable.delete(spark, t2,
+      Seq((1L, 20240101)).toDF("id", "date_id"), "id", "date_id",
+      beforeCommit = () =>
+        TxTable.upsert(spark, t2,
+          Seq((1L, 5.0, 2L, 20240101), (3L, 3.0, 2L, 20240101))
+            .toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id"))
+    assert(TxTable.snapshot(spark, t2).get
+      .select("id").collect().map(_.getLong(0)).toSet === Set(2L, 3L),
+      "the re-run delete must still kill the key AND keep the winner's other insert")
+    assert(TxTable.latest(spark, t2)._1 === 3L)
+  }
+
   test("partition-pruned snapshot reads only the requested partitions' leaves") {
     import graft.io.TxTable
     import org.apache.spark.sql.functions.lit
@@ -567,6 +617,33 @@ class MergeWriterSpec extends SparkTestBase {
     // no matching partition: empty frame, snapshot schema
     val none = TxTable.snapshotPartitions(spark, target, Seq(lit(19990101))).get
     assert(none.count() === 0L && none.columns.contains("price"))
+  }
+
+  test("ExclusiveCreateCommitStore: conditional create is the whole protocol") {
+    // The object-store primitive (S3 If-None-Match PUT shape): slot IS
+    // the body, one conditional create. Protocol logic — exclusivity,
+    // full-content publish, latest() across versions — exercised
+    // through the Hadoop local FS; the atomicity of create itself is
+    // the object store's contract (which is why forPath only selects
+    // this store for s3/gs/abfs schemes).
+    import graft.io.{CommitStore, ExclusiveCreateCommitStore}
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val store = new ExclusiveCreateCommitStore(fs)
+    val log = Files.createTempDirectory("graft_putif_store").toString + "/_graft_log"
+
+    assert(store.latest(log) === ((0L, Nil)))
+    assert(store.tryCommit(log, 1L, Seq("a\tdata/x-0")))
+    assert(store.latest(log) === ((1L, Seq("a\tdata/x-0"))))
+    // the slot is taken: a concurrent commit of the SAME version loses
+    assert(!store.tryCommit(log, 1L, Seq("a\tdata/y-0")))
+    assert(store.latest(log) === ((1L, Seq("a\tdata/x-0"))))
+    assert(store.tryCommit(log, 2L, Seq("a\tdata/y-0", "b\tdata/y-1")))
+    assert(store.latest(log) === ((2L, Seq("a\tdata/y-0", "b\tdata/y-1"))))
+    assert(store.at(log, 1L) === Some(Seq("a\tdata/x-0")))
+    // scheme dispatch picks it for object-store paths
+    assert(CommitStore.forPath(fs, "s3a://bucket/table/_graft_log")
+      .isInstanceOf[ExclusiveCreateCommitStore])
   }
 
   test("interleaved LEGACY writers on one partition are last-writer-wins: the lost update is real") {

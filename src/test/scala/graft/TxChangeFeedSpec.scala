@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.io.TxTable
 import graft.streaming.TxChangeFeed
+import org.apache.spark.sql.functions._
 
 /** The change-feed contract t20's oracle can't see: cursor semantics
   * (resume from a persisted version, no replays, no gaps), the replica
@@ -63,6 +64,91 @@ class TxChangeFeedSpec extends SparkTestBase {
     assert(c2 === 3L)
     assert(state(replica2) === state(TxTable.snapshot(spark, target).get))
     assert(state(replica2) === Set((1L, 9.0), (2L, 2.5), (3L, 3.0)))
+  }
+
+  test("a cursor vacuumed out of retention fails loudly; the tip still drains") {
+    // The contract every log-tailing CDC source documents: resuming
+    // from below the oldest retained version is an error (re-bootstrap
+    // from a snapshot), never a silent gap.
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))
+    TxTable.vacuum(spark, target) // retain 1: checkpoint-on-demand → v4
+    val tip = TxTable.latestVersion(spark, target)
+    assert(tip === 4L)
+    // cursor=tip: caught up, empty drain — fine
+    assert(TxChangeFeed.drain(spark, target, "id", fromVersion = tip).isEmpty)
+    // cursor below retention: diff needs a vacuumed version → throws
+    intercept[IllegalArgumentException] {
+      TxChangeFeed.drain(spark, target, "id", fromVersion = 1L)
+        .foreach(_._2.count())
+    }
+  }
+
+  test("the feed carries deletes and replicate applies them") {
+    val s = spark
+    import s.implicits._
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240101)))
+    TxTable.delete(spark, target,
+      Seq((1L, 20240101)).toDF("id", "date_id"), "id", "date_id")
+    val batches = TxChangeFeed.drain(spark, target, "id")
+    val del = batches(1)._2.select("change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(del === Set(("delete", 1L)))
+    val (_, replica) = TxChangeFeed.replicate(spark, target, "id")
+    assert(state(replica) === Set((2L, 2.0)))
+    assert(state(replica) === state(TxTable.snapshot(spark, target).get))
+  }
+
+  test("the full streaming CDC loop: TxStreamSink in, change feed out") {
+    // events stream in through the transactional sink (one micro-batch
+    // = one commit), a batch revision lands on top, and the feed
+    // replicates everything downstream: replica ≡ snapshot ≡ the batch
+    // recompute over the raw inputs. This is the loop the two halves
+    // exist for — upserts enter through streaming, changes leave as
+    // CDC, and nothing depends on which side produced a commit.
+    val s = spark
+    import s.implicits._
+    val dir = sfSmoke
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val target = freshTable()
+    val ticks = s.readStream.schema(raw.schema)
+      .option("basePath", dir).parquet(s"$dir/events*.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val q = graft.streaming.TxStreamSink
+      .sink(ticks, target, key = "event_id", version = "user_id",
+        partitionCol = "event_type")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cf_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val v1 = TxTable.latestVersion(spark, target)
+    assert(v1 >= 1L)
+
+    // a batch writer revises half the rows on top of the stream's work
+    TxTable.upsert(spark, target,
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") * 2).as("value")),
+      "event_id", "user_id", "event_type")
+
+    val (cursor, replica) = TxChangeFeed.replicate(spark, target, "event_id")
+    assert(cursor === TxTable.latestVersion(spark, target))
+    val got = replica.select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0, col("value") * 2)
+          .otherwise(col("value")).as("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === want)
+    assert(got === TxTable.snapshot(spark, target).get
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap)
   }
 
   test("follow delivers commits that land while tailing, in order") {
