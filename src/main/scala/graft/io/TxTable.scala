@@ -124,10 +124,35 @@ object TxTable {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def parse(lines: Seq[String]): Map[String, String] =
+  /** One manifest entry: the data leaf holding the partition's current
+    * rows, plus (when known) the partition VALUE it stands for — the
+    * value's engine-computed string cast, hex-armored for TSV safety
+    * (`N` = SQL NULL, `V<hex>` otherwise). The value is what makes
+    * PREDICATE pruning possible ([[snapshotWhere]]): md5 keys alone can
+    * only serve exact value lists, the Delta/Iceberg lesson being that
+    * the manifest must carry values to prune ranges. Entries written
+    * before this field exists (`vhex = None`) are read conservatively
+    * by predicate pruning. */
+  private case class Entry(leaf: String, vhex: Option[String])
+
+  private def vhexOf(engineString: String): String =
+    if (engineString == null) "N"
+    else "V" + engineString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+
+  private def vdecode(f: String): String =
+    if (f == "N") null
+    else new String(f.drop(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def parse(lines: Seq[String]): Map[String, Entry] =
     lines.filterNot(_.startsWith(Header + "\t")).map { line =>
-      val Array(k, d) = line.split('\t')
-      k -> d
+      line.split('\t') match {
+        case Array(k, d) => k -> Entry(d, None)
+        case Array(k, d, v) => k -> Entry(d, Some(v))
+        case other => throw new IllegalStateException(
+          s"corrupt manifest line: ${other.mkString("|")}")
+      }
     }.toMap
 
   /** (kind, entry lines) of a manifest body. Headerless bodies are the
@@ -136,14 +161,16 @@ object TxTable {
     lines.headOption.filter(_.startsWith(Header + "\t"))
       .map(_.split('\t')(1)).getOrElse("checkpoint")
 
-  private def render(kind: String, entries: Map[String, String]): Seq[String] =
-    s"$Header\t$kind" +: entries.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
+  private def render(kind: String, entries: Map[String, Entry]): Seq[String] =
+    s"$Header\t$kind" +: entries.toSeq.sortBy(_._1).map { case (k, e) =>
+      s"$k\t${e.leaf}" + e.vhex.fold("")(v => s"\t$v")
+    }
 
   /** Fold one delta over a base map: remapped keys overwrite,
     * tombstoned keys drop. */
   private def applyDelta(
-      base: Map[String, String], delta: Map[String, String]): Map[String, String] = {
-    val (dead, live) = delta.partition(_._2 == Tombstone)
+      base: Map[String, Entry], delta: Map[String, Entry]): Map[String, Entry] = {
+    val (dead, live) = delta.partition(_._2.leaf == Tombstone)
     base ++ live -- dead.keys
   }
 
@@ -151,7 +178,7 @@ object TxTable {
     * checkpoint (≤ interval bodies). None if any body on the chain was
     * vacuumed or the version was never committed; Some(empty) at 0. */
   private def resolveAt(
-      store: CommitStore, log: String, version: Long): Option[Map[String, String]] = {
+      store: CommitStore, log: String, version: Long): Option[Map[String, Entry]] = {
     if (version <= 0) return Some(Map.empty)
     var deltas = List.empty[Seq[String]] // ascending version order
     var cur = version
@@ -176,9 +203,7 @@ object TxTable {
     CommitStore.forPath(fsOf(spark, dir), log).latest(log)._1
   }
 
-  /** Latest committed (version, full partition → data dir map).
-    * (0, empty) on a fresh table. */
-  def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {
+  private def latestEntries(spark: SparkSession, dir: String): (Long, Map[String, Entry]) = {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
     val (v, _) = store.latest(log)
@@ -186,12 +211,19 @@ object TxTable {
       s"manifest chain for version $v is broken (concurrent unsafe vacuum?)")))
   }
 
+  /** Latest committed (version, full partition → data dir map).
+    * (0, empty) on a fresh table. */
+  def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {
+    val (v, entries) = latestEntries(spark, dir)
+    (v, entries.map { case (k, e) => k -> e.leaf })
+  }
+
   // ---- reads ---------------------------------------------------------
 
   /** The table's current committed state as one consistent snapshot
     * (empty option on a never-committed table). */
   def snapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val (_, entries) = latest(spark, dir)
+    val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) None
     else Some(read(spark, dir, entries))
   }
@@ -207,12 +239,43 @@ object TxTable {
     * snapshot's schema when no requested partition exists. */
   def snapshotPartitions(
       spark: SparkSession, dir: String, values: Seq[Column]): Option[DataFrame] = {
-    val (_, entries) = latest(spark, dir)
+    val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
     val keys = spark.range(1)
       .select(explode(array(values.map(keyExpr): _*)).as("k"))
       .collect().map(_.getString(0)).toSet
     val hit = entries.filter { case (k, _) => keys(k) }
+    if (hit.nonEmpty) Some(read(spark, dir, hit))
+    else Some(read(spark, dir, Map(entries.head)).limit(0))
+  }
+
+  /** PREDICATE-pruned snapshot — the range-read the exact-value form
+    * above can't serve when the value set isn't enumerable (date
+    * ranges, string prefixes): `pred` is evaluated ENGINE-side over a
+    * tiny manifest-sized frame of the stored partition values (one
+    * string column named `partitionCol` — Spark's implicit casts make
+    * numeric/date comparisons against it behave), and only matching
+    * partitions' leaves are read. This is why manifest entries carry
+    * the value at all — the Delta/Iceberg lesson that md5 keys alone
+    * cannot prune a range. Entries predating the value field are read
+    * UNCONDITIONALLY (conservative — correctness over pruning); they
+    * upgrade as commits touch them. None on a never-committed table. */
+  def snapshotWhere(
+      spark: SparkSession, dir: String, partitionCol: String,
+      pred: Column): Option[DataFrame] = {
+    val (_, entries) = latestEntries(spark, dir)
+    if (entries.isEmpty) return None
+    val (known, unknown) = entries.partition(_._2.vhex.isDefined)
+    val hitKeys: Set[String] =
+      if (known.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        known.toSeq.map { case (k, e) => (k, vdecode(e.vhex.get)) }
+          .toDF("__k", partitionCol)
+          .filter(pred)
+          .select("__k").collect().map(_.getString(0)).toSet
+      }
+    val hit = entries.filter { case (k, e) => hitKeys(k) || e.vhex.isEmpty }
     if (hit.nonEmpty) Some(read(spark, dir, hit))
     else Some(read(spark, dir, Map(entries.head)).limit(0))
   }
@@ -231,9 +294,9 @@ object TxTable {
   // mergeSchema: leaves written before a schema-widening commit lack
   // the new columns; the merged read nulls them (S10 across versions)
   private def read(
-      spark: SparkSession, dir: String, entries: Map[String, String]): DataFrame =
+      spark: SparkSession, dir: String, entries: Map[String, Entry]): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(entries.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+      .parquet(entries.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
 
   /** Null-pad each frame with the columns only the other one has (type
     * taken from the owning side) — the cross-version face of
@@ -271,6 +334,7 @@ object TxTable {
     def entriesOf(v: Long): Map[String, String] =
       resolveAt(store, log, v).getOrElse(
         throw new IllegalArgumentException(s"version $v not readable"))
+        .map { case (k, e) => k -> e.leaf }
     val aE = entriesOf(fromVersion)
     val bE = entriesOf(toVersion)
     val changedKeys = (aE.keySet ++ bE.keySet).filter(k => aE.get(k) != bE.get(k))
@@ -394,7 +458,7 @@ object TxTable {
       val hit = touchedKeys.filter(entries.contains)
       if (hit.isEmpty) return
       val existing = spark.read.option("mergeSchema", "true")
-        .parquet(hit.flatMap(entries.get).distinct.sorted
+        .parquet(hit.flatMap(entries.get).map(_.leaf).distinct.sorted
           .map(d => s"$targetDir/$d"): _*)
         .withColumn(PKey, keyExpr(col(partitionCol)))
         .filter(col(PKey).isInCollection(hit))
@@ -407,11 +471,16 @@ object TxTable {
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
-        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          // the surviving partition's value rides over from its entry
+          k -> Entry(s"$stageRel/$leaf", entries(k).vhex)
+        }
       // a touched partition with no surviving rows writes no leaf —
       // its manifest entry must DROP, not linger pointing at old data
       val staged = stagedLeaves.toMap ++
-        hit.filterNot(stagedLeaves.map(_._1).toSet).map(_ -> Tombstone)
+        hit.filterNot(stagedLeaves.map(_._1).toSet)
+          .map(_ -> Entry(Tombstone, None))
       if (attempt == 1) beforeCommit()
       if (tryPublish(spark, store, log, v, entries, staged)) return
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
@@ -431,8 +500,14 @@ object TxTable {
     // stable across retries: the batch itself never changes
     val batch = incoming.withColumn(PKey, keyExpr(col(partitionCol)))
       .localCheckpoint(true)
-    val touchedKeys = batch.select(PKey).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+    // one collect serves both the touched-key list and the key→value
+    // map the manifest entries carry (the value string is the ENGINE's
+    // cast, not a driver toString)
+    val touched = batch
+      .select(col(PKey), col(partitionCol).cast("string").as("__v"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> vhexOf(r.getString(1))).toMap
+    val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return // empty batch: a no-op, not a failure
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
@@ -448,7 +523,7 @@ object TxTable {
       val (v, _) = store.latest(log)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
-      val existingDirs = touchedKeys.flatMap(entries.get).distinct
+      val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
       val merged0 =
         if (existingDirs.isEmpty) batch
         else {
@@ -491,11 +566,14 @@ object TxTable {
       }.partitionBy(PKey).parquet(s"$targetDir/$stageRel")
       // the written leaves ARE the staged manifest entries (key = leaf
       // name minus the column prefix; hive escaping is the identity on
-      // the hex/NULL key alphabet)
+      // the hex/NULL key alphabet); each carries its partition value
       val staged = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
-        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          k -> Entry(s"$stageRel/$leaf", touched.get(k))
+        }
 
       if (attempt == 1) beforeCommit()
 
@@ -516,8 +594,8 @@ object TxTable {
     * trivially full). */
   private def tryPublish(
       spark: SparkSession, store: CommitStore, log: String,
-      v: Long, baseEntries: Map[String, String],
-      staged: Map[String, String]): Boolean = {
+      v: Long, baseEntries: Map[String, Entry],
+      staged: Map[String, Entry]): Boolean = {
     val next = v + 1
     val body =
       if (next == 1 || next % checkpointInterval(spark) == 0)
@@ -575,15 +653,15 @@ object TxTable {
       if (v == 0) return
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
-      val needy = entries.filter { case (_, leaf) =>
-        needsFold(fs.listStatus(new Path(s"$dir/$leaf")).toSeq
+      val needy = entries.filter { case (_, e) =>
+        needsFold(fs.listStatus(new Path(s"$dir/${e.leaf}")).toSeq
           .filter(_.getPath.getName.endsWith(".parquet")))
       }
       if (needy.isEmpty) return
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
       spark.read.option("mergeSchema", "true")
-        .parquet(needy.values.toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .parquet(needy.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
         .withColumn(PKey, keyExpr(col(partitionCol)))
         .repartition(needy.size, col(PKey))
         .write.mode("error").partitionBy(PKey)
@@ -591,7 +669,11 @@ object TxTable {
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
-        .map(leaf => leaf.stripPrefix(PKey + "=") -> s"$stageRel/$leaf")
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          // rows-preserving rewrite: the partition value rides over
+          k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
+        }
       if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }
@@ -657,7 +739,8 @@ object TxTable {
       }
     }
     val live: Set[String] = (keepFrom to tip)
-      .flatMap(w => resolveAt(store, log, w).map(_.values).getOrElse(Nil)).toSet
+      .flatMap(w => resolveAt(store, log, w)
+        .map(_.values.map(_.leaf)).getOrElse(Nil)).toSet
 
     val cutoff = System.currentTimeMillis() - graceMs
     val data = new Path(s"$dir/$DataDir")

@@ -646,6 +646,52 @@ class MergeWriterSpec extends SparkTestBase {
       .isInstanceOf[ExclusiveCreateCommitStore])
   }
 
+  test("snapshotWhere: predicate pruning over manifest-stored partition values") {
+    import graft.io.TxTable
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_where").toString + "/fact"
+    TxTable.upsert(spark, target,
+      Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240105),
+        (3L, 3.0, 1L, 20240110), (4L, 4.0, 1L, 20240120))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    def pkey(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val leaves = TxTable.latest(spark, target)._2
+
+    // a RANGE predicate — the read the exact-value API cannot serve
+    val ranged = TxTable.snapshotWhere(spark, target, "date_id",
+      col("date_id").between(20240102, 20240115)).get
+    assert(ranged.select("id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // physically pruned: no file outside the two matching leaves
+    val wanted = Set(leaves(pkey("20240105")), leaves(pkey("20240110")))
+    assert(ranged.inputFiles.nonEmpty &&
+      ranged.inputFiles.forall(f => wanted.exists(f.contains)),
+      "snapshotWhere read a leaf outside the predicate")
+
+    // entries WITHOUT a stored value (the pre-value manifest format)
+    // are read conservatively: strip the value field from the live
+    // manifest body and re-point the slot at the legacy spelling
+    val log = Paths.get(target, "_graft_log")
+    val slot = log.resolve(f"v${1L}%020d")
+    val body = slot.resolveSibling(Files.readSymbolicLink(slot))
+    val legacy = Files.readAllLines(body).asScala.map { line =>
+      line.split('\t') match {
+        case Array(k, d, _) => s"$k\t$d"
+        case _ => line
+      }
+    }
+    Files.write(body, legacy.asJava)
+    val conservative = TxTable.snapshotWhere(spark, target, "date_id",
+      col("date_id") === 20240101).get
+    assert(conservative.filter($"date_id" === 20240101).count() === 1L)
+    assert(conservative.count() === 4L,
+      "value-less legacy entries must be read conservatively, not skipped")
+  }
+
   test("interleaved LEGACY writers on one partition are last-writer-wins: the lost update is real") {
     // The fast path's single-writer contract, demonstrated rather than
     // implied: writer A reads the table, writer B commits a full upsert,
