@@ -423,6 +423,87 @@ object TxTable {
       maxRetries, beforeCommit, "replaceWindow")(
       (existing, batch) => existing.filter(!windowPred).unionByName(batch))
 
+  /** Transactional CDC APPLY — a change log (key, op ∈ I/U/D, seq,
+    * payload…) lands as ONE commit: upserts and deletes together,
+    * atomically, which two separate upsert+delete commits cannot give a
+    * reader. This is what makes a TxTable a change-feed SINK — a mirror
+    * maintained by [[graft.streaming.TxChangeFeed.mirror]] applies each
+    * source commit's diff with this and is bit-equal to the source
+    * snapshot after every batch. Merge semantics are
+    * [[Merge.applyCdc]]'s (latest change per key by seq wins, I/U
+    * upsert, D drops); `changes` must carry the row's `partitionCol`
+    * (the key→partition stability contract), and a partition whose
+    * every row is deleted tombstones out like [[delete]]. O(touched)
+    * like every commit; empty logs are a no-op. */
+  def applyCdc(
+      spark: SparkSession, targetDir: String, changes: DataFrame,
+      key: String, opCol: String, seqCol: String, partitionCol: String,
+      maxRetries: Int = 10, beforeCommit: () => Unit = () => ()): Unit = {
+    val batch = changes.withColumn(PKey, keyExpr(col(partitionCol)))
+      .localCheckpoint(true)
+    val touched = batch
+      .select(col(PKey), col(partitionCol).cast("string").as("__v"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> vhexOf(r.getString(1))).toMap
+    val touchedKeys = touched.keys.toIndexedSeq
+    if (touchedKeys.isEmpty) return
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
+      // unlike upsert, an absent partition does NOT mean "write the
+      // batch": D-rows must never land as data, so the merge always
+      // runs — against an empty target of the batch's payload shape
+      // when the partition is new
+      val existing0 =
+        if (existingDirs.nonEmpty)
+          spark.read.option("mergeSchema", "true")
+            .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
+            .withColumn(PKey, keyExpr(col(partitionCol)))
+            .filter(col(PKey).isInCollection(touchedKeys))
+        else batch.drop(opCol, seqCol).limit(0)
+      // evolution alignment, but op/seq must never leak into the
+      // TARGET's payload shape (applyCdc derives payload from target
+      // columns): widen existing by the batch's PAYLOAD only, widen
+      // the batch by whatever old columns it lacks
+      val (e2, _) = alignSchemas(existing0, batch.drop(opCol, seqCol))
+      val (b2, _) = alignSchemas(batch, existing0)
+      val merged = Merge.applyCdc(e2, b2, key, opCol, seqCol)
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      merged.write.mode("error").partitionBy(PKey)
+        .parquet(s"$targetDir/$stageRel")
+      val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          k -> Entry(s"$stageRel/$leaf", touched.get(k))
+        }
+      // an all-deletes partition stages nothing: tombstone it if it
+      // exists, skip it if it never did
+      val staged = stagedLeaves.toMap ++
+        touchedKeys.filterNot(stagedLeaves.map(_._1).toSet)
+          .filter(entries.contains)
+          .map(_ -> Entry(Tombstone, None))
+      if (staged.isEmpty) { // nothing landed and nothing to remove
+        fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+        return
+      }
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries, staged)) return
+      fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.applyCdc lost the commit race $maxRetries times on $targetDir")
+  }
+
   /** Keyed DELETE — the third DML verb, completing the
     * insert/update/delete triad the CDC readout ([[diff]]) reports:
     * every row whose `key` appears in `keys` is dropped. `keys` must

@@ -66,6 +66,35 @@ object TxChangeFeed {
     cursor
   }
 
+  /** TABLE-TO-TABLE replication — the capstone the pieces compose to:
+    * every source commit past the cursor is applied to a mirror
+    * TxTable as ONE transactional commit ([[TxTable.applyCdc]] —
+    * upserts and deletes land atomically), so after each batch the
+    * mirror's snapshot is row-equal to the source's at that version
+    * and mirror readers enjoy the same can't-tear guarantees as source
+    * readers. The mirror lags by exactly (source tip − cursor)
+    * commits; re-running from a persisted cursor resumes without
+    * replays, and replaying a batch anyway is idempotent through the
+    * keyed apply. Returns the new cursor.
+    *
+    * @param partitionCol the MIRROR's partition column — must appear in
+    *   the source's payload (same column, typically) */
+  def mirror(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      key: String, partitionCol: String, fromVersion: Long = 0L): Long = {
+    var cursor = fromVersion
+    drain(spark, srcDir, key, fromVersion).foreach { case (v, d) =>
+      TxTable.applyCdc(spark, dstDir,
+        d.withColumn("_op",
+            when(col("change_type") === "delete", "D").otherwise("U"))
+          .withColumn("_seq", lit(v))
+          .drop("change_type"),
+        key, "_op", "_seq", partitionCol)
+      cursor = v
+    }
+    cursor
+  }
+
   /** The CDC loop closed in one call: fold the feed into a replica via
     * [[Merge.applyCdc]] (insert/update upsert, delete drops the key) —
     * the downstream "current state by key" table a change consumer

@@ -151,6 +151,46 @@ class TxChangeFeedSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1))).toMap)
   }
 
+  test("mirror: table-to-table replication is snapshot-equal after every resume") {
+    val s = spark
+    import s.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    // source history: bootstrap, revision, a delete that EMPTIES one
+    // partition (tombstone must replicate), and an insert
+    commit(src, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(src, Seq((1L, 1.5, 2L, 20240101)))
+    val c1 = TxChangeFeed.mirror(spark, src, dst, "id", "date_id")
+    assert(c1 === 2L)
+    assert(state(TxTable.snapshot(spark, dst).get)
+      === state(TxTable.snapshot(spark, src).get))
+
+    TxTable.delete(spark, src,
+      Seq((2L, 20240102)).toDF("id", "date_id"), "id", "date_id")
+    commit(src, Seq((3L, 3.0, 3L, 20240103)))
+    // resume from the persisted cursor: only the two new commits apply
+    val c2 = TxChangeFeed.mirror(spark, src, dst, "id", "date_id",
+      fromVersion = c1)
+    assert(c2 === 4L)
+    assert(state(TxTable.snapshot(spark, dst).get) === Set((1L, 1.5), (3L, 3.0)))
+    assert(state(TxTable.snapshot(spark, dst).get)
+      === state(TxTable.snapshot(spark, src).get))
+    // the emptied partition's manifest key is gone on the MIRROR too
+    def pkey(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(!TxTable.latest(spark, dst)._2.contains(pkey("20240102")))
+    // replaying the last batch is idempotent through the keyed apply
+    TxTable.applyCdc(spark, dst,
+      TxTable.diff(spark, src, 3L, 4L, "id")
+        .withColumn("_op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("_seq", org.apache.spark.sql.functions.lit(4L))
+        .drop("change_type"),
+      "id", "_op", "_seq", "date_id")
+    assert(state(TxTable.snapshot(spark, dst).get)
+      === state(TxTable.snapshot(spark, src).get))
+  }
+
   test("follow delivers commits that land while tailing, in order") {
     val target = freshTable()
     commit(target, Seq((1L, 1.0, 1L, 20240101)))
