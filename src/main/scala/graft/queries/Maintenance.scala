@@ -152,6 +152,95 @@ object Maintenance {
         |WHERE event_id NOT IN (SELECT event_id FROM b2)
         |ORDER BY event_id""".stripMargin),
 
+    // PREDICATE-pruned transactional snapshot under the oracle gate:
+    // events land in a TxTable partitioned by DAY (31 partitions, one
+    // partitionBy staging job), then a date-RANGE read comes back
+    // through snapshotWhere — the manifest's stored partition values
+    // are filtered engine-side and only the ~10 matching day leaves
+    // are opened, never the table (the pruning the md5-key-only
+    // manifest could not serve). The oracle restates the range over
+    // the raw events. Decimal sums; temp dirs deleted on materialize.
+    "x_tx_where" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txw").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+        graft.io.TxTable.upsert(s, tbl, ev,
+          key = "event_id", version = "event_id", partitionCol = "day")
+        val out = graft.io.TxTable.snapshotWhere(s, tbl, "day",
+            col("day") >= "2024-01-10" && col("day") < "2024-01-20").get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+        |  AND strftime(ts, '%Y-%m-%d') <  '2024-01-20'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // Table-to-table CDC replication under the oracle gate: a source
+    // TxTable takes a bootstrap upsert then a keyed DELETE; the change
+    // feed mirrors both commits onto a SECOND TxTable, each as one
+    // atomic applyCdc commit (upserts and deletes together — the
+    // tombstoned partition replicates too); the aggregate reads the
+    // MIRROR's snapshot. The oracle is the recompute of the source's
+    // final state — mirror ≡ source proven on values through the
+    // driver's hash gate, not just the spec suite.
+    "x_tx_mirror" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txm").toString
+        val src = s"$base/src"
+        val dst = s"$base/dst"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val d20 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val d05 = lit("2024-01-05 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, src, ev.filter(col("ts") < d20),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.delete(s, src,
+          ev.filter(col("event_type") === "click" && col("ts") < d05)
+            .select(col("event_id"), col("event_type")),
+          "event_id", "event_type")
+        graft.streaming.TxChangeFeed.mirror(s, src, dst,
+          "event_id", "event_type")
+        val out = graft.io.TxTable.snapshot(s, dst).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
     // Version-to-version CDC over the transactional table — the
     // `table_changes` readout: the same bootstrap + revision commits as
     // x_tx_upsert, then TxTable.diff(v1 → v2) keyed by event_id. The
