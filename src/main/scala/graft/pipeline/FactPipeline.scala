@@ -61,6 +61,15 @@ object FactPipeline {
     *                     per-file sort order coarsens to per-run runs;
     *                     zone-map-critical tables should recluster with
     *                     SortedWriter in their maintenance window
+    * @param vacuumRetainVersions transactional mode only: after the
+    *                     hour lands, run TxTable.vacuum on both tables
+    *                     keeping this many versions readable — the
+    *                     steady-state retention maintenance an hourly
+    *                     cadence needs (24 commits/day/table would
+    *                     otherwise accumulate forever). The one-hour
+    *                     grace period leaves any concurrent writer's
+    *                     staging alone; readers of retained versions
+    *                     are safe by construction
     * @param transactional run both tables as TxTables (io/TxTable):
     *                     every write is a CAS-committed manifest
     *                     version, so a concurrent backfill or a second
@@ -80,7 +89,8 @@ object FactPipeline {
       onFailure: Throwable => Unit = _ => (),
       layout: Layout = Layout.none,
       compactTargetBytes: Option[Long] = None,
-      transactional: Boolean = false): Try[HourRun] = {
+      transactional: Boolean = false,
+      vacuumRetainVersions: Option[Int] = None): Try[HourRun] = {
     val result = Try {
       // extract + normalize + key derivation (S1: P1/P2/P3), the closed
       // hour only — on a date-partitioned lake the predicate prunes to
@@ -151,8 +161,16 @@ object FactPipeline {
       val gridMinutes = window.select(col("rounded_time_id")).distinct().count()
       Validation.completenessGate(window, expectedMinutes = gridMinutes)
       Validation.nullPriceGate(window)
+      val run = HourRun(dateId, hour, extracted, window.count(), gridMinutes)
 
-      HourRun(dateId, hour, extracted, window.count(), gridMinutes)
+      // retention maintenance AFTER the gates: a failed hour never
+      // triggers reclamation of the state it might need to re-read
+      if (transactional) vacuumRetainVersions.foreach { n =>
+        val grace = 3600L * 1000
+        TxTable.vacuum(spark, factDir, retainVersions = n, graceMs = grace)
+        TxTable.vacuum(spark, interpDir, retainVersions = n, graceMs = grace)
+      }
+      run
     }
     result match {
       case Success(r) => onSuccess(r)

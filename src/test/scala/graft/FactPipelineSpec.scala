@@ -126,6 +126,21 @@ class FactPipelineSpec extends SparkTestBase {
     assert(TxTable.latest(spark, s"$wh/fact_gold_price_interpolated")._1 === vInterp)
   }
 
+  test("transactional mode: the vacuum hook reclaims history past retention") {
+    import graft.io.TxTable
+    val wh = Files.createTempDirectory("graft_pipeline_vac").toString
+    FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 1L, transactional = true).get
+    FactPipeline.runHour(spark, goodEvents, wh, D, hour = 10,
+      runVersion = 2L, transactional = true,
+      vacuumRetainVersions = Some(1)).get
+    val fact = s"$wh/fact_gold_price"
+    // retain-1 destroyed run 1's history (checkpoint-on-demand tip),
+    // the data itself is intact
+    assert(TxTable.snapshotAt(spark, fact, 1L).isEmpty)
+    assert(TxTable.snapshot(spark, fact).get.count() === 5L)
+  }
+
   test("late data retracts stale interpolated rows; same-second ticks both survive") {
     val wh = Files.createTempDirectory("graft_pipeline_late").toString
     // run 1: ticks only at wall minutes 10:00 and 10:05 → 10:01–10:04
