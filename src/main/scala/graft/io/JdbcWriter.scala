@@ -30,7 +30,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   *    [[graft.ops.Merge.upsertLatestWins]] output shape); duplicate
   *    keys within one batch would race their own updates.
   *  - the target table must exist (the reference manages DDL
-  *    separately too); this writer owns rows, not schema.
+  *    separately too); this writer owns rows, not schema — and the
+  *    conflict column needs a UNIQUE INDEX, exactly as Postgres
+  *    `ON CONFLICT (id)` demands one: without it every batched UPDATE
+  *    is a full table scan (measured 75 s vs 3 s on a 17k-row Derby
+  *    table in the x_jdbc_roundtrip carrier).
   *  - single-writer per key, like the reference's hourly task. For
   *    concurrent writers on one key range, front the table with
   *    [[TxTable]] and export downstream of it.

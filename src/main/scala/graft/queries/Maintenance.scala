@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import graft.Tables
 import graft.ops.Incremental
 import org.apache.spark.sql.functions._
@@ -17,7 +19,80 @@ object Maintenance {
     * merge algebra end-to-end. */
   private val Cutoff = "2024-01-21 00:00:00"
 
+  /** In-memory Derby DB names must be unique per invocation (Bench runs
+    * each query several times; a fixed name would collide with — or
+    * silently reuse — the previous invocation's state). */
+  private val jdbcSeq = new AtomicInteger(0)
+
   val all: Map[String, Q] = Map(
+
+    // The JDBC seam round-tripped under the oracle gate: a bootstrap
+    // slice lands in an embedded Derby warehouse through Spark's JDBC
+    // writer (which owns the DDL), a revision batch upserts on top
+    // through io/JdbcWriter (batched UPDATE-then-INSERT — the
+    // set-based form of the reference's per-row ON CONFLICT loop,
+    // fact_gold_price.py:169-196), and the final state reads back
+    // through io/JdbcSource into a decimal aggregate the DuckDB oracle
+    // recomputes from the raw batch algebra. Values cross
+    // Spark→JDBC→Spark bit-exactly (doubles round-trip; ×2 is an
+    // exponent bump). The in-memory database is dropped once the
+    // result materializes (the t16 temp-state discipline — a bench run
+    // is 10+ invocations). Scale posture: the JDBC seam is for
+    // warehouse-sided exports, so the query ships a bounded slice, not
+    // the table.
+    "x_jdbc_roundtrip" -> Q(
+      (s, dir) => {
+        val db = s"graft_rt_${jdbcSeq.incrementAndGet()}"
+        val url = s"jdbc:derby:memory:$db;create=true"
+        val d4 = lit("2024-01-04 00:00:00").cast("timestamp")
+        val d6 = lit("2024-01-06 00:00:00").cast("timestamp")
+        val d8 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        ev.filter(col("ts") < d6).drop("ts")
+          .write.format("jdbc")
+          .option("url", url).option("dbtable", "events_rt")
+          .mode("overwrite").save()
+        // the conflict column needs a unique index, exactly as the
+        // reference's ON CONFLICT target does — without it every
+        // batched UPDATE is a full table scan (measured 75 s vs 3 s
+        // for this slice)
+        val ddl = java.sql.DriverManager.getConnection(url)
+        try ddl.createStatement().execute(
+          """CREATE UNIQUE INDEX events_rt_pk ON events_rt ("event_id")""")
+        finally ddl.close()
+        graft.io.JdbcWriter.upsert(
+          ev.filter(col("ts") >= d4 && col("ts") < d8)
+            .select(col("event_id"), col("event_type"),
+              (col("value") * 2).as("value")),
+          url, "events_rt", "event_id")
+        val out = graft.io.JdbcSource.read(s, url, "events_rt")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        try java.sql.DriverManager
+          .getConnection(s"jdbc:derby:memory:$db;drop=true")
+        catch { case _: java.sql.SQLException => () } // 08006 = dropped
+        out
+      },
+      """WITH b AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-06 00:00:00'),
+        |r AS (
+        |  SELECT event_id, event_type, value * 2 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-08 00:00:00'),
+        |fin AS (
+        |  SELECT * FROM r
+        |  UNION ALL
+        |  SELECT * FROM b WHERE event_id NOT IN (SELECT event_id FROM r))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM fin
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
 
     // Incremental rollup maintenance — per (day, event_type) stats kept
     // as mergeable components: state(history) ⊎ state(delta) is proven
