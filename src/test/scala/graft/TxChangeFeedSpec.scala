@@ -191,6 +191,29 @@ class TxChangeFeedSpec extends SparkTestBase {
       === state(TxTable.snapshot(spark, src).get))
   }
 
+  test("schema evolution rides the whole loop: a widened source mirrors correctly") {
+    // v2 widens the source schema; the diff aligns its sides, applyCdc
+    // aligns the mirror, and the mirrored snapshot matches the source
+    // including the nulls on pre-evolution rows.
+    val s = spark
+    import s.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    commit(src, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    TxTable.upsert(spark, src,
+      Seq((1L, 1.5, 2L, 20240101, "revised"))
+        .toDF("id", "price", "etl_seq", "date_id", "note"),
+      "id", "etl_seq", "date_id")
+    TxChangeFeed.mirror(spark, src, dst, "id", "date_id")
+    def full(dir: String): Set[(Long, Double, Option[String])] = {
+      val df = TxTable.snapshot(spark, dir).get
+      df.select("id", "price", "note").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    }
+    assert(full(dst) === Set((1L, 1.5, Some("revised")), (2L, 2.0, None)))
+    assert(full(dst) === full(src))
+  }
+
   test("follow delivers commits that land while tailing, in order") {
     val target = freshTable()
     commit(target, Seq((1L, 1.0, 1L, 20240101)))
