@@ -646,6 +646,33 @@ class MergeWriterSpec extends SparkTestBase {
       .isInstanceOf[ExclusiveCreateCommitStore])
   }
 
+  test("applyCdc racing a concurrent upsert: the apply re-runs against the winner") {
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_cdc_race").toString + "/fact"
+    TxTable.upsert(spark, target,
+      Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240101))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    // one atomic change batch: update 1, delete 2 — with a competing
+    // upsert landing inside the race window
+    TxTable.applyCdc(spark, target,
+      Seq((1L, "U", 2L, 1.5, 20240101), (2L, "D", 2L, 2.0, 20240101))
+        .toDF("id", "_op", "_seq", "price", "date_id"),
+      "id", "_op", "_seq", "date_id",
+      beforeCommit = () =>
+        TxTable.upsert(spark, target,
+          Seq((3L, 3.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id"))
+    val out = TxTable.snapshot(spark, target).get
+      .select("id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((1L, 1.5), (3L, 3.0)),
+      "the re-run apply must land its update+delete AND keep the winner's insert")
+    assert(TxTable.latest(spark, target)._1 === 3L)
+  }
+
   test("snapshotWhere: predicate pruning over manifest-stored partition values") {
     import graft.io.TxTable
     import org.apache.spark.sql.functions.col
