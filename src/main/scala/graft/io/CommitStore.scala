@@ -54,6 +54,17 @@ object CommitStore {
 
   private[io] def slotName(version: Long): String = f"v$version%020d"
 
+  /** Test seam: force a specific store for any log dir under a path
+    * prefix. Prefix-scoped (not global) so suites running in parallel
+    * in one JVM cannot perturb each other's tables — only dirs the
+    * registering spec owns are affected. */
+  private val forced =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem => CommitStore]()
+  private[graft] def forceForPrefix(prefix: String, mk: FileSystem => CommitStore): Unit =
+    forced.put(prefix, mk): Unit
+  private[graft] def clearForce(prefix: String): Unit =
+    forced.remove(prefix): Unit
+
   /** Store selection by path scheme: local paths get the exact symlink
     * CAS; object stores with conditional-create (S3 If-None-Match via
     * the s3a committers, GCS/ABFS preconditions) get the
@@ -61,6 +72,11 @@ object CommitStore {
     * (hdfs:, and Hadoop-API lookalikes with atomic rename) gets the
     * rename store. */
   def forPath(fs: FileSystem, dir: String): CommitStore = {
+    val it = forced.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (dir.startsWith(e.getKey)) return e.getValue.apply(fs)
+    }
     val scheme = new Path(dir).toUri.getScheme
     if (scheme == null || scheme == "file") SymlinkCommitStore
     else if (Set("s3", "s3a", "s3n", "gs", "abfs", "abfss").contains(scheme))
@@ -183,23 +199,81 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
   * paths, where client-side create is check-then-create — those take
   * [[RenameCommitStore]] / [[SymlinkCommitStore]] (see
   * [[CommitStore.forPath]]'s scheme dispatch). Reads are inherited —
-  * slots are plain files either way. */
-final class ExclusiveCreateCommitStore(fs: FileSystem)
+  * slots are plain files either way.
+  *
+  * The atomicity is NOT assumed, it is demanded: a plain
+  * `create(path, overwrite=false)` on stock s3a is a client-side HEAD
+  * followed by a PUT at stream close — two racing writers can both
+  * pass the check and one silently overwrites the other, the exact
+  * split-brain the CAS exists to prevent. So the slot is opened
+  * through the createFile BUILDER with
+  * `fs.option.create.conditional.overwrite` set as a `must()` option
+  * (the Hadoop 3.4.2+ HADOOP-19256 surface; the connector rejects an
+  * unsupported must-option at build time), gated on
+  * `hasPathCapability` — and when the connector cannot guarantee the
+  * condition, the store FAILS FAST at the first commit instead of
+  * running an unsound protocol. Where the condition IS active, a lost
+  * race surfaces at close as the connector's precondition failure
+  * (s3a RemoteFileChangedException / PathIOException carrying the 412)
+  * rather than FileAlreadyExistsException — both map to `false` so
+  * the optimistic retry loop re-merges instead of crashing.
+  *
+  * @param requireConditional test seam: `false` skips the capability
+  *   gate so specs can exercise the slot-is-the-body read/vacuum paths
+  *   on a local FS (single-writer there — local create is
+  *   check-then-create and the contention specs stay on the symlink
+  *   store). Production dispatch ([[CommitStore.forPath]]) always
+  *   requires the condition. */
+final class ExclusiveCreateCommitStore(
+    fs: FileSystem, requireConditional: Boolean = true)
     extends RenameCommitStore(fs) {
+
+  private val ConditionalCreate = "fs.option.create.conditional.overwrite"
+
+  /** True when the exception is the connector's conditional-PUT
+    * precondition failure (HTTP 412 family) — the "slot already taken"
+    * signal on stores that report it as neither FileAlreadyExists
+    * flavor. Matched structurally (class name / message), not by type:
+    * s3a's RemoteFileChangedException lives in hadoop-aws, which is a
+    * runtime-only presence on a real cluster. */
+  private def isPreconditionFailure(e: java.io.IOException): Boolean = {
+    val names = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8).toList
+    names.exists { t =>
+      t.getClass.getSimpleName.contains("RemoteFileChanged") ||
+        (t.isInstanceOf[org.apache.hadoop.fs.PathIOException] && {
+          val m = Option(t.getMessage).getOrElse("")
+          m.contains("412") || m.toLowerCase.contains("precondition")
+        })
+    }
+  }
 
   override def tryCommit(
       logDir: String, version: Long, lines: Seq[String]): Boolean = {
     val log = new Path(logDir)
     fs.mkdirs(log)
     val slot = new Path(log, CommitStore.slotName(version))
+    val conditional =
+      try fs.hasPathCapability(slot, ConditionalCreate)
+      catch { case _: Exception => false }
+    if (!conditional && requireConditional)
+      throw new IllegalStateException(
+        s"$ConditionalCreate is not supported for $slot — this connector " +
+          "cannot guarantee an atomic conditional PUT, so the exclusive-" +
+          "create commit protocol would silently lose racing commits. " +
+          "Enable the connector's conditional-create support or use a " +
+          "rename/symlink CommitStore.")
     try {
-      val out = fs.create(slot, false) // overwrite=false: the condition
+      val builder = fs.createFile(slot).overwrite(false)
+      if (conditional) builder.must(ConditionalCreate, true)
+      val out = builder.build()
       try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
       finally out.close()
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if isPreconditionFailure(e) => false
     }
   }
 }

@@ -25,7 +25,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Semantics:
   *  - latest-state upsert per key: rows present in the table are
   *    UPDATEd, absent rows INSERTed; replaying the same batch is
-  *    idempotent (updates rewrite equal values).
+  *    idempotent (updates rewrite equal values). Absence is proven by
+  *    the batch UPDATE's exact per-statement count where the driver
+  *    reports one; drivers that return `SUCCESS_NO_INFO` fall back to
+  *    a per-row UPDATE for exactly those rows (never guessed — a
+  *    guessed "present" would silently lose inserts).
   *  - the incoming frame must be key-unique (one state per key — the
   *    [[graft.ops.Merge.upsertLatestWins]] output shape); duplicate
   *    keys within one batch would race their own updates.
@@ -89,10 +93,27 @@ object JdbcWriter {
               }
               val counts = update.executeBatch()
               // INSERT pass: exactly the rows the update counts proved
-              // absent (count 0) — no read-before-write round trip
+              // absent (count 0) — no read-before-write round trip.
+              // A NEGATIVE count (Statement.SUCCESS_NO_INFO — MySQL
+              // with rewriteBatchedStatements, Oracle's default
+              // batching) proves NOTHING: treating it as "present"
+              // would silently drop absent rows. Those rows re-run
+              // their UPDATE individually (idempotent — it rewrites
+              // the same values) to get an exact count, costing one
+              // round trip per row only on drivers that withhold
+              // batch counts.
               var inserts = 0
               chunk.iterator.zip(counts.iterator).foreach { case (r, n) =>
-                if (n == 0) {
+                val absent =
+                  if (n >= 0) n == 0
+                  else {
+                    payloadIdx.zipWithIndex.foreach { case (src, p) =>
+                      update.setObject(p + 1, r.get(src))
+                    }
+                    update.setObject(payloadIdx.length + 1, r.get(keyIdx))
+                    update.executeUpdate() == 0
+                  }
+                if (absent) {
                   fieldArr.indices.foreach(i => insert.setObject(i + 1, r.get(i)))
                   insert.addBatch()
                   inserts += 1

@@ -246,8 +246,19 @@ object TxTable {
       .collect().map(_.getString(0)).toSet
     val hit = entries.filter { case (k, _) => keys(k) }
     if (hit.nonEmpty) Some(read(spark, dir, hit))
-    else Some(read(spark, dir, Map(entries.head)).limit(0))
+    else Some(emptyWithSnapshotSchema(spark, dir, entries))
   }
+
+  /** Zero-row frame carrying the FULL snapshot schema: a no-hit pruned
+    * read must be union-shaped with a hit one. Anchoring on an
+    * arbitrary single leaf would make the schema nondeterministic
+    * after a widening commit (a pre-evolution leaf lacks the new
+    * columns) — the mergeSchema read over every live leaf is the same
+    * schema resolution a full snapshot performs, at footer-read cost,
+    * and only on the no-hit path. */
+  private def emptyWithSnapshotSchema(
+      spark: SparkSession, dir: String, entries: Map[String, Entry]): DataFrame =
+    read(spark, dir, entries).limit(0)
 
   /** PREDICATE-pruned snapshot — the range-read the exact-value form
     * above can't serve when the value set isn't enumerable (date
@@ -277,7 +288,7 @@ object TxTable {
       }
     val hit = entries.filter { case (k, e) => hitKeys(k) || e.vhex.isEmpty }
     if (hit.nonEmpty) Some(read(spark, dir, hit))
-    else Some(read(spark, dir, Map(entries.head)).limit(0))
+    else Some(emptyWithSnapshotSchema(spark, dir, entries))
   }
 
   /** Time travel: the table exactly as committed at `version`. Data
@@ -356,6 +367,10 @@ object TxTable {
       else readDirs(Seq((bE ++ aE).values.min)).limit(0)
     val (a, b) = alignSchemas(side(aDirs, aE), side(bDirs, bE))
     val payload = b.columns.filterNot(_ == key).toSeq
+    // the readout injects change_type; a payload column of that name
+    // would be silently overwritten in the emitted rows — refuse loudly
+    require(!payload.contains("change_type"),
+      "diff payload carries reserved column change_type — rename it upstream")
     val an = payload.foldLeft(a.select(b.columns.toSeq.map(col): _*))(
         (d, c) => d.withColumnRenamed(c, s"__a_$c"))
       .withColumnRenamed(key, "__a_key")

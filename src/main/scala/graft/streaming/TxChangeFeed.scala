@@ -79,11 +79,25 @@ object TxChangeFeed {
     *
     * @param partitionCol the MIRROR's partition column — must appear in
     *   the source's payload (same column, typically) */
+  /** A diff payload column literally named `_op`/`_seq` would silently
+    * collide with the injected CDC control columns and corrupt the
+    * applied changes — refuse loudly instead (rename upstream; the
+    * names are reserved by [[TxTable.applyCdc]]'s call convention). */
+  private def requireNoReservedColumns(d: DataFrame): DataFrame = {
+    val clash = d.columns.filter(c => c == "_op" || c == "_seq")
+    require(clash.isEmpty,
+      s"change-feed payload carries reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them before mirroring/replicating (the feed injects _op/_seq " +
+        "as CDC control columns)")
+    d
+  }
+
   def mirror(
       spark: SparkSession, srcDir: String, dstDir: String,
       key: String, partitionCol: String, fromVersion: Long = 0L): Long = {
     var cursor = fromVersion
-    drain(spark, srcDir, key, fromVersion).foreach { case (v, d) =>
+    drain(spark, srcDir, key, fromVersion).foreach { case (v, d0) =>
+      val d = requireNoReservedColumns(d0)
       TxTable.applyCdc(spark, dstDir,
         d.withColumn("_op",
             when(col("change_type") === "delete", "D").otherwise("U"))
@@ -113,7 +127,8 @@ object TxChangeFeed {
     var replica = base.getOrElse(
       batches.head._2.drop("change_type").limit(0).localCheckpoint(true))
     var cursor = fromVersion
-    batches.foreach { case (v, d) =>
+    batches.foreach { case (v, d0) =>
+      val d = requireNoReservedColumns(d0)
       val changes = d.withColumn("_op",
           when(col("change_type") === "delete", "D").otherwise("U"))
         .withColumn("_seq", lit(v))

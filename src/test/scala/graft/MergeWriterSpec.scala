@@ -619,6 +619,38 @@ class MergeWriterSpec extends SparkTestBase {
     assert(none.count() === 0L && none.columns.contains("price"))
   }
 
+  test("no-hit pruned reads carry the full post-evolution schema") {
+    // The empty result used to anchor on an arbitrary manifest entry —
+    // after a widening commit that could be a pre-evolution leaf and
+    // the empty frame's schema became nondeterministic, breaking a
+    // downstream unionByName that worked on a non-empty read. It must
+    // be the same union schema a full snapshot resolves.
+    import graft.io.TxTable
+    import org.apache.spark.sql.functions.lit
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_emptyschema").toString + "/fact"
+    TxTable.upsert(spark, target,
+      Seq((1L, 1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    // widening commit touches a DIFFERENT partition: the old leaf
+    // (without `note`) survives in the manifest alongside the new one
+    TxTable.upsert(spark, target,
+      Seq((2L, 2.0, 2L, 20240102, "v2"))
+        .toDF("id", "price", "etl_seq", "date_id", "note"),
+      "id", "etl_seq", "date_id")
+    val want = TxTable.snapshot(spark, target).get.columns.sorted.toSeq
+    assert(want.contains("note"))
+    val byValue = TxTable.snapshotPartitions(spark, target, Seq(lit(19990101))).get
+    assert(byValue.count() === 0L && byValue.columns.sorted.toSeq === want)
+    val byPred = TxTable.snapshotWhere(spark, target, "date_id",
+      org.apache.spark.sql.functions.col("date_id") === 19990101).get
+    assert(byPred.count() === 0L && byPred.columns.sorted.toSeq === want)
+    // and the empty frame unions cleanly with a real read
+    val real = TxTable.snapshotPartitions(spark, target, Seq(lit(20240102))).get
+    assert(real.unionByName(byValue).count() === 1L)
+  }
+
   test("ExclusiveCreateCommitStore: conditional create is the whole protocol") {
     // The object-store primitive (S3 If-None-Match PUT shape): slot IS
     // the body, one conditional create. Protocol logic — exclusivity,
@@ -629,8 +661,20 @@ class MergeWriterSpec extends SparkTestBase {
     import graft.io.{CommitStore, ExclusiveCreateCommitStore}
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sessionState.newHadoopConf())
-    val store = new ExclusiveCreateCommitStore(fs)
+    // requireConditional=false: the local FS can't grant the
+    // conditional-PUT capability this store demands in production
+    val store = new ExclusiveCreateCommitStore(fs, requireConditional = false)
     val log = Files.createTempDirectory("graft_putif_store").toString + "/_graft_log"
+
+    // the production store REFUSES to run where the connector cannot
+    // guarantee the atomic conditional create (stock s3a pre-3.4.1 /
+    // conditional create disabled → overwrite=false is a client-side
+    // HEAD-then-PUT and two racing writers can both "win" a slot):
+    // failing fast beats silently losing a commit
+    val strict = new ExclusiveCreateCommitStore(fs)
+    val ex = intercept[IllegalStateException](
+      strict.tryCommit(log, 99L, Seq("a\tdata/x-0")))
+    assert(ex.getMessage.contains("conditional"))
 
     assert(store.latest(log) === ((0L, Nil)))
     assert(store.tryCommit(log, 1L, Seq("a\tdata/x-0")))

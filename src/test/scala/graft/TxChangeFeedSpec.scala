@@ -232,4 +232,33 @@ class TxChangeFeedSpec extends SparkTestBase {
     assert(seen.toSeq === Seq(1L, 2L))
     assert(cursor === 2L)
   }
+
+  test("reserved control columns in the payload are refused, not corrupted") {
+    // mirror/replicate inject _op/_seq into each diff before applyCdc;
+    // a source payload already carrying either name would silently
+    // collide (the injected column replaces the data column and the
+    // applied changes drift). The feed must fail loudly instead.
+    val s = spark
+    import s.implicits._
+    val src = freshTable()
+    TxTable.upsert(spark, src,
+      Seq((1L, 1.0, 7L, 1L, 20240101))
+        .toDF("id", "price", "_seq", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    val exM = intercept[IllegalArgumentException](
+      TxChangeFeed.mirror(spark, src, freshTable(), "id", "date_id"))
+    assert(exM.getMessage.contains("_seq"))
+    val exR = intercept[IllegalArgumentException](
+      TxChangeFeed.replicate(spark, src, "id"))
+    assert(exR.getMessage.contains("_seq"))
+    // and diff itself reserves change_type the same way
+    val src2 = freshTable()
+    TxTable.upsert(spark, src2,
+      Seq((1L, 1.0, "x", 1L, 20240101))
+        .toDF("id", "price", "change_type", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    val exD = intercept[IllegalArgumentException](
+      TxTable.diff(spark, src2, 0L, 1L, "id").collect())
+    assert(exD.getMessage.contains("change_type"))
+  }
 }
