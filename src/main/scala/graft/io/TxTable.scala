@@ -453,6 +453,7 @@ object TxTable {
   def applyCdc(
       spark: SparkSession, targetDir: String, changes: DataFrame,
       key: String, opCol: String, seqCol: String, partitionCol: String,
+      layout: Layout = Layout.none,
       maxRetries: Int = 10, beforeCommit: () => Unit = () => ()): Unit = {
     val batch = changes.withColumn(PKey, keyExpr(col(partitionCol)))
       .localCheckpoint(true)
@@ -492,8 +493,7 @@ object TxTable {
       val merged = Merge.applyCdc(e2, b2, key, opCol, seqCol)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      merged.write.mode("error").partitionBy(PKey)
-        .parquet(s"$targetDir/$stageRel")
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -533,7 +533,8 @@ object TxTable {
     * change. */
   def delete(
       spark: SparkSession, targetDir: String, keys: DataFrame,
-      key: String, partitionCol: String, maxRetries: Int = 10,
+      key: String, partitionCol: String, layout: Layout = Layout.none,
+      maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit = {
     val batch = keys.select(col(key), keyExpr(col(partitionCol)).as(PKey))
       .localCheckpoint(true)
@@ -562,8 +563,7 @@ object TxTable {
         batch.select(col(key)).distinct(), Seq(key), "left_anti")
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      remaining.write.mode("error").partitionBy(PKey)
-        .parquet(s"$targetDir/$stageRel")
+      writeLaidOut(remaining, layout, s"$targetDir/$stageRel")
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -646,20 +646,9 @@ object TxTable {
 
       // stage ALL touched partitions in ONE job: partitionBy on the key
       // column fans the write out per partition without a driver loop.
-      // The leading PKey sort satisfies FileFormatWriter's required
-      // ordering, so a secondary layout sort survives into the files
-      // (the MergeWriter.laidOut discipline).
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      val sorted =
-        if (layout.sortCols.isEmpty) merged
-        else merged.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)
-      val w0 = sorted.write.mode("error")
-      val w1 = layout.rowGroupBytes.fold(w0)(b => w0.option("parquet.block.size", b))
-      layout.bloomCols.foldLeft(w1) { (acc, c) =>
-        acc.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", layout.bloomNdv.toString)
-      }.partitionBy(PKey).parquet(s"$targetDir/$stageRel")
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
       // the written leaves ARE the staged manifest entries (key = leaf
       // name minus the column prefix; hive escaping is the identity on
       // the hex/NULL key alphabet); each carries its partition value
@@ -680,6 +669,26 @@ object TxTable {
         fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
       }
     }
+  }
+
+  /** The ONE staging write every commit path shares — upserts, CDC
+    * applies, deletes, and the maintenance rewrites all land their
+    * leaves through it, so a table's physical [[Layout]] (sorted row
+    * groups for zone-map skipping, blooms, sized groups) is applied
+    * uniformly and can never be silently discarded by one path. The
+    * leading PKey sort satisfies FileFormatWriter's required ordering,
+    * so the secondary layout sort survives into the files (the
+    * MergeWriter.laidOut discipline). */
+  private def writeLaidOut(df: DataFrame, layout: Layout, path: String): Unit = {
+    val sorted =
+      if (layout.sortCols.isEmpty) df
+      else df.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)
+    val w0 = sorted.write.mode("error")
+    val w1 = layout.rowGroupBytes.fold(w0)(b => w0.option("parquet.block.size", b))
+    layout.bloomCols.foldLeft(w1) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", layout.bloomNdv.toString)
+    }.partitionBy(PKey).parquet(path)
   }
 
   /** Publish version v+1: a DELTA body of just this commit's entries
@@ -712,11 +721,19 @@ object TxTable {
     * repartitioned on the partition key (every partition's rows land in
     * exactly one task → exactly one file), one partitionBy write.
     * [[diff]] across a compaction commit emits nothing — same rows,
-    * new leaves — which doubles as its correctness probe. */
+    * new leaves — which doubles as its correctness probe.
+    *
+    * `layout` must restate the table's write-time [[Layout]]: the
+    * rewrite replaces whole leaves, so whatever sort/bloom/row-group
+    * discipline the write path laid down survives ONLY if the
+    * maintenance pass re-applies it — a default-layout compaction of a
+    * Z-ordered table would silently un-sort its row groups and drop
+    * its blooms on the first fold (correct rows, degraded scans). */
   def compactFiles(
       spark: SparkSession, dir: String, partitionCol: String,
-      maxFilesPerLeaf: Int = 4, maxRetries: Int = 10): Unit =
-    compactWhere(spark, dir, partitionCol, maxRetries, "compactFiles")(
+      maxFilesPerLeaf: Int = 4, layout: Layout = Layout.none,
+      maxRetries: Int = 10): Unit =
+    compactWhere(spark, dir, partitionCol, layout, maxRetries, "compactFiles")(
       files => files.length > maxFilesPerLeaf)
 
   /** [[compactFiles]] with a BYTE threshold instead of a file count —
@@ -729,15 +746,17 @@ object TxTable {
     * maintenance grain). */
   def compactSmallFiles(
       spark: SparkSession, dir: String, partitionCol: String,
-      targetBytes: Long, maxRetries: Int = 10): Unit =
-    compactWhere(spark, dir, partitionCol, maxRetries, "compactSmallFiles") { files =>
+      targetBytes: Long, layout: Layout = Layout.none,
+      maxRetries: Int = 10): Unit =
+    compactWhere(spark, dir, partitionCol, layout, maxRetries,
+      "compactSmallFiles") { files =>
       val total = files.map(_.getLen).sum
       files.length > math.max(1L, (total + targetBytes - 1) / targetBytes)
     }
 
   private def compactWhere(
       spark: SparkSession, dir: String, partitionCol: String,
-      maxRetries: Int, op: String)(
+      layout: Layout, maxRetries: Int, op: String)(
       needsFold: Seq[org.apache.hadoop.fs.FileStatus] => Boolean): Unit = {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
@@ -756,12 +775,12 @@ object TxTable {
       if (needy.isEmpty) return
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      spark.read.option("mergeSchema", "true")
-        .parquet(needy.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
-        .withColumn(PKey, keyExpr(col(partitionCol)))
-        .repartition(needy.size, col(PKey))
-        .write.mode("error").partitionBy(PKey)
-        .parquet(s"$dir/$stageRel")
+      writeLaidOut(
+        spark.read.option("mergeSchema", "true")
+          .parquet(needy.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+          .withColumn(PKey, keyExpr(col(partitionCol)))
+          .repartition(needy.size, col(PKey)),
+        layout, s"$dir/$stageRel")
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))

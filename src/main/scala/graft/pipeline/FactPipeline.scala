@@ -56,11 +56,13 @@ object FactPipeline {
     *                     the interpolated table after the write — the
     *                     hourly cadence accumulates a few files per
     *                     run, so steady state without it is thousands
-    *                     of small files per hot partition. Compaction
-    *                     rewrites whole leaves via concatenation, so
-    *                     per-file sort order coarsens to per-run runs;
-    *                     zone-map-critical tables should recluster with
-    *                     SortedWriter in their maintenance window
+    *                     of small files per hot partition. In
+    *                     transactional mode the fold re-applies
+    *                     `layout`, so sorted row groups and blooms
+    *                     survive compaction; the legacy path rewrites
+    *                     leaves via concatenation (per-file sort order
+    *                     coarsens to per-run runs — recluster with
+    *                     SortedWriter in a maintenance window there)
     * @param vacuumRetainVersions transactional mode only: after the
     *                     hour lands, run TxTable.vacuum on both tables
     *                     keeping this many versions readable — the
@@ -141,9 +143,13 @@ object FactPipeline {
           layout = layout.restrictedTo(densified.columns.toSeq))
         // same byte-threshold semantics as the legacy Compaction.compact
         // path: the target decides which leaves are fragmented enough
-        // to fold (TxTable.compactSmallFiles), not a fixed file count
+        // to fold (TxTable.compactSmallFiles), not a fixed file count.
+        // The fold restates the table's layout — a compaction that
+        // dropped it would silently un-sort the row groups the write
+        // just laid down
         compactTargetBytes.foreach(t =>
-          TxTable.compactSmallFiles(spark, interpDir, "date_id", t))
+          TxTable.compactSmallFiles(spark, interpDir, "date_id", t,
+            layout = layout.restrictedTo(densified.columns.toSeq)))
       } else {
         MergeWriter.replaceWindow(spark, interpDir, densified,
           partitionCol = "date_id", windowPred = hourWindow,

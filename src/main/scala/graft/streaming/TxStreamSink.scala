@@ -33,15 +33,22 @@ object TxStreamSink {
     * @param targetDir    TxTable root
     * @param key          conflict key (latest wins)
     * @param version      priority column within a key
-    * @param partitionCol table partition column */
+    * @param partitionCol table partition column
+    * @param layout       physical layout applied to every micro-batch
+    *                     commit (graft.io.Layout) — a stream feeding a
+    *                     Z-ordered/bloomed table must restate the
+    *                     table's layout here or its commits would
+    *                     land unsorted leaves and the table's zone-map
+    *                     skipping decays with every batch */
   def sink(
       events: DataFrame, targetDir: String,
-      key: String, version: String, partitionCol: String): DataStreamWriter[Row] =
+      key: String, version: String, partitionCol: String,
+      layout: graft.io.Layout = graft.io.Layout.none): DataStreamWriter[Row] =
     events.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         TxTable.upsert(batch.sparkSession, targetDir, batch,
-          key, version, partitionCol)
+          key, version, partitionCol, layout = layout)
       }
 }

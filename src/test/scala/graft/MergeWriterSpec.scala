@@ -251,6 +251,72 @@ class MergeWriterSpec extends SparkTestBase {
     assert(TxTable.latest(spark, target)._1 === 2L)
   }
 
+  test("compaction preserves the table's physical layout (sorted groups + blooms)") {
+    // The write path lays down sorted row groups, blooms, and sized
+    // groups (Layout); a maintenance fold that rewrote leaves with a
+    // plain write would silently un-sort the table and drop its blooms
+    // on the first compaction — correct rows, degraded scans. The fold
+    // must restate the layout: post-compaction footers still show
+    // non-overlapping zone maps on the sort column and bloom headers
+    // on the probe column.
+    import scala.jdk.CollectionConverters._
+    import graft.io.{Layout, TxTable}
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_layout").toString + "/fact"
+    val layout = Layout(sortCols = Seq("price"), bloomCols = Seq("id"),
+      bloomNdv = 4096L, rowGroupBytes = Some(1024L))
+    def batch(lo: Long, hi: Long, date: Int) =
+      (lo to hi).map(i => (i, i * 1.0, 1L, date))
+        .toDF("id", "price", "etl_seq", "date_id").repartition(6)
+    // distinct partitions: each bootstrap write keeps its 6-task
+    // fragmentation (a keyed re-merge would let AQE coalesce it away)
+    TxTable.upsert(spark, target, batch(1L, 1000L, 20240101),
+      "id", "etl_seq", "date_id", layout = layout)
+    TxTable.upsert(spark, target, batch(1001L, 2000L, 20240102),
+      "id", "etl_seq", "date_id", layout = layout)
+    def leafDir(): java.io.File =
+      new java.io.File(target, TxTable.latest(spark, target)._2.values.min)
+    assert(leafDir().list().count(_.endsWith(".parquet")) > 2,
+      "fixture failed to fragment")
+    val before = TxTable.snapshot(spark, target).get
+      .collect().map(_.toString).sorted.toSeq
+
+    TxTable.compactFiles(spark, target, "date_id",
+      maxFilesPerLeaf = 2, layout = layout)
+    val files = leafDir().listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    assert(files.size === 1, s"leaf not folded: ${files.size} files")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      assert(blocks.size >= 4, s"rowGroupBytes ignored: ${blocks.size} groups")
+      val ranges = blocks.map { b =>
+        val st = b.getColumns.asScala
+          .find(_.getPath.toDotString == "price").get.getStatistics
+          .asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+        (st.getMin, st.getMax)
+      }
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"overlapping zone maps after compaction: $ranges")
+        case _ => ()
+      }
+      blocks.foreach { b =>
+        val idChunk = b.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        assert(r.getBloomFilterDataReader(b).readBloomFilter(idChunk) != null,
+          "id bloom filter missing after compaction")
+      }
+    } finally r.close()
+    val after = TxTable.snapshot(spark, target).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "layout-preserving compaction changed rows")
+  }
+
   test("RenameCommitStore: version slots are exclusive and manifests round-trip") {
     // The HDFS-class primitive (rename-without-overwrite), exercised
     // through the Hadoop LocalFileSystem: the PROTOCOL logic — slot

@@ -120,13 +120,34 @@ class TxChangeFeedSpec extends SparkTestBase {
         col("value"))
     val q = graft.streaming.TxStreamSink
       .sink(ticks, target, key = "event_id", version = "user_id",
-        partitionCol = "event_type")
+        partitionCol = "event_type",
+        layout = graft.io.Layout(bloomCols = Seq("event_id"), bloomNdv = 4096L))
       .option("checkpointLocation",
         Files.createTempDirectory("graft_cf_ckpt").toString)
       .start()
     q.awaitTermination()
     val v1 = TxTable.latestVersion(spark, target)
     assert(v1 >= 1L)
+
+    // the sink's micro-batch commits land LAID-OUT leaves: the bloom
+    // the layout declares is present in the committed row groups (a
+    // Layout.none-hardwired sink would silently degrade the table)
+    {
+      import scala.jdk.CollectionConverters._
+      val leaf = new java.io.File(target,
+        TxTable.latest(spark, target)._2.values.head)
+      val pf = leaf.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == "event_id").get
+        assert(r.getBloomFilterDataReader(b).readBloomFilter(c) != null,
+          "event_id bloom missing from a streamed commit")
+      } finally r.close()
+    }
 
     // a batch writer revises half the rows on top of the stream's work
     TxTable.upsert(spark, target,
