@@ -54,6 +54,25 @@ object CommitStore {
 
   private[io] def slotName(version: Long): String = f"v$version%020d"
 
+  /** Advisory tip-hint file (the public `_last_checkpoint` move): holds
+    * the version of a recently committed slot so a `latest()` probe
+    * costs O(1 + lag) slot stats instead of listing the whole log —
+    * the difference between a change-feed poll and an O(retained
+    * versions) directory scan on a long-retention table. STRICTLY a
+    * hint: written best-effort after a commit wins its CAS, so it can
+    * be stale (a crash before the hint write, a racing writer's older
+    * hint landing last) or missing or torn — every reader validates
+    * that the hinted slot EXISTS and scans forward from it; anything
+    * unparseable or dangling falls back to the full listing. It can
+    * never be ahead of a live slot (only committed versions are
+    * written), so scan-forward from a valid hint always finds the true
+    * tip — correctness never depends on the hint. */
+  private[io] val TipHint = "_tip"
+
+  private[io] def parseTip(lines: Seq[String]): Option[Long] =
+    lines.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).filter(_ >= 1L)
+
   /** Test seam: force a specific store for any log dir under a path
     * prefix. Prefix-scoped (not global) so suites running in parallel
     * in one JVM cannot perturb each other's tables — only dirs the
@@ -90,21 +109,46 @@ object CommitStore {
   * slot is taken and publishes pointer + content in one atomic call. */
 object SymlinkCommitStore extends CommitStore {
 
+  /** Diagnostic: full-listing fallbacks taken by `latest` (the O(log)
+    * path the tip hint exists to avoid). Spec-only observability. */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
+
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = Paths.get(logDir)
     if (!Files.isDirectory(log)) return (0L, Nil)
-    // Files.list holds a directory handle until closed — this runs on
-    // every snapshot resolve and commit attempt, so leaking it would
-    // exhaust fds in a long-running driver
-    val listing = Files.list(log)
-    val versions =
-      try listing.iterator().asScala
-        .flatMap(p => CommitStore.versionOf(p.getFileName.toString).map(_ -> p))
-        .toList
-      finally listing.close()
-    if (versions.isEmpty) return (0L, Nil)
-    val (v, ptr) = versions.maxBy(_._1)
-    (v, readSlot(ptr))
+    hintedLatest(logDir, log).getOrElse {
+      fullListings.incrementAndGet()
+      // Files.list holds a directory handle until closed — this runs on
+      // every snapshot resolve and commit attempt, so leaking it would
+      // exhaust fds in a long-running driver
+      val listing = Files.list(log)
+      val versions =
+        try listing.iterator().asScala
+          .flatMap(p => CommitStore.versionOf(p.getFileName.toString).map(_ -> p))
+          .toList
+        finally listing.close()
+      if (versions.isEmpty) (0L, Nil)
+      else {
+        val (v, ptr) = versions.maxBy(_._1)
+        (v, readSlot(ptr))
+      }
+    }
+  }
+
+  /** O(1 + lag) tip probe: start from the (validated) hint and stat
+    * forward to the first missing slot. None = no usable hint. */
+  private def hintedLatest(
+      logDir: String, log: java.nio.file.Path): Option[(Long, Seq[String])] = {
+    val hintPath = log.resolve(CommitStore.TipHint)
+    if (!Files.isRegularFile(hintPath)) return None
+    val hinted =
+      try CommitStore.parseTip(Files.readAllLines(hintPath, UTF_8).asScala.toSeq)
+      catch { case _: java.io.IOException => None }
+    hinted.filter(v => at(logDir, v).isDefined).map { start =>
+      var v = start
+      while (at(logDir, v + 1).isDefined) v += 1
+      (v, readSlot(log.resolve(CommitStore.slotName(v))))
+    }
   }
 
   override def at(logDir: String, version: Long): Option[Seq[String]] = {
@@ -129,6 +173,7 @@ object SymlinkCommitStore extends CommitStore {
     try {
       Files.createSymbolicLink(
         log.resolve(CommitStore.slotName(version)), body.getFileName)
+      writeTipHint(log, version)
       true
     } catch {
       case _: FileAlreadyExistsException =>
@@ -136,6 +181,19 @@ object SymlinkCommitStore extends CommitStore {
         false
     }
   }
+
+  /** Best-effort, AFTER the CAS won: a crash or lost hint-write race
+    * only leaves the hint stale (→ scan-forward), never wrong-ahead.
+    * Atomic replace so a concurrent reader can't observe a torn hint
+    * on POSIX; any failure is swallowed — the hint is advisory. */
+  private def writeTipHint(log: java.nio.file.Path, version: Long): Unit =
+    try {
+      val tmp = log.resolve(s".tip-${UUID.randomUUID()}")
+      Files.write(tmp, java.util.List.of(version.toString), UTF_8)
+      Files.move(tmp, log.resolve(CommitStore.TipHint),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } catch { case _: Exception => () }
 }
 
 /** HDFS-class store: the version slot is a regular file renamed into
@@ -148,12 +206,50 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = new Path(logDir)
     if (!fs.exists(log)) return (0L, Nil)
-    val versions = fs.listStatus(log).toSeq
-      .flatMap(s => CommitStore.versionOf(s.getPath.getName).map(_ -> s.getPath))
-    if (versions.isEmpty) return (0L, Nil)
-    val (v, slot) = versions.maxBy(_._1)
-    (v, readSlot(slot))
+    hintedLatest(logDir, log).getOrElse {
+      val versions = fs.listStatus(log).toSeq
+        .flatMap(s => CommitStore.versionOf(s.getPath.getName).map(_ -> s.getPath))
+      if (versions.isEmpty) (0L, Nil)
+      else {
+        val (v, slot) = versions.maxBy(_._1)
+        (v, readSlot(slot))
+      }
+    }
   }
+
+  /** Same O(1 + lag) hinted probe as the symlink store, over the
+    * Hadoop API (one getFileStatus per stat instead of one list of the
+    * whole log — on an object store that is one HEAD per probe vs a
+    * paged LIST of every retained version). */
+  private def hintedLatest(
+      logDir: String, log: Path): Option[(Long, Seq[String])] = {
+    val hintPath = new Path(log, CommitStore.TipHint)
+    val hinted =
+      try {
+        if (!fs.exists(hintPath)) None
+        else {
+          val in = fs.open(hintPath)
+          try CommitStore.parseTip(
+            scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq)
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    hinted.filter(v => at(logDir, v).isDefined).map { start =>
+      var v = start
+      while (at(logDir, v + 1).isDefined) v += 1
+      (v, readSlot(new Path(log, CommitStore.slotName(v))))
+    }
+  }
+
+  /** Best-effort advisory hint, written after the CAS won. A torn read
+    * (create-overwrite is not atomic on every store) parses as garbage
+    * and falls back to the listing — never wrong, at worst slow. */
+  protected def writeTipHint(log: Path, version: Long): Unit =
+    try {
+      val out = fs.create(new Path(log, CommitStore.TipHint), true)
+      try out.write((version.toString + "\n").getBytes(UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
 
   override def at(logDir: String, version: Long): Option[Seq[String]] = {
     val slot = new Path(logDir, CommitStore.slotName(version))
@@ -182,6 +278,7 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
       try !fs.exists(slot) && fs.rename(tmp, slot)
       catch { case _: java.io.IOException => false }
     if (!won) fs.delete(tmp, false)
+    else writeTipHint(log, version)
     won
   }
 }
@@ -269,6 +366,7 @@ final class ExclusiveCreateCommitStore(
       val out = builder.build()
       try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
       finally out.close()
+      writeTipHint(log, version)
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false

@@ -895,8 +895,12 @@ object TxTable {
     bodies.foreach { st =>
       // grace applies here too: a rename-store writer's .tmp body (or a
       // symlink-store body written microseconds before its CAS) must
-      // not be reclaimed from under an in-flight commit
-      if (!liveBodies.contains(st.getPath.getName) &&
+      // not be reclaimed from under an in-flight commit. The advisory
+      // _tip hint is not a body at all — it points at the surviving
+      // tip and deleting it would only degrade every subsequent
+      // latest() probe back to a full listing.
+      if (st.getPath.getName != "_tip" &&
+          !liveBodies.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         fs.delete(st.getPath, false): Unit
     }

@@ -338,12 +338,77 @@ class MergeWriterSpec extends SparkTestBase {
     assert(!store.tryCommit(log, 1L, Seq("a\tdata/y-0")))
     assert(store.latest(log) === ((1L, Seq("a\tdata/x-0"))))
     // the loser's temp file was cleaned up (checksum sidecars of the
-    // Hadoop local FS are dotfiles — not part of the protocol)
+    // Hadoop local FS are dotfiles — not part of the protocol; _tip is
+    // the winner's advisory tip hint)
     assert(new java.io.File(log).list().filterNot(_.startsWith(".")).toSet
-      === Set("v" + "0" * 19 + "1"))
+      === Set("v" + "0" * 19 + "1", "_tip"))
     // the next version wins and becomes latest
     assert(store.tryCommit(log, 2L, Seq("a\tdata/y-0", "b\tdata/y-1")))
     assert(store.latest(log) === ((2L, Seq("a\tdata/y-0", "b\tdata/y-1"))))
+
+    // the tip hint is ADVISORY on this store too: stale → scan-forward,
+    // garbage → full-listing fallback, both land on the true tip
+    val tipFile = new java.io.File(log, "_tip")
+    java.nio.file.Files.write(tipFile.toPath, java.util.List.of("1"))
+    assert(store.latest(log)._1 === 2L)
+    java.nio.file.Files.write(tipFile.toPath, java.util.List.of("garbage"))
+    assert(store.latest(log)._1 === 2L)
+  }
+
+  test("tip hint: latest() is an O(1) probe and never a correctness dependency") {
+    // A change-feed poll pays CommitStore.latest every pollMs; without
+    // a hint that is a full _graft_log listing per poll — O(retained
+    // versions) on a long-retention table. The advisory _tip file (the
+    // public _last_checkpoint move) makes the steady-state probe one
+    // stat + one scan-forward step, and every degraded state of the
+    // hint (stale, ahead-of-truth, garbage, missing) must still
+    // resolve the true tip.
+    import graft.io.{SymlinkCommitStore, TxTable}
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_tip").toString + "/fact"
+    (1 to 30).foreach { i =>
+      TxTable.upsert(spark, target,
+        Seq((i.toLong, i * 1.0, i.toLong, 20240101))
+          .toDF("id", "price", "etl_seq", "date_id"),
+        "id", "etl_seq", "date_id")
+    }
+    val log = s"$target/_graft_log"
+    val tip = java.nio.file.Paths.get(log, "_tip")
+    assert(java.nio.file.Files.isRegularFile(tip), "commit did not leave a tip hint")
+
+    // steady state: fresh hint → polls never list the directory
+    SymlinkCommitStore.fullListings.set(0L)
+    (1 to 10).foreach(_ => assert(SymlinkCommitStore.latest(log)._1 === 30L))
+    assert(SymlinkCommitStore.fullListings.get === 0L,
+      "a hinted poll fell back to a full log listing")
+
+    // stale hint (a crash between CAS and hint write): scan-forward
+    // finds the tip, still without a listing
+    java.nio.file.Files.write(tip, java.util.List.of("25"))
+    SymlinkCommitStore.fullListings.set(0L)
+    assert(SymlinkCommitStore.latest(log)._1 === 30L)
+    assert(SymlinkCommitStore.fullListings.get === 0L)
+
+    // hint ahead of any live slot / garbage / missing: fallback, correct
+    java.nio.file.Files.write(tip, java.util.List.of("99"))
+    assert(SymlinkCommitStore.latest(log)._1 === 30L)
+    java.nio.file.Files.write(tip, java.util.List.of("not-a-version"))
+    assert(SymlinkCommitStore.latest(log)._1 === 30L)
+    java.nio.file.Files.delete(tip)
+    assert(SymlinkCommitStore.latest(log)._1 === 30L)
+
+    // a fresh commit repairs the hint; vacuum keeps it (and the probe)
+    TxTable.upsert(spark, target,
+      Seq((31L, 31.0, 31L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxTable.vacuum(spark, target, retainVersions = 2)
+    val trueTip = TxTable.latestVersion(spark, target)
+    SymlinkCommitStore.fullListings.set(0L)
+    assert(SymlinkCommitStore.latest(log)._1 === trueTip)
+    assert(SymlinkCommitStore.fullListings.get === 0L,
+      "post-vacuum poll fell back to a full log listing")
+    assert(TxTable.snapshot(spark, target).get.count() === 31L)
   }
 
   /** Byte size of a committed manifest BODY (symlink store: the slot
