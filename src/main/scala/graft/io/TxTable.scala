@@ -7,6 +7,27 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The column(s) a [[TxTable]] is partitioned by. Real fact tables
+  * partition by more than one column — (date_id, source_id), (date,
+  * hour) — and every TxTable operation accepts either form through the
+  * implicit conversions here: existing single-column call sites
+  * (`partitionCol = "date_id"`) compile unchanged, multi-column tables
+  * pass `Seq("date_id", "source_id")`. One manifest key is derived per
+  * distinct column-value TUPLE (see TxTable's keyExpr), and manifest
+  * entries carry the tuple's per-column values so exact-value and
+  * predicate pruning work across all partition columns. */
+final case class PartitionSpec(cols: Seq[String]) {
+  require(cols.nonEmpty, "a TxTable needs at least one partition column")
+  require(cols.distinct.size == cols.size,
+    s"duplicate partition columns: ${cols.mkString(", ")}")
+}
+
+object PartitionSpec {
+  import scala.language.implicitConversions
+  implicit def one(c: String): PartitionSpec = PartitionSpec(Seq(c))
+  implicit def many(cs: Seq[String]): PartitionSpec = PartitionSpec(cs)
+}
+
 /** Minimal optimistic-concurrency commit protocol for a partitioned
   * parquet table — the multi-writer upgrade of [[MergeWriter]]'s
   * single-writer upsert (reference semantics: the per-statement
@@ -113,10 +134,24 @@ object TxTable {
   private val Tombstone = "-"
 
   /** Engine-canonical partition key: evaluated only inside Spark, never
-    * re-derived on the driver. */
-  private def keyExpr(partitionVal: Column): Column =
-    when(partitionVal.isNull, lit("NULL"))
-      .otherwise(md5(partitionVal.cast("string")))
+    * re-derived on the driver. Single column keeps the original
+    * encoding (md5 of the string cast, literal `NULL` for null) so
+    * existing tables stay readable; a multi-column tuple is md5 of a
+    * canonical per-column token list — `N` for null, `V<hex of the
+    * UTF-8 string cast>` otherwise, joined with `,` — the hex armor
+    * keeps the token alphabet disjoint from the joiner, so distinct
+    * tuples can never encode to the same key. */
+  private def keyExprVals(vals: Seq[Column]): Column = vals match {
+    case Seq(one) =>
+      when(one.isNull, lit("NULL")).otherwise(md5(one.cast("string")))
+    case many =>
+      md5(concat_ws(",", many.map(c =>
+        when(c.isNull, lit("N"))
+          .otherwise(concat(lit("V"), hex(encode(c.cast("string"), "UTF-8"))))): _*))
+  }
+
+  private def keyExpr(spec: PartitionSpec): Column =
+    keyExprVals(spec.cols.map(col))
 
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.get("spark.graft.tx.checkpointInterval", "10").toInt
@@ -144,6 +179,25 @@ object TxTable {
     if (f == "N") null
     else new String(f.drop(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Multi-column value field: per-column vhex tokens joined with ","
+    * (the token alphabet is hex + N/V — never a comma), so a 1-column
+    * field is byte-identical to the pre-multi format. */
+  private def vhexJoin(vals: Seq[String]): String = vals.map(vhexOf).mkString(",")
+
+  private def vhexSplit(field: String): Seq[String] =
+    field.split(",", -1).toSeq.map(vdecode)
+
+  /** The one driver-side collect every commit pays: the batch's
+    * distinct (manifest key, per-column partition values) — O(touched
+    * partitions), with the value strings computed by the ENGINE's
+    * casts, never a driver toString. */
+  private def touchedOf(batch: DataFrame, spec: PartitionSpec): Map[String, String] =
+    batch.select(col(PKey) +: spec.cols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => r.getString(0) ->
+        vhexJoin(spec.cols.indices.map(i => r.getString(i + 1))))
+      .toMap
 
   private def parse(lines: Seq[String]): Map[String, Entry] =
     lines.filterNot(_.startsWith(Header + "\t")).map { line =>
@@ -238,11 +292,19 @@ object TxTable {
     * None on a never-committed table; an empty frame with the
     * snapshot's schema when no requested partition exists. */
   def snapshotPartitions(
-      spark: SparkSession, dir: String, values: Seq[Column]): Option[DataFrame] = {
+      spark: SparkSession, dir: String, values: Seq[Column]): Option[DataFrame] =
+    snapshotPartitionTuples(spark, dir, values.map(Seq(_)))
+
+  /** [[snapshotPartitions]] for multi-column tables: each element of
+    * `values` is one partition TUPLE (in the table's partition-column
+    * order). A 1-element tuple is exactly the single-column form. */
+  def snapshotPartitionTuples(
+      spark: SparkSession, dir: String,
+      values: Seq[Seq[Column]]): Option[DataFrame] = {
     val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
     val keys = spark.range(1)
-      .select(explode(array(values.map(keyExpr): _*)).as("k"))
+      .select(explode(array(values.map(keyExprVals): _*)).as("k"))
       .collect().map(_.getString(0)).toSet
     val hit = entries.filter { case (k, _) => keys(k) }
     if (hit.nonEmpty) Some(read(spark, dir, hit))
@@ -264,29 +326,40 @@ object TxTable {
     * above can't serve when the value set isn't enumerable (date
     * ranges, string prefixes): `pred` is evaluated ENGINE-side over a
     * tiny manifest-sized frame of the stored partition values (one
-    * string column named `partitionCol` — Spark's implicit casts make
-    * numeric/date comparisons against it behave), and only matching
-    * partitions' leaves are read. This is why manifest entries carry
-    * the value at all — the Delta/Iceberg lesson that md5 keys alone
-    * cannot prune a range. Entries predating the value field are read
-    * UNCONDITIONALLY (conservative — correctness over pruning); they
-    * upgrade as commits touch them. None on a never-committed table. */
+    * string column PER partition column, named after it — Spark's
+    * implicit casts make numeric/date comparisons against them
+    * behave), and only matching partitions' leaves are read. On a
+    * multi-column table the predicate may reference any subset of the
+    * partition columns. This is why manifest entries carry the values
+    * at all — the Delta/Iceberg lesson that md5 keys alone cannot
+    * prune a range. Entries predating the value field (or written
+    * under a different column count) are read UNCONDITIONALLY
+    * (conservative — correctness over pruning); they upgrade as
+    * commits touch them. None on a never-committed table. */
   def snapshotWhere(
-      spark: SparkSession, dir: String, partitionCol: String,
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       pred: Column): Option[DataFrame] = {
     val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
-    val (known, unknown) = entries.partition(_._2.vhex.isDefined)
+    val n = partitionCol.cols.size
+    val (known, unknown) = entries.partition(
+      _._2.vhex.exists(_.split(",", -1).length == n))
     val hitKeys: Set[String] =
       if (known.isEmpty) Set.empty
       else {
-        import spark.implicits._
-        known.toSeq.map { case (k, e) => (k, vdecode(e.vhex.get)) }
-          .toDF("__k", partitionCol)
+        val rows = known.toSeq.map { case (k, e) =>
+          org.apache.spark.sql.Row.fromSeq(k +: vhexSplit(e.vhex.get))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          ("__k" +: partitionCol.cols).map(c =>
+            org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.StringType, nullable = true)))
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
           .filter(pred)
           .select("__k").collect().map(_.getString(0)).toSet
       }
-    val hit = entries.filter { case (k, e) => hitKeys(k) || e.vhex.isEmpty }
+    val hit = entries.filter { case (k, e) => hitKeys(k) || unknown.contains(k) }
     if (hit.nonEmpty) Some(read(spark, dir, hit))
     else Some(emptyWithSnapshotSchema(spark, dir, entries))
   }
@@ -413,7 +486,7 @@ object TxTable {
     */
   def upsert(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
-      key: String, version: String, partitionCol: String,
+      key: String, version: String, partitionCol: PartitionSpec,
       layout: Layout = Layout.none, maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit =
     commitLoop(spark, targetDir, incoming, partitionCol, layout,
@@ -431,7 +504,7 @@ object TxTable {
     * no-op (nothing to locate the window's partitions by). */
   def replaceWindow(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
-      partitionCol: String, windowPred: org.apache.spark.sql.Column,
+      partitionCol: PartitionSpec, windowPred: org.apache.spark.sql.Column,
       layout: Layout = Layout.none, maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit =
     commitLoop(spark, targetDir, incoming, partitionCol, layout,
@@ -452,15 +525,12 @@ object TxTable {
     * like every commit; empty logs are a no-op. */
   def applyCdc(
       spark: SparkSession, targetDir: String, changes: DataFrame,
-      key: String, opCol: String, seqCol: String, partitionCol: String,
+      key: String, opCol: String, seqCol: String, partitionCol: PartitionSpec,
       layout: Layout = Layout.none,
       maxRetries: Int = 10, beforeCommit: () => Unit = () => ()): Unit = {
-    val batch = changes.withColumn(PKey, keyExpr(col(partitionCol)))
+    val batch = changes.withColumn(PKey, keyExpr(partitionCol))
       .localCheckpoint(true)
-    val touched = batch
-      .select(col(PKey), col(partitionCol).cast("string").as("__v"))
-      .distinct().collect()
-      .map(r => r.getString(0) -> vhexOf(r.getString(1))).toMap
+    val touched = touchedOf(batch, partitionCol)
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return
     val fs = fsOf(spark, targetDir)
@@ -481,7 +551,7 @@ object TxTable {
         if (existingDirs.nonEmpty)
           spark.read.option("mergeSchema", "true")
             .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
-            .withColumn(PKey, keyExpr(col(partitionCol)))
+            .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.drop(opCol, seqCol).limit(0)
       // evolution alignment, but op/seq must never leak into the
@@ -533,10 +603,10 @@ object TxTable {
     * change. */
   def delete(
       spark: SparkSession, targetDir: String, keys: DataFrame,
-      key: String, partitionCol: String, layout: Layout = Layout.none,
+      key: String, partitionCol: PartitionSpec, layout: Layout = Layout.none,
       maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit = {
-    val batch = keys.select(col(key), keyExpr(col(partitionCol)).as(PKey))
+    val batch = keys.select(col(key), keyExpr(partitionCol).as(PKey))
       .localCheckpoint(true)
     val touchedKeys = batch.select(PKey).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
@@ -557,7 +627,7 @@ object TxTable {
       val existing = spark.read.option("mergeSchema", "true")
         .parquet(hit.flatMap(entries.get).map(_.leaf).distinct.sorted
           .map(d => s"$targetDir/$d"): _*)
-        .withColumn(PKey, keyExpr(col(partitionCol)))
+        .withColumn(PKey, keyExpr(partitionCol))
         .filter(col(PKey).isInCollection(hit))
       val remaining = existing.join(
         batch.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -590,19 +660,16 @@ object TxTable {
     * cleanup + retry. */
   private def commitLoop(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
-      partitionCol: String, layout: Layout, maxRetries: Int,
+      partitionCol: PartitionSpec, layout: Layout, maxRetries: Int,
       beforeCommit: () => Unit, op: String)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // stable across retries: the batch itself never changes
-    val batch = incoming.withColumn(PKey, keyExpr(col(partitionCol)))
+    val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
       .localCheckpoint(true)
     // one collect serves both the touched-key list and the key→value
-    // map the manifest entries carry (the value string is the ENGINE's
-    // cast, not a driver toString)
-    val touched = batch
-      .select(col(PKey), col(partitionCol).cast("string").as("__v"))
-      .distinct().collect()
-      .map(r => r.getString(0) -> vhexOf(r.getString(1))).toMap
+    // map the manifest entries carry (the value strings are the
+    // ENGINE's casts, not a driver toString)
+    val touched = touchedOf(batch, partitionCol)
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return // empty batch: a no-op, not a failure
     val fs = fsOf(spark, targetDir)
@@ -632,7 +699,7 @@ object TxTable {
           // nulls its own missing ones.
           val existing = spark.read.option("mergeSchema", "true")
             .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
-            .withColumn(PKey, keyExpr(col(partitionCol)))
+            .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
           val (e2, b2) = alignSchemas(existing, batch)
           merge(e2, b2)
@@ -730,7 +797,7 @@ object TxTable {
     * Z-ordered table would silently un-sort its row groups and drop
     * its blooms on the first fold (correct rows, degraded scans). */
   def compactFiles(
-      spark: SparkSession, dir: String, partitionCol: String,
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       maxFilesPerLeaf: Int = 4, layout: Layout = Layout.none,
       maxRetries: Int = 10): Unit =
     compactWhere(spark, dir, partitionCol, layout, maxRetries, "compactFiles")(
@@ -745,7 +812,7 @@ object TxTable {
     * not the output file size (a partition leaf is the table's
     * maintenance grain). */
   def compactSmallFiles(
-      spark: SparkSession, dir: String, partitionCol: String,
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       targetBytes: Long, layout: Layout = Layout.none,
       maxRetries: Int = 10): Unit =
     compactWhere(spark, dir, partitionCol, layout, maxRetries,
@@ -755,7 +822,7 @@ object TxTable {
     }
 
   private def compactWhere(
-      spark: SparkSession, dir: String, partitionCol: String,
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       layout: Layout, maxRetries: Int, op: String)(
       needsFold: Seq[org.apache.hadoop.fs.FileStatus] => Boolean): Unit = {
     val fs = fsOf(spark, dir)
@@ -778,7 +845,7 @@ object TxTable {
       writeLaidOut(
         spark.read.option("mergeSchema", "true")
           .parquet(needy.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
-          .withColumn(PKey, keyExpr(col(partitionCol)))
+          .withColumn(PKey, keyExpr(partitionCol))
           .repartition(needy.size, col(PKey)),
         layout, s"$dir/$stageRel")
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq

@@ -268,6 +268,54 @@ object Maintenance {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin),
 
+    // MULTI-COLUMN transactional partitioning under the oracle gate:
+    // events land in a TxTable partitioned by the (day, event_type)
+    // TUPLE — one manifest key per distinct pair, ~150 partitions in
+    // one partitionBy staging job — then a read predicated on BOTH
+    // columns comes back through snapshotWhere: the stored per-column
+    // values are filtered engine-side and only the matching
+    // (10 days × 2 types) leaves open, never the table. This is the
+    // partition shape real fact tables use — (date, source), (date,
+    // hour) — and the pruning math is what survives 100 TB: a day+type
+    // probe opens ~20 of N leaves whatever N grows to. The oracle
+    // restates the two-column predicate over the raw events.
+    "x_tx_multi" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txmc").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+        graft.io.TxTable.upsert(s, tbl, ev,
+          key = "event_id", version = "event_id",
+          partitionCol = Seq("day", "event_type"))
+        val out = graft.io.TxTable.snapshotWhere(s, tbl,
+            Seq("day", "event_type"),
+            col("day") >= "2024-01-10" && col("day") < "2024-01-20" &&
+              col("event_type").isin("click", "purchase")).get
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("day"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+        |  AND strftime(ts, '%Y-%m-%d') <  '2024-01-20'
+        |  AND event_type IN ('click', 'purchase')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
     // Table-to-table CDC replication under the oracle gate: a source
     // TxTable takes a bootstrap upsert then a keyed DELETE; the change
     // feed mirrors both commits onto a SECOND TxTable, each as one

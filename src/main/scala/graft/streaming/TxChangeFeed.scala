@@ -94,7 +94,8 @@ object TxChangeFeed {
 
   def mirror(
       spark: SparkSession, srcDir: String, dstDir: String,
-      key: String, partitionCol: String, fromVersion: Long = 0L): Long = {
+      key: String, partitionCol: graft.io.PartitionSpec,
+      fromVersion: Long = 0L): Long = {
     var cursor = fromVersion
     drain(spark, srcDir, key, fromVersion).foreach { case (v, d0) =>
       val d = requireNoReservedColumns(d0)

@@ -42,7 +42,7 @@ object TxStreamSink {
     *                     skipping decays with every batch */
   def sink(
       events: DataFrame, targetDir: String,
-      key: String, version: String, partitionCol: String,
+      key: String, version: String, partitionCol: graft.io.PartitionSpec,
       layout: graft.io.Layout = graft.io.Layout.none): DataStreamWriter[Row] =
     events.writeStream
       .outputMode(OutputMode.Update())

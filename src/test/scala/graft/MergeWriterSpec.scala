@@ -543,6 +543,56 @@ class MergeWriterSpec extends SparkTestBase {
     assert(!Files.exists(staged), "zero-grace vacuum left a crash orphan behind")
   }
 
+  test("vacuum under the exclusive-create store: retention, grace, retain-1") {
+    // The symlink store resolves live bodies through symlink reads —
+    // vacuous for the slot-IS-the-body exclusive store, so the log
+    // reclaim there must hold on its own: slots below the retained
+    // checkpoint go, everything retained stays readable, grace
+    // semantics are store-independent.
+    import graft.io.{CommitStore, ExclusiveCreateCommitStore, TxTable}
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_tx_excl").toString
+    CommitStore.forceForPrefix(base,
+      fs => new ExclusiveCreateCommitStore(fs, requireConditional = false))
+    try withCheckpointInterval(2) {
+      val target = s"$base/fact"
+      (1 to 4).foreach { i =>
+        TxTable.upsert(spark, target,
+          Seq((1L, i * 1.0, i.toLong, 20240101))
+            .toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id")
+      }
+      // slot-is-the-body: plain version files, no symlinks
+      val slot1 = Paths.get(target, "_graft_log", "v" + "0" * 19 + "1")
+      assert(Files.isRegularFile(slot1) && !Files.isSymbolicLink(slot1),
+        "exclusive store did not write slot-is-body files")
+
+      TxTable.vacuum(spark, target, retainVersions = 2)
+      assert(TxTable.snapshotAt(spark, target, 3L).get
+        .select("price").head().getDouble(0) === 3.0)
+      assert(TxTable.snapshotAt(spark, target, 4L).get
+        .select("price").head().getDouble(0) === 4.0)
+      assert(TxTable.snapshotAt(spark, target, 1L).isEmpty,
+        "v1 survived a retain-2 vacuum")
+
+      // grace protects an in-flight staging dir; zero grace reclaims it
+      val staged = Paths.get(target, "data", "in-flight-uuid", "__p=deadbeef")
+      Files.createDirectories(staged)
+      Files.write(staged.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      TxTable.vacuum(spark, target, retainVersions = 1, graceMs = 3600L * 1000)
+      assert(Files.exists(staged), "grace failed under the exclusive store")
+      TxTable.vacuum(spark, target, retainVersions = 1, graceMs = 0L)
+      assert(!Files.exists(staged), "zero-grace left a crash orphan")
+
+      // retain-1 destroyed time travel; the tip still reads
+      val tip = TxTable.latestVersion(spark, target)
+      assert(TxTable.snapshotAt(spark, target, tip - 1).isEmpty)
+      assert(TxTable.snapshot(spark, target).get
+        .select("price").head().getDouble(0) === 4.0)
+    } finally CommitStore.clearForce(base)
+  }
+
   test("schema evolution across versions: widened commit, old/new snapshots, diff") {
     import graft.io.TxTable
     val s = spark
@@ -748,6 +798,71 @@ class MergeWriterSpec extends SparkTestBase {
     // no matching partition: empty frame, snapshot schema
     val none = TxTable.snapshotPartitions(spark, target, Seq(lit(19990101))).get
     assert(none.count() === 0L && none.columns.contains("price"))
+  }
+
+  test("multi-column partitioning: tuple keys prune, diff, delete, vacuum") {
+    // Real fact tables partition by more than one column. One manifest
+    // key per distinct column-value TUPLE (null participating as its
+    // own value), value fields carrying every column, so exact-tuple
+    // and cross-column predicate pruning open only matching leaves and
+    // the whole DML surface (upsert/diff/delete/vacuum) holds.
+    import graft.io.TxTable
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_multi").toString + "/fact"
+    val cols = Seq("date_id", "side")
+    def df(rows: (Long, Double, Long, Int, String)*) =
+      rows.toDF("id", "price", "etl_seq", "date_id", "side")
+    TxTable.upsert(spark, target,
+      df((1L, 1.0, 1L, 20240101, "buy"), (2L, 2.0, 1L, 20240101, "sell"),
+        (3L, 3.0, 1L, 20240102, "buy"), (4L, 4.0, 1L, 20240102, null)),
+      "id", "etl_seq", cols)
+    assert(TxTable.latest(spark, target)._2.size === 4,
+      "expected one manifest key per distinct tuple")
+
+    def leavesOf(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.inputFiles.map(f => f.split("/__p=")(1).split("/")(0)).toSet
+
+    // exact-tuple pruning: exactly one leaf opens
+    val one = TxTable.snapshotPartitionTuples(spark, target,
+      Seq(Seq(lit(20240101), lit("sell")))).get
+    assert(one.select("id").collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(leavesOf(one).size === 1, "tuple read opened extra leaves")
+
+    // predicate pruning referencing BOTH columns, null excluded
+    val day1 = TxTable.snapshotWhere(spark, target, cols,
+      col("date_id") === 20240101 && col("side").isNotNull).get
+    assert(day1.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(leavesOf(day1).size === 2, "predicate read opened extra leaves")
+    // and the null tuple is addressable too
+    val nulls = TxTable.snapshotWhere(spark, target, cols,
+      col("side").isNull).get
+    assert(nulls.select("id").collect().map(_.getLong(0)).toSet === Set(4L))
+
+    // a one-tuple upsert touches one manifest entry; diff reports the row
+    val before = TxTable.latest(spark, target)._2
+    TxTable.upsert(spark, target, df((2L, 2.5, 2L, 20240101, "sell")),
+      "id", "etl_seq", cols)
+    val after = TxTable.latest(spark, target)._2
+    assert(after.count { case (k, leaf) => before.get(k) != Some(leaf) } === 1,
+      "a single-tuple upsert rewrote more than its own leaf")
+    val d = TxTable.diff(spark, target, 1L, 2L, "id")
+    assert(d.select("change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("update", 2L)))
+
+    // keyed delete emptying one tuple: its manifest key drops
+    TxTable.delete(spark, target,
+      Seq((4L, 20240102, null: String)).toDF("id", "date_id", "side"),
+      "id", cols)
+    assert(TxTable.latest(spark, target)._2.size === 3)
+
+    // vacuum keeps the final state readable
+    TxTable.vacuum(spark, target)
+    assert(TxTable.snapshot(spark, target).get
+      .select("id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      === Set((1L, 1.0), (2L, 2.5), (3L, 3.0)))
   }
 
   test("no-hit pruned reads carry the full post-evolution schema") {
