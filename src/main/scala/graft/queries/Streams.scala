@@ -416,5 +416,103 @@ object Streams {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM fin
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin),
+
+    // The change feed flowing through a REAL Structured Streaming
+    // source (streaming/TxChangeFeedStream): the same four commits as
+    // t20 are spooled — one append-only parquet write per commit, each
+    // row stamped with its version — and a `readStream` file source
+    // tails the spool into a watermarked DAILY-WINDOW aggregate per
+    // change type, the stateful-operator composition the driver-loop
+    // feed (by design) cannot host. Append mode + AvailableNow: a
+    // window emits iff the final watermark (max feed event time − 35
+    // min, advanced by the no-data flush batch) passed its end — the
+    // t11/t17 emission contract, restated in the oracle's WHERE. The
+    // oracle rebuilds the feed itself in SQL (inserts from each
+    // commit's new rows, updates only where the revision actually
+    // changed the value — diff suppresses no-op updates — deletes with
+    // their last-state payload), so the whole chain commit-log → diff →
+    // spool → stream → windowed state is value-checked end-to-end.
+    "t21_stream_feed_window" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txfw").toString
+        val tbl = s"$base/fact"
+        val spoolDir = s"$base/spool"
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+        val d10 = lit("2024-01-10 00:00:00").cast("timestamp")
+        val d15 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val d20 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val d28 = lit("2024-01-28 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") < d15),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= d10 && col("ts") < d20)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") >= d20),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.delete(s, tbl,
+          ev.filter(col("event_type") === "click" && col("ts") >= d28)
+            .select(col("event_id"), col("event_type")),
+          "event_id", "event_type")
+
+        graft.streaming.TxChangeFeedStream.spool(s, tbl, "event_id", spoolDir)
+        val name = s"t21_stream_feed_window_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.TxChangeFeedStream.source(s, spoolDir)
+            .withWatermark("ts", "35 minutes")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("change_type"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.table(name)
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("change_type"), col("cnt"), col("sum_v"))
+          .orderBy(col("day"), col("change_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """WITH feed AS (
+        |  SELECT 'insert' AS change_type, ts, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  UNION ALL
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN 'update' ELSE 'insert' END,
+        |         ts, value * 2
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |    AND (ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |         OR value * 2 IS DISTINCT FROM value)
+        |  UNION ALL
+        |  SELECT 'insert', ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  UNION ALL
+        |  SELECT 'delete', ts, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-28 00:00:00'),
+        |wm AS (SELECT epoch_ms(MAX(ts)) - 35 * 60 * 1000 AS w FROM feed),
+        |g AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, change_type,
+        |         COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM feed GROUP BY 1, 2)
+        |SELECT day, change_type, cnt, sum_v FROM g
+        |WHERE epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+        |      <= (SELECT w FROM wm)
+        |ORDER BY day, change_type""".stripMargin))
 }

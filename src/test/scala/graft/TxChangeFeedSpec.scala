@@ -254,6 +254,36 @@ class TxChangeFeedSpec extends SparkTestBase {
     assert(cursor === 2L)
   }
 
+  test("spooled feed: a readStream source tails exactly the drained commits") {
+    // TxChangeFeedStream bridges the driver-loop feed into Structured
+    // Streaming: each commit appends once to the spool (stamped with
+    // its version), a persisted cursor resumes without replays, and
+    // the spool reads back as a genuine readStream source.
+    import graft.streaming.TxChangeFeedStream
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(target, Seq((1L, 1.5, 2L, 20240101)))
+    val spool = Files.createTempDirectory("graft_cf_spool").toString + "/s"
+    val c1 = TxChangeFeedStream.spool(spark, target, "id", spool)
+    assert(c1 === 2L)
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))
+    val c2 = TxChangeFeedStream.spool(spark, target, "id", spool, fromVersion = c1)
+    assert(c2 === 3L)
+    val byVersion = spark.read.parquet(spool)
+      .groupBy("_commit_version").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byVersion === Map(1L -> 2L, 2L -> 1L, 3L -> 1L),
+      "spool does not hold exactly one batch per commit")
+    val name = "cf_spool_replay"
+    val q = TxChangeFeedStream.source(spark, spool)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).count() === 4L)
+  }
+
   test("reserved control columns in the payload are refused, not corrupted") {
     // mirror/replicate inject _op/_seq into each diff before applyCdc;
     // a source payload already carrying either name would silently
