@@ -966,7 +966,7 @@ object TxTable {
       // _tip hint is not a body at all — it points at the surviving
       // tip and deleting it would only degrade every subsequent
       // latest() probe back to a full listing.
-      if (st.getPath.getName != "_tip" &&
+      if (st.getPath.getName != CommitStore.TipHint &&
           !liveBodies.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         fs.delete(st.getPath, false): Unit
