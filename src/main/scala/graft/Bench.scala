@@ -227,11 +227,39 @@ object Bench {
     // The metric JSON is the bench contract. With 90+ queries the line
     // outgrew the harness's log-tail capture (r4's official total was
     // lost to truncation), so it is persisted to its own file — the
-    // durable artifact — and printed as the first/only stdout line.
+    // durable artifact — and printed as the first stdout line.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outFile, metricJson.getBytes("UTF-8"))
     println(metricJson)
+    // The harness's round artifact keeps only the LAST 2000 chars of
+    // stdout and tries to parse them — which failed every round (the
+    // full line starts ~14KB before the window). Make that window a
+    // valid JSON document on its own: pad it out with newlines, then
+    // end stdout with a compact summary — the headline metrics plus the
+    // slowest queries' (2-decimal) timings, as many as fit the window.
+    // The full 150+-query map cannot fit 2000 chars at any useful
+    // precision; queries_top covers the whole comparable surface (the
+    // omitted tail is sub-~0.5s noise floor) and queries_total records
+    // the cut. Leading whitespace is legal around a JSON document, so
+    // json.loads(tail) now parses whether the harness takes the whole
+    // tail or its last line.
+    val sortedQ = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${math.round(v * 100) / 100.0}" }
+    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},""" +
+      s""""unit":"sec","calib_s":${math.round(calib * 1000) / 1000.0},""" +
+      s""""n_ok":${results.size},"failed":$failedJson,""" +
+      s""""spill_mb_final_pass":$spillMb,"sf":"$sfDir",""" +
+      s""""full":"${outFile.getFileName}","queries_total":${results.size},""" +
+      s""""queries_top":{"""
+    val budget = 1900 - head.length - 2
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    sortedQ.foreach { s =>
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    val compact = head + kept.mkString(",") + "}}"
+    println("\n" * 2100 + compact)
     spark.stop()
   }
 }
