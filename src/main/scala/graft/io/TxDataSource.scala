@@ -1,0 +1,176 @@
+package graft.io
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `graft-tx` — the transactional table exposed through Spark's PUBLIC
+  * data-source seam, so a consumer needs no graft imports at all:
+  *
+  * {{{
+  *   spark.read.format("graft-tx")
+  *     .option("partitionColumns", "day,event_type")
+  *     .load(dir)                              // snapshot, pruned reads
+  *   spark.sql("CREATE TEMPORARY VIEW fact USING `graft-tx` " +
+  *     s"OPTIONS (path '$dir', partitionColumns 'day')")
+  *   df.write.format("graft-tx").mode("append")
+  *     .option("key", "event_id").option("version", "ts")
+  *     .option("partitionColumns", "day").save(dir)   // keyed upsert
+  * }}}
+  *
+  * This is the V1 `RelationProvider`/`PrunedFilteredScan` contract —
+  * the same seam Spark's own JDBC source ships on — chosen over a V2
+  * `TableProvider` deliberately: V2's `Batch` would make this source
+  * re-implement a parquet reader (or smuggle a DataFrame through
+  * internal fallback traits), while V1's `buildScan` lets the inner
+  * plan BE a real parquet scan. Pushed filters reach two levels:
+  * filters over the table's partition columns prune at the MANIFEST
+  * (only matching leaves are planned — [[TxTable.snapshotWhere]], the
+  * hive-pruning replacement that survives 100 TB), and every
+  * translatable filter is re-applied inside the inner scan so parquet
+  * row-group stats and blooms engage. `unhandledFilters` returns
+  * everything: Spark re-evaluates all predicates on top, so pruning is
+  * purely a scan-cost optimization and can never change results. The
+  * boundary does cost the inner plan its columnar hand-off to the
+  * outer stages — the native `TxTable.snapshot*` calls remain the
+  * zero-overhead path; this seam is for plain-Spark consumers.
+  *
+  * Options: `path`; `partitionColumns` (comma list, in the table's
+  * partition order — enables manifest pruning; the log does not record
+  * column names, by the same design as the write-side API);
+  * `versionAsOf` (time travel; disables manifest pruning — historical
+  * manifests are resolved whole, conservatively). Writes support
+  * SaveMode.Append only, as a keyed upsert (`key`, `version`,
+  * `partitionColumns` options) — overwrite/ignore have no one honest
+  * transactional meaning, so they refuse rather than guess.
+  */
+class TxDataSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-tx"
+
+  private def lower(parameters: Map[String, String]): Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+
+  private def pathOf(p: Map[String, String]): String =
+    p.getOrElse("path", throw new IllegalArgumentException(
+      "graft-tx requires a path (load(dir) or OPTIONS (path '…'))"))
+
+  private def partColsOf(p: Map[String, String]): Seq[String] =
+    p.get("partitioncolumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val p = lower(parameters)
+    TxRelation(sqlContext.sparkSession, pathOf(p), partColsOf(p),
+      p.get("versionasof").map(_.toLong))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = lower(parameters)
+    val path = pathOf(p)
+    val parts = partColsOf(p)
+    require(parts.nonEmpty,
+      "graft-tx writes require partitionColumns")
+    mode match {
+      case SaveMode.Append =>
+        val key = p.getOrElse("key", throw new IllegalArgumentException(
+          "graft-tx append requires a 'key' option"))
+        val version = p.getOrElse("version", throw new IllegalArgumentException(
+          "graft-tx append requires a 'version' option"))
+        TxTable.upsert(sqlContext.sparkSession, path, data,
+          key, version, PartitionSpec(parts))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-tx supports SaveMode.Append (keyed upsert) only, got $other")
+    }
+    TxRelation(sqlContext.sparkSession, path, parts, None)
+  }
+}
+
+private[io] case class TxRelation(
+    spark: SparkSession, path: String,
+    partCols: Seq[String], versionAsOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  // buildScan hands back the INNER plan's InternalRows directly — no
+  // per-row Row conversion (the JDBC-relation discipline)
+  override val needConversion: Boolean = false
+
+  private def snap: DataFrame = versionAsOf match {
+    case Some(v) => TxTable.snapshotAt(spark, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx: version $v of $path is not readable (vacuumed or never committed)"))
+    case None => TxTable.snapshot(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx: $path holds no committed TxTable"))
+  }
+
+  // one mergeSchema footer pass at resolve time — the same resolution
+  // a snapshot read performs
+  override val schema: StructType = snap.schema
+
+  // Spark re-applies EVERY predicate above this scan: pushdown here is
+  // a cost optimization (manifest pruning + inner parquet skipping),
+  // never a correctness contract
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    // manifest pruning: the AND of the exactly-translatable filters
+    // that reference ONLY partition columns. Dropping an untranslatable
+    // conjunct at this top level only WEAKENS the predicate (reads a
+    // superset — safe); inside a translated filter the conversion is
+    // exact, so a Not can never widen into wrongness.
+    val prunable = filters.toSeq
+      .filter(f => f.references.nonEmpty && f.references.forall(partCols.contains))
+      .flatMap(TxRelation.translate)
+    val base =
+      if (prunable.isEmpty || partCols.isEmpty || versionAsOf.isDefined) snap
+      else TxTable.snapshotWhere(spark, path, PartitionSpec(partCols),
+        prunable.reduce(_ && _)).getOrElse(snap.limit(0))
+    // re-apply every translatable filter INSIDE the inner scan so the
+    // parquet reader's row-group stats / blooms / dictionary filters
+    // see them (the outer re-application catches whatever remains)
+    val filtered = filters.toSeq.flatMap(TxRelation.translate)
+      .foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+private[io] object TxRelation {
+
+  /** Exact source-Filter → Column translation: None when any part of
+    * the tree has no engine spelling (an And is NOT weakened here —
+    * weakening must only ever happen at buildScan's top level, where
+    * dropping a conjunct reads a superset; inside a Not it would read
+    * the wrong rows). */
+  private[io] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => translate(c).map(!_)
+    case And(l, r) => for { a <- translate(l); b <- translate(r) } yield a && b
+    case Or(l, r) => for { a <- translate(l); b <- translate(r) } yield a || b
+    case _ => None
+  }
+}

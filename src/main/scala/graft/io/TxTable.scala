@@ -655,6 +655,129 @@ object TxTable {
       s"TxTable.delete lost the commit race $maxRetries times on $targetDir")
   }
 
+  /** Transactional `MERGE INTO` — [[graft.ops.Merge.mergeInto]]'s
+    * conditional update/delete/insert clauses committed as ONE version,
+    * O(touched) like every commit: only the partitions the (key-unique)
+    * `source` touches are read and rewritten, clause expressions
+    * reference `t.<col>` / `s.<col>`, and a partition the DELETE clause
+    * empties tombstones out exactly like [[delete]]. `source` must
+    * carry the row's `partitionCol` (the key→partition stability
+    * contract), `updateSet` must not reassign the key or a partition
+    * column (a row may not migrate partitions), and schemas align
+    * across an evolution commit the same way [[upsert]]'s do. A merge
+    * where nothing updates, deletes, or inserts publishes no version.
+    */
+  def merge(
+      spark: SparkSession, targetDir: String, source: DataFrame,
+      key: String, partitionCol: PartitionSpec,
+      updateSet: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+      updateCond: org.apache.spark.sql.Column = lit(true),
+      deleteCond: Option[org.apache.spark.sql.Column] = None,
+      insertCond: Option[org.apache.spark.sql.Column] = Some(lit(true)),
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val reassigned = updateSet.map(_._1).toSet
+    val frozen = partitionCol.cols.toSet + key
+    require(reassigned.intersect(frozen).isEmpty,
+      s"merge updateSet must not reassign key/partition columns: " +
+        s"${reassigned.intersect(frozen)}")
+    val batch = source.withColumn(PKey, keyExpr(partitionCol))
+      .localCheckpoint(true)
+    val touched = touchedOf(batch, partitionCol)
+    val touchedKeys = touched.keys.toIndexedSeq
+    if (touchedKeys.isEmpty) return
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
+      // like applyCdc, the merge ALWAYS runs — an absent partition is
+      // an empty target (only the INSERT clause can land rows there),
+      // never a write-the-batch shortcut (clauses must filter it)
+      val existing0 =
+        if (existingDirs.nonEmpty)
+          spark.read.option("mergeSchema", "true")
+            .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
+            .withColumn(PKey, keyExpr(partitionCol))
+            .filter(col(PKey).isInCollection(touchedKeys))
+        else batch.limit(0)
+      val (e2, b2) = alignSchemas(existing0, batch)
+      val merged = Merge.mergeInto(
+        e2, b2, key, updateSet, updateCond, deleteCond, insertCond)
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
+      val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          k -> Entry(s"$stageRel/$leaf", touched.get(k))
+        }
+      // a touched partition that exists but staged nothing was emptied
+      // by the DELETE clause — tombstone it; one that never existed and
+      // staged nothing had its inserts filtered — skip it
+      val staged = stagedLeaves.toMap ++
+        touchedKeys.filterNot(stagedLeaves.map(_._1).toSet)
+          .filter(entries.contains)
+          .map(_ -> Entry(Tombstone, None))
+      if (staged.isEmpty) {
+        fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+        return
+      }
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries, staged)) return
+      fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.merge lost the commit race $maxRetries times on $targetDir")
+  }
+
+  /** Commit history: (version, kind) ascending from 1 to the tip —
+    * kind ∈ "delta" | "checkpoint", or "vacuumed" where retention has
+    * reclaimed the body. Bodies are O(touched partitions), so the walk
+    * costs one small read per retained version — an operational probe,
+    * not a data path. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    val (tip, _) = store.latest(log)
+    (1L to tip).map(v => v -> store.at(log, v).map(kindOf).getOrElse("vacuumed"))
+  }
+
+  /** Roll the table back: publish a NEW commit whose state is exactly
+    * `version`'s — time travel made durable. The rolled-back versions
+    * stay readable (nothing is rewritten or deleted; history is
+    * append-only), [[diff]] across the restore commit reports exactly
+    * the rows it reverted, and the change feed replays it like any
+    * other commit. Data files are immutable, so the restored manifest
+    * points at leaves that still exist whenever `version` is within
+    * vacuum retention — IllegalState when it was vacuumed or never
+    * committed. The body is a full checkpoint (self-contained: the
+    * restored state must not depend on the delta chain it bypasses). */
+  def restore(
+      spark: SparkSession, dir: String, version: Long,
+      maxRetries: Int = 10): Unit = {
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    val restored = resolveAt(store, log, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version of $dir is not restorable (vacuumed or never committed)"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      if (store.tryCommit(log, v + 1, render("checkpoint", restored))) return
+    }
+    throw new IllegalStateException(
+      s"TxTable.restore lost the commit race $maxRetries times on $dir")
+  }
+
   /** The shared optimistic-commit loop: snapshot → merge (strategy
     * supplied by the caller) → single-job staging → CAS → loser
     * cleanup + retry. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,77 @@ object Merge {
       .select(col(key) +: payloadCols.map(c =>
         when(col("_op").isNotNull, col(s"_c_$c"))
           .otherwise(col(s"_t_$c")).as(c)): _*)
+  }
+
+  /** General `MERGE INTO` — the full conditional-clause form the keyed
+    * specializations above are instances of: a target and a key-unique
+    * source reconcile in ONE full-outer join, and per-row clause
+    * conditions decide update / delete / insert / pass-through. Clause
+    * expressions reference the two sides as `t.<col>` / `s.<col>`
+    * (the frames are joined under those aliases), and a condition that
+    * evaluates to NULL counts as not-satisfied — SQL WHERE semantics,
+    * matching how the public table formats evaluate MERGE conditions.
+    *
+    * Clause precedence on a matched key: DELETE is tested first, then
+    * UPDATE, else the target row passes through unchanged. A source
+    * row with no match inserts iff `insertCond` is present and holds
+    * (columns absent from the source insert as NULL — the schema-
+    * evolution posture [[graft.io.TxTable.merge]] pre-aligns away).
+    * Target rows with no source match always survive.
+    *
+    * The source must be key-unique (the same contract the public MERGE
+    * implementations enforce): a duplicate source key would fan its
+    * target row out — dedup upstream ([[applyCdc]]'s seq-argmax is the
+    * usual spelling). Scale shape: one shuffle of each side on the
+    * join key; Spark broadcasts a small source automatically, and the
+    * transactional wrapper bounds the target side to the partitions
+    * the source touches.
+    *
+    * @param updateSet  assignments applied when matched and
+    *                   `updateCond` holds; unlisted columns keep the
+    *                   target's value. Empty = no UPDATE clause.
+    * @param insertCond None = no INSERT clause (unmatched source rows
+    *                   drop); `Some(lit(true))` = unconditional insert.
+    */
+  def mergeInto(
+      target: DataFrame, source: DataFrame, key: String,
+      updateSet: Seq[(String, Column)] = Seq.empty,
+      updateCond: Column = lit(true),
+      deleteCond: Option[Column] = None,
+      insertCond: Option[Column] = Some(lit(true))): DataFrame = {
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSet
+    require(!tCols.contains("_t_present") && !sCols.contains("_s_present"),
+      "mergeInto reserves _t_present/_s_present marker names")
+    val unknown = updateSet.map(_._1).filterNot(tCols.contains)
+    require(unknown.isEmpty, s"updateSet names non-target columns: $unknown")
+    require(!updateSet.exists(_._1 == key), s"updateSet must not reassign key '$key'")
+    // presence markers, not key-null checks: a NULL join key lands both
+    // sides' rows in the unmatched branches (equality never matches
+    // NULL) and the markers classify them correctly
+    val t = target.withColumn("_t_present", lit(true)).as("t")
+    val s = source.withColumn("_s_present", lit(true)).as("s")
+    val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val matched = col("t._t_present").isNotNull && col("s._s_present").isNotNull
+    val sOnly = col("t._t_present").isNull
+    def holds(c: Column): Column = coalesce(c, lit(false))
+    val keep = when(matched, deleteCond.fold(lit(true))(d => !holds(d)))
+      .when(sOnly, insertCond.fold(lit(false))(holds))
+      .otherwise(lit(true)) // target-only rows always survive
+    val updating =
+      if (updateSet.isEmpty) lit(false) else matched && holds(updateCond)
+    val assign = updateSet.toMap
+    val outCols = tCols.map { c =>
+      if (c == key) coalesce(col(s"t.$key"), col(s"s.$key")).as(key)
+      else {
+        val insVal = if (sCols.contains(c)) col(s"s.$c") else lit(null)
+        when(updating, assign.getOrElse(c, col(s"t.$c")))
+          .when(sOnly, insVal)
+          .otherwise(col(s"t.$c"))
+          .as(c)
+      }
+    }
+    joined.filter(keep).select(outCols: _*)
   }
 
   /** Column-merging upsert keyed by name: keep existing non-null column

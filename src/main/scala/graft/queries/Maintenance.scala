@@ -419,5 +419,164 @@ object Maintenance {
         |FROM rev r JOIN b1 USING (event_id)
         |WHERE r.value IS DISTINCT FROM b1.value
         |   OR r.event_type IS DISTINCT FROM b1.event_type
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin),
+
+    // General transactional MERGE INTO under the oracle gate: a
+    // bootstrap slice lands in a TxTable, then ONE merge commit carries
+    // all three conditional clauses at once — matched 'view' rows
+    // DELETE, other matched rows UPDATE only when the source value
+    // beats the target's, unmatched source rows INSERT only when
+    // positive — and the aggregate reads the post-merge snapshot. The
+    // oracle restates the clause algebra as a FULL OUTER JOIN + CASE
+    // (what MERGE desugars to). O(touched): only the partitions the
+    // source touches are read/rewritten; tombstoning and clause edges
+    // are spec'd in TxMergeRestoreSpec.
+    "x_tx_merge" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txmg").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        val lo = lit("2024-01-15 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-26 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") < cut).drop("ts"),
+          "event_id", "value", "event_type")
+        graft.io.TxTable.merge(s, tbl,
+          ev.filter(col("ts") >= lo && col("ts") < hi)
+            .withColumn("value", col("value") * 3).drop("ts"),
+          key = "event_id", partitionCol = "event_type",
+          updateSet = Seq("value" -> col("s.value")),
+          updateCond = col("s.value") > col("t.value"),
+          deleteCond = Some(col("s.event_type") === "view"),
+          insertCond = Some(col("s.value") > 0))
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """WITH t AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |s AS (
+        |  SELECT event_id, event_type, value * 3 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-26 00:00:00'),
+        |m AS (
+        |  SELECT
+        |    COALESCE(t.event_type, s.event_type) AS event_type,
+        |    CASE WHEN t.event_id IS NOT NULL AND s.event_id IS NOT NULL
+        |         THEN CASE WHEN s.value > t.value THEN s.value ELSE t.value END
+        |         WHEN t.event_id IS NOT NULL THEN t.value
+        |         ELSE s.value END AS value
+        |  FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+        |  WHERE NOT (t.event_id IS NOT NULL AND s.event_id IS NOT NULL
+        |             AND s.event_type = 'view')
+        |    AND (t.event_id IS NOT NULL OR s.value > 0))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM m GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // Durable rollback under the oracle gate: bootstrap → a revision
+    // upsert mutates days 10–20 — then TxTable.restore publishes a NEW
+    // commit that is bit-exactly the bootstrap state, and the aggregate
+    // reads the post-restore snapshot. The oracle recomputes from the
+    // BOOTSTRAP slice alone: if restore leaked any of the revision (or
+    // failed to land as a commit) the hash breaks. History stays
+    // append-only — the rolled-back version remains time-travel-readable
+    // (spec'd in TxMergeRestoreSpec alongside diff-across-the-restore).
+    "x_tx_restore" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txr").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-20 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") < cut),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= lo && col("ts") < hi)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.restore(s, tbl, 1L)
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // The graft-tx DATA-SOURCE seam under the oracle gate: the table
+    // lands through the plain `df.write.format("graft-tx")` path (a
+    // keyed upsert) and reads back through `spark.read.format` with a
+    // day-range predicate — Catalyst pushes the filter into the V1
+    // relation, which prunes at the MANIFEST (snapshotWhere) before
+    // the inner parquet scan ever plans; a consumer needs zero graft
+    // imports. The never-opens-non-matching-leaves proof and the
+    // Not-translation edge live in TxFormatSpec.
+    "x_tx_format" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txf").toString
+        val tbl = s"$base/fact"
+        Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+          .write.format("graft-tx")
+          .option("key", "event_id").option("version", "event_id")
+          .option("partitionColumns", "day")
+          .mode("append").save(tbl)
+        val out = s.read.format("graft-tx")
+          .option("partitionColumns", "day").load(tbl)
+          .filter(col("day") >= "2024-01-05" && col("day") < "2024-01-12")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') <  '2024-01-12'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
 }

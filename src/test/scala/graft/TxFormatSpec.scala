@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.TxTable
+import org.apache.spark.sql.functions._
+
+/** The `graft-tx` data-source seam (io/TxDataSource): plain-Spark
+  * reads/writes of a TxTable with pushed filters pruning at the
+  * manifest — including the only proof that matters for pruning (a
+  * pruned read never touches non-matching leaves: their files can be
+  * GONE and the read still answers) and the translation edge a weakened
+  * Not would get wrong.
+  */
+class TxFormatSpec extends SparkTestBase {
+
+  private def seed(prefix: String): String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory(prefix).toString + "/fact"
+    val rows = Seq(
+      (1L, "2024-01-01", "click", 10.0),
+      (2L, "2024-01-01", "view", 20.0),
+      (3L, "2024-01-02", "click", 30.0),
+      (4L, "2024-01-02", "purchase", 40.0),
+      (5L, "2024-01-03", "view", 50.0))
+      .toDF("id", "day", "event_type", "v")
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    dir
+  }
+
+  test("format read equals the native snapshot; filters and projection behave") {
+    val s = spark
+    val dir = seed("graft_fmt_rt")
+    val viaFormat = s.read.format("graft-tx")
+      .option("partitionColumns", "day").load(dir)
+    val native = TxTable.snapshot(s, dir).get
+    assert(viaFormat.select("id", "day", "event_type", "v")
+      .orderBy("id").collect().toSeq ==
+      native.select("id", "day", "event_type", "v")
+        .orderBy("id").collect().toSeq)
+    // range + equality filters, pruned + residual together
+    val got = viaFormat
+      .filter(col("day") >= "2024-01-02" && col("v") < 45.0)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 4L))
+  }
+
+  test("a pruned read never opens non-matching leaves: their files can be gone") {
+    val s = spark
+    val dir = seed("graft_fmt_prune")
+    // resolve the relation (schema pass) while every leaf is alive
+    val df = s.read.format("graft-tx")
+      .option("partitionColumns", "day").load(dir)
+    // destroy days 02/03 AT THE FILE LEVEL (not a table operation):
+    // only manifest pruning can keep a day-01 read alive now
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val (v, _) = TxTable.latest(s, dir)
+    assert(v == 1L)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val commitDirs = fs.listStatus(dataDir).map(_.getPath)
+    val leaves = commitDirs.flatMap(d => fs.listStatus(d).map(_.getPath))
+      .filter(_.getName.startsWith("__p="))
+    assert(leaves.length == 3) // one per day
+    // keep exactly the leaf holding day 01 (probe each by reading it)
+    val keep = leaves.filter { p =>
+      s.read.parquet(p.toString).filter(col("day") === "2024-01-01").count() > 0
+    }
+    assert(keep.length == 1)
+    leaves.filterNot(keep.contains).foreach(p => fs.delete(p, true))
+
+    val pruned = df.filter(col("day") === "2024-01-01")
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(pruned.toSeq == Seq(1L, 2L))
+    // the unpruned read genuinely needs those leaves — it must fail
+    intercept[Exception] { df.select("id").collect() }
+  }
+
+  test("Not over partition columns translates exactly (never weakened)") {
+    val s = spark
+    val dir = seed("graft_fmt_not")
+    val df = s.read.format("graft-tx")
+      .option("partitionColumns", "day").load(dir)
+    val got = df.filter(!(col("day") === "2024-01-01" || col("day") === "2024-01-03"))
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 4L))
+  }
+
+  test("versionAsOf reads history; SQL view over the format works") {
+    val s = spark; import s.implicits._
+    val dir = seed("graft_fmt_sql")
+    TxTable.upsert(s, dir,
+      Seq((1L, "2024-01-01", "click", 999.0)).toDF("id", "day", "event_type", "v"),
+      "id", "v", "day")
+    val v1 = s.read.format("graft-tx")
+      .option("partitionColumns", "day").option("versionAsOf", "1").load(dir)
+    assert(v1.filter(col("id") === 1L).select("v").head().getDouble(0) == 10.0)
+
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW fmt_fact USING `graft-tx`
+      OPTIONS (path '$dir', partitionColumns 'day')""")
+    val viaSql = s.sql(
+      "SELECT sum(v) AS sv FROM fmt_fact WHERE day = '2024-01-01'")
+      .head().getDouble(0)
+    assert(viaSql == 999.0 + 20.0)
+  }
+
+  test("append writes are keyed upserts; other save modes refuse") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_fmt_w").toString + "/fact"
+    def w(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("id", "day", "v").write.format("graft-tx")
+        .mode("append")
+        .option("key", "id").option("version", "v")
+        .option("partitionColumns", "day")
+    w(Seq((1L, "d1", 1.0), (2L, "d2", 2.0))).save(dir)
+    w(Seq((1L, "d1", 10.0), (3L, "d1", 3.0))).save(dir) // 1 upserts, 3 inserts
+    val out = s.read.format("graft-tx").load(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+    intercept[Exception] {
+      Seq((9L, "d1", 9.0)).toDF("id", "day", "v").write.format("graft-tx")
+        .mode("overwrite")
+        .option("key", "id").option("version", "v")
+        .option("partitionColumns", "day").save(dir)
+    }
+  }
+}
