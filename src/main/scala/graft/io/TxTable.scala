@@ -944,6 +944,79 @@ object TxTable {
       files.length > math.max(1L, (total + targetBytes - 1) / targetBytes)
     }
 
+  /** Global clustering rewrite — the transactional OPTIMIZE ZORDER:
+    * every live leaf is rewritten with rows clustered on the Morton
+    * curve of (`xCol`, `yCol`), as ONE rows-preserving maintenance
+    * commit through the same CAS as any writer ([[diff]] across it
+    * emits nothing — its correctness probe). [[Layout]]'s per-file
+    * sort ([[compactFiles]] preserves it) gives zone maps on the sort
+    * column only; this is the complementary move when TWO independent
+    * probe columns matter and only one dimension can own the directory
+    * partitioning — each row group's (x, y) bounding box comes out
+    * tight in both coordinates, so a range probe on either column
+    * skips ~√G of G groups (the SortedWriter.writeZOrdered layout,
+    * landed transactionally). Mechanics: one 4-value stats pass bounds
+    * the 16-bit bucket scale (at lake scale these come from table
+    * metadata), a range repartition on (partition key, z) hands each
+    * task a contiguous z-slice so FILES get tight bounds too, and the
+    * z column drops out of the written schema. `layout` contributes
+    * blooms/row-group sizing only — its `sortCols` are ignored (the
+    * z-cluster IS the sort; a secondary sort would undo it). */
+  def optimizeZOrder(
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
+      xCol: String, yCol: String, layout: Layout = Layout.none,
+      maxRetries: Int = 10): Unit = {
+    val fs = fsOf(spark, dir)
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      if (v == 0) return
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      if (entries.isEmpty) return
+      val all = spark.read.option("mergeSchema", "true")
+        .parquet(entries.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .withColumn(PKey, keyExpr(partitionCol))
+      val statsRow = all.agg(
+        min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+        min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+      def bound(i: Int): Double =
+        if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
+      val (xmin, xmax, ymin, ymax) = (bound(0), bound(1), bound(2), bound(3))
+      def bucket(c: Column, lo: Double, hi: Double): Column =
+        if (hi > lo)
+          floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535).cast("int")
+        else lit(0)
+      val zCol = Iterator.from(0).map(i => s"__z$i")
+        .find(n => !all.columns.contains(n)).get
+      val n = math.max(spark.sparkContext.defaultParallelism, entries.size)
+      val clustered = all
+        .withColumn(zCol, SortedWriter.zvalue(
+          bucket(col(xCol), xmin, xmax), bucket(col(yCol), ymin, ymax)))
+        .repartitionByRange(n, col(PKey), col(zCol))
+        .sortWithinPartitions(col(PKey), col(zCol))
+        .drop(zCol)
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      writeLaidOut(clustered, layout.copy(sortCols = Nil), s"$dir/$stageRel")
+      val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          // rows-preserving rewrite: the partition value rides over
+          k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
+        }
+      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
+      fs.delete(new Path(s"$dir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.optimizeZOrder lost the commit race $maxRetries times on $dir")
+  }
+
   private def compactWhere(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       layout: Layout, maxRetries: Int, op: String)(

@@ -578,5 +578,47 @@ object Maintenance {
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') <  '2024-01-12'
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // Transactional OPTIMIZE ZORDER under the oracle gate: events land
+    // in a TxTable, one rows-preserving maintenance commit re-clusters
+    // every leaf on the (value, event_id) Morton curve — the layout
+    // that serves range probes on BOTH columns when only one dimension
+    // can own the partitioning — and a post-optimize value-range probe
+    // aggregates the snapshot. The oracle recomputes from raw events:
+    // any row the rewrite dropped, duplicated, or mutated breaks the
+    // hash. The physical claim (tight per-row-group bounding boxes,
+    // diff-to-nothing) is measured on footers in TxOptimizeSpec.
+    "x_tx_optimize" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txz").toString
+        val tbl = s"$base/fact"
+        graft.io.TxTable.upsert(s, tbl,
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_id", "event_id", "event_type")
+        graft.io.TxTable.optimizeZOrder(s, tbl, "event_type",
+          "value", "event_id")
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .filter(col("value") >= 100.0 && col("value") < 400.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        def rmr(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(base))
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE value >= 100.0 AND value < 400.0
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }
