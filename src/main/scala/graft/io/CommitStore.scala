@@ -69,6 +69,16 @@ object CommitStore {
     * tip — correctness never depends on the hint. */
   private[io] val TipHint = "_tip"
 
+  /** Immutable table-metadata slot (`_graft_log/_meta`): written once
+    * by the table's first committer (create-if-absent — a racing
+    * second writer re-reads and verifies), never rewritten, skipped by
+    * vacuum and by version parsing. Records what the manifest bodies
+    * deliberately don't: the partition COLUMN NAMES, so (a) a writer
+    * passing a different PartitionSpec fails loudly instead of
+    * silently double-keying the table, and (b) format-level readers
+    * can prune without being told the columns. */
+  private[io] val MetaFile = "_meta"
+
   private[io] def parseTip(lines: Seq[String]): Option[Long] =
     lines.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
       .map(_.toLong).filter(_ >= 1L)

@@ -38,10 +38,11 @@ import org.apache.spark.sql.types.StructType
   * zero-overhead path; this seam is for plain-Spark consumers.
   *
   * Options: `path`; `partitionColumns` (comma list, in the table's
-  * partition order — enables manifest pruning; the log does not record
-  * column names, by the same design as the write-side API);
-  * `versionAsOf` (time travel; disables manifest pruning — historical
-  * manifests are resolved whole, conservatively). Writes support
+  * partition order — normally UNNECESSARY: the table's `_meta` slot
+  * records its partition columns and the reader prunes from that; an
+  * explicit option must agree with the record, and only carries
+  * pre-meta tables); `versionAsOf` (time travel; disables manifest
+  * pruning — historical manifests are resolved whole, conservatively). Writes support
   * SaveMode.Append only, as a keyed upsert (`key`, `version`,
   * `partitionColumns` options) — overwrite/ignore have no one honest
   * transactional meaning, so they refuse rather than guess.
@@ -67,8 +68,25 @@ class TxDataSource
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val p = lower(parameters)
-    TxRelation(sqlContext.sparkSession, pathOf(p), partColsOf(p),
-      p.get("versionasof").map(_.toLong))
+    val path = pathOf(p)
+    val spark = sqlContext.sparkSession
+    // partition columns: the table's own _meta record by default — a
+    // reader shouldn't have to be told what the table already knows.
+    // An explicit option must AGREE with the record (a mismatch means
+    // a misconfigured caller whose "pruned" reads would silently scan
+    // everything or, worse, prune on the wrong identity).
+    val recorded = TxTable.partitionColumnsOf(spark, path)
+    val explicit = partColsOf(p)
+    val parts = (recorded, explicit) match {
+      case (Some(r), e) if e.nonEmpty =>
+        require(e == r, s"graft-tx: $path records partition columns " +
+          s"${r.mkString("(", ", ", ")")} but the option passed " +
+          s"${e.mkString("(", ", ", ")")}")
+        r
+      case (Some(r), _) => r
+      case (None, e) => e // pre-meta table: the option is all we have
+    }
+    TxRelation(spark, path, parts, p.get("versionasof").map(_.toLong))
   }
 
   override def createRelation(

@@ -257,6 +257,61 @@ object TxTable {
     CommitStore.forPath(fsOf(spark, dir), log).latest(log)._1
   }
 
+  /** The partition columns recorded in the table's `_meta` slot — None
+    * for tables created before the slot existed (or whose first commit
+    * raced a filesystem that refused the create). The names are
+    * hex-armored on disk (vhex), so any legal column name round-trips. */
+  def partitionColumnsOf(spark: SparkSession, dir: String): Option[Seq[String]] =
+    readMeta(fsOf(spark, dir), dir)
+
+  private def metaPath(dir: String): Path =
+    new Path(s"$dir/$LogDir/${CommitStore.MetaFile}")
+
+  private def readMeta(fs: FileSystem, dir: String): Option[Seq[String]] = {
+    val p = metaPath(dir)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.linesIterator.map(_.trim).find(_.startsWith("partitionColumns\t"))
+        .map(l => vhexSplit(l.split('\t')(1)))
+    } catch { case _: java.io.IOException => None } // advisory slot
+  }
+
+  /** Enforce (and on first contact record) the table's partition spec:
+    * a writer whose `spec` disagrees with the recorded columns would
+    * derive DIFFERENT manifest keys for the same rows — the table
+    * double-keys and every read duplicates — so the mismatch must fail
+    * loudly at commit time, not surface as wrong rows later. The slot
+    * is create-if-absent: a racing second creator re-reads and
+    * verifies; an FS that refuses the write degrades to the pre-slot
+    * behavior (no enforcement), never to a failed commit. */
+  private def ensureSpec(fs: FileSystem, dir: String, spec: PartitionSpec): Unit = {
+    readMeta(fs, dir) match {
+      case Some(recorded) =>
+        require(recorded == spec.cols,
+          s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
+            s"but this writer passed ${spec.cols.mkString("(", ", ", ")")} — " +
+            "a mismatched spec would double-key the table")
+      case None =>
+        val body = s"partitionColumns\t${vhexJoin(spec.cols)}\n"
+        try {
+          val out = fs.create(metaPath(dir), false)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            readMeta(fs, dir).foreach(recorded => require(recorded == spec.cols,
+              s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
+                s"but this writer passed ${spec.cols.mkString("(", ", ", ")")}"))
+          case _: java.io.IOException => () // advisory: never fail a commit over it
+        }
+    }
+  }
+
   private def latestEntries(spark: SparkSession, dir: String): (Long, Map[String, Entry]) = {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
@@ -536,6 +591,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, targetDir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -614,6 +670,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, targetDir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -689,6 +746,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, targetDir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -798,6 +856,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, targetDir, partitionCol)
 
     var attempt = 0
     var committed = false
@@ -969,6 +1028,7 @@ object TxTable {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, dir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -1024,6 +1084,7 @@ object TxTable {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, dir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -1159,10 +1220,12 @@ object TxTable {
       // grace applies here too: a rename-store writer's .tmp body (or a
       // symlink-store body written microseconds before its CAS) must
       // not be reclaimed from under an in-flight commit. The advisory
-      // _tip hint is not a body at all — it points at the surviving
-      // tip and deleting it would only degrade every subsequent
-      // latest() probe back to a full listing.
+      // _tip and _meta are not bodies at all — the hint points at the
+      // surviving tip (deleting it would only degrade every subsequent
+      // latest() probe back to a full listing) and the meta slot is
+      // the table's immutable partition-spec record.
       if (st.getPath.getName != CommitStore.TipHint &&
+          st.getPath.getName != CommitStore.MetaFile &&
           !liveBodies.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         fs.delete(st.getPath, false): Unit

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.TxTable
+import org.apache.spark.sql.functions._
+
+/** The `_meta` partition-spec record (io/TxTable.ensureSpec): a table's
+  * first committer records its partition columns; every later writer is
+  * held to them — the failure this buys is loud (commit-time require)
+  * where the unrecorded failure mode was silent double-keying (two
+  * specs derive different manifest keys for the same rows, so the table
+  * duplicates on read). Plus the reader-side payoff: graft-tx prunes
+  * without being told the columns.
+  */
+class TxMetaSpec extends SparkTestBase {
+
+  private def rows = {
+    val s = spark; import s.implicits._
+    Seq((1L, "2024-01-01", "click", 10.0), (2L, "2024-01-02", "view", 20.0))
+      .toDF("id", "day", "event_type", "v")
+  }
+
+  test("first commit records the spec; a mismatched writer fails loudly on every DML and maintenance verb") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_meta").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    assert(TxTable.partitionColumnsOf(s, dir).contains(Seq("day")))
+
+    val batch = Seq((3L, "2024-01-03", "click", 30.0))
+      .toDF("id", "day", "event_type", "v")
+    intercept[IllegalArgumentException] {
+      TxTable.upsert(s, dir, batch, "id", "v", "event_type")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.delete(s, dir, batch.select("id", "event_type"),
+        "id", "event_type")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.merge(s, dir, batch, "id", "event_type")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.compactFiles(s, dir, "event_type", maxFilesPerLeaf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.optimizeZOrder(s, dir, "event_type", "v", "id")
+    }
+    // multi-column mismatch (same first column) is equally fatal
+    intercept[IllegalArgumentException] {
+      TxTable.upsert(s, dir, batch, "id", "v", Seq("day", "event_type"))
+    }
+    // the matching spec still commits
+    TxTable.upsert(s, dir, batch, "id", "v", "day")
+    assert(TxTable.snapshot(s, dir).get.count() == 3)
+  }
+
+  test("multi-column specs record and round-trip; vacuum preserves the slot") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_meta_mc").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", Seq("day", "event_type"))
+    assert(TxTable.partitionColumnsOf(s, dir)
+      .contains(Seq("day", "event_type")))
+    (1 to 3).foreach { i =>
+      TxTable.upsert(s, dir,
+        Seq((10L + i, "2024-01-05", "click", i.toDouble))
+          .toDF("id", "day", "event_type", "v"),
+        "id", "v", Seq("day", "event_type"))
+    }
+    TxTable.vacuum(s, dir, retainVersions = 1)
+    assert(TxTable.partitionColumnsOf(s, dir)
+      .contains(Seq("day", "event_type")))
+    // enforcement survives the vacuum
+    intercept[IllegalArgumentException] {
+      TxTable.upsert(s, dir, rows, "id", "v", "day")
+    }
+  }
+
+  test("graft-tx reads prune from the record with no partitionColumns option; a disagreeing option refuses") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_meta_fmt").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    // option handling first (relations resolve their schema over every
+    // live leaf, so these must run before the deletion below)
+    intercept[IllegalArgumentException] {
+      s.read.format("graft-tx")
+        .option("partitionColumns", "event_type").load(dir)
+    }
+    // an AGREEING explicit option is fine
+    assert(s.read.format("graft-tx")
+      .option("partitionColumns", "day").load(dir)
+      .filter(col("day") === "2024-01-01").count() == 1)
+
+    // no option: the record supplies the columns — prove pruning the
+    // honest way, by deleting the non-matching leaf's files
+    val df = s.read.format("graft-tx").load(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val leaves = fs.listStatus(dataDir).map(_.getPath)
+      .flatMap(d => fs.listStatus(d).map(_.getPath))
+      .filter(_.getName.startsWith("__p="))
+    assert(leaves.length == 2)
+    val keep = leaves.filter { p =>
+      s.read.parquet(p.toString).filter(col("day") === "2024-01-01").count() > 0
+    }
+    leaves.filterNot(keep.contains).foreach(p => fs.delete(p, true))
+    val pruned = df.filter(col("day") === "2024-01-01")
+      .select("id").collect().map(_.getLong(0))
+    assert(pruned.toSeq == Seq(1L))
+  }
+
+  test("pre-meta tables stay writable and readable (no record, no enforcement)") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_meta_old").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    // simulate a table created before the slot existed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_log/_meta"), false))
+    assert(TxTable.partitionColumnsOf(s, dir).isEmpty)
+    // next commit re-records (first contact), and reads keep working
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    assert(TxTable.partitionColumnsOf(s, dir).contains(Seq("day")))
+    assert(TxTable.snapshot(s, dir).get.count() == 2)
+  }
+}
