@@ -24,14 +24,14 @@ object Corpus {
   /** BM25 parameters (Robertson-Walker defaults) and the fixed query
     * term set. k1 = 1.2, b = 0.75 appear pre-folded in the score
     * fragment: 2.2 = k1 + 1, 0.25 = 1 − b, 0.75 = b. */
-  private val Terms = Seq("spark", "join", "vector")
+  private[queries] val Terms = Seq("spark", "join", "vector")
 
   /** One BM25 score fragment, shared verbatim by both engines (it only
     * references SELECT-level aliases: tf_*, df_*, dl, n_docs,
     * total_tokens). Fixed left-to-right addition, one final round(…,6):
     * every double op is an IEEE-deterministic scalar expression — no
     * double ever goes through an order-sensitive aggregation. */
-  private val Bm25Score: String = Terms
+  private[queries] val Bm25Score: String = Terms
     .map(t => s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)" +
       s" * (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / (total_tokens / n_docs)))")
     .mkString("round(", "\n      + ", ", 6)")

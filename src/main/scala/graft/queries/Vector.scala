@@ -305,6 +305,97 @@ object Vector {
     // Brute-force cosine top-k: the exact-recall ANN baseline. The
     // query set broadcasts; the corpus is scanned once with the scoring
     // in whole-stage codegen, then per-query top-k via ranked window.
+    // Hybrid retrieval — the RAG-stack fusion every serious corpus
+    // search runs: the SAME document ranked by BM25 (the production
+    // x_bm25 scoring body, shared via Corpus.Bm25Score — derived
+    // queries must exercise the production spelling) and by exact
+    // cosine against a query vector, the two top-50 lists fused with
+    // reciprocal-rank fusion (k=60, the published constant). Scale
+    // shape: each side is ONE corpus scan plus a tiny broadcast
+    // (3-term stats / a 1-row query vector); per-side top-k is a
+    // distributed TakeOrdered heap, NOT a global window (PlanShape's
+    // single-task ban) — ranks inside the k-row result come from a
+    // bounded k×k better-than join (count-of-better + 1 ≡ ROW_NUMBER,
+    // duplicate-free by the id tiebreak), so nothing rank-related ever
+    // sees corpus-sized data. Both engines rank the same bit-identical
+    // rounded scores, so ranks — and the fused RRF doubles — match
+    // exactly.
+    "x_hybrid_retrieval" -> Q(
+      (s, dir) => {
+        val k = 50
+        val d = Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("dl", size(col("t")))
+        val aggCols = Seq(count(lit(1)).as("n_docs"),
+            sum(col("dl")).cast("double").as("total_tokens")) ++
+          Corpus.Terms.map(t =>
+            sum(when(array_contains(col("t"), t), 1).otherwise(0)).as(s"df_$t"))
+        val stats = d.agg(aggCols.head, aggCols.tail: _*)
+        val lexScored = Corpus.Terms
+          .foldLeft(d.crossJoin(broadcast(stats))) { (df, t) =>
+            df.withColumn(s"tf_$t", expr(s"size(filter(t, w -> w = '$t'))"))
+          }
+          .withColumn("score", expr(Corpus.Bm25Score))
+          .filter(Corpus.Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+          .select(col("doc_id").as("id"), col("score"))
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val qv = e.filter(col("vec_id") === 3).select(col("embedding").as("q_emb"))
+        val vecScored = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 3)
+          .select(col("vec_id").as("id"),
+            VectorOps.cosine(col("q_emb"), col("embedding")).as("score"))
+        def topRanks(scored: DataFrame, rankName: String): DataFrame = {
+          val top = scored.orderBy(col("score").desc, col("id").asc)
+            .limit(k).localCheckpoint(true)
+          val other = top.select(col("id").as("o_id"), col("score").as("o_s"))
+          top.join(broadcast(other),
+              col("o_s") > col("score") ||
+                (col("o_s") === col("score") && col("o_id") < col("id")),
+              "left")
+            .groupBy(col("id"))
+            .agg((count(col("o_id")) + 1).cast("int").as(rankName))
+        }
+        topRanks(lexScored, "r_lex")
+          .join(topRanks(vecScored, "r_vec"), Seq("id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("id").asc)
+          .limit(20)
+          .select(col("id").as("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+      }, {
+        val dfAggs = Corpus.Terms
+          .map(t => s"SUM(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$t")
+          .mkString(",\n           |   ")
+        val tfCols = Corpus.Terms
+          .map(t => s"CAST(len(list_filter(t, w -> w = '$t')) AS INT) AS tf_$t")
+          .mkString(",\n           |   ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |dd AS (SELECT doc_id, t, CAST(len(t) AS INT) AS dl FROM d),
+           |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_tokens,
+           |   $dfAggs
+           |   FROM dd),
+           |sc AS (SELECT doc_id, dl,
+           |   $tfCols,
+           |   n_docs, total_tokens, ${Corpus.Terms.map(t => s"df_$t").mkString(", ")}
+           |   FROM dd CROSS JOIN stats),
+           |lex AS (SELECT doc_id AS id, ${Corpus.Bm25Score} AS score
+           |        FROM sc WHERE ${Corpus.Terms.map(t => s"tf_$t").mkString(" + ")} > 0),
+           |lr0 AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS INT) AS r_lex FROM lex),
+           |lr AS (SELECT * FROM lr0 WHERE r_lex <= 50),
+           |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 3),
+           |vec AS (SELECT e.vec_id AS id, ${dCos("q.q_emb", "e.embedding")} AS score
+           |        FROM embeddings e CROSS JOIN q WHERE e.vec_id != 3),
+           |vr0 AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS INT) AS r_vec FROM vec),
+           |vr AS (SELECT * FROM vr0 WHERE r_vec <= 50),
+           |f AS (SELECT COALESCE(lr.id, vr.id) AS doc_id, lr.r_lex, vr.r_vec,
+           |        COALESCE(CAST(1 AS DOUBLE) / (60 + lr.r_lex), CAST(0 AS DOUBLE))
+           |        + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.r_vec), CAST(0 AS DOUBLE)) AS rrf
+           |      FROM lr FULL OUTER JOIN vr ON lr.id = vr.id)
+           |SELECT doc_id, r_lex, r_vec, rrf FROM f
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
     "x_ann_brute" -> Q(
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")

@@ -54,6 +54,9 @@ class PlanShapeSpec extends SparkTestBase {
     // a constant-size side; everything else must plan hash/sort-merge
     // joins.
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
+      // hybrid fusion: BM25-stats + 1-row query-vector broadcasts, and
+      // the bounded k×k better-than rank join on the top-k frames
+      "x_hybrid_retrieval",
       "x_lm_score", "x_dataset_card", "x_tfidf", "x_oov_rate",
       "j16_basket_pairs", "x_dataset_mix", "x_hard_negative",
       "x_filter_yield",
