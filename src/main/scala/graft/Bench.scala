@@ -246,17 +246,28 @@ object Bench {
     // tail or its last line.
     val sortedQ = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${math.round(v * 100) / 100.0}" }
+    // the failed list is CAPPED here (count + first few names): a
+    // mass-failure round would otherwise blow the head past the
+    // capture window and cut the front off the JSON — unparseable in
+    // exactly the round where the summary matters most
+    val failedCompact = failedNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},""" +
       s""""unit":"sec","calib_s":${math.round(calib * 1000) / 1000.0},""" +
-      s""""n_ok":${results.size},"failed":$failedJson,""" +
+      s""""n_ok":${results.size},"failed_n":${failedNames.size},""" +
+      s""""failed_top":$failedCompact,""" +
       s""""spill_mb_final_pass":$spillMb,"sf":"$sfDir",""" +
       s""""full":"${outFile.getFileName}","queries_total":${results.size},""" +
       s""""queries_top":{"""
     val budget = 1900 - head.length - 2
+    // strict prefix of the slowest-first order (stop at the first
+    // non-fit): queries_top must BE the slowest N, not "whatever fit"
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
+    var full = false
     sortedQ.foreach { s =>
-      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+      if (!full && used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+      else full = true
     }
     val compact = head + kept.mkString(",") + "}}"
     println("\n" * 2100 + compact)

@@ -81,7 +81,10 @@ object CommitStore {
 
   private[io] def parseTip(lines: Seq[String]): Option[Long] =
     lines.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong).filter(_ >= 1L)
+      // Try, not toLong: an all-digit hint longer than Long range is
+      // still "unparseable garbage → fall back to the listing", not a
+      // NumberFormatException out of every latest() call
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ >= 1L)
 
   /** Test seam: force a specific store for any log dir under a path
     * prefix. Prefix-scoped (not global) so suites running in parallel
@@ -154,11 +157,19 @@ object SymlinkCommitStore extends CommitStore {
     val hinted =
       try CommitStore.parseTip(Files.readAllLines(hintPath, UTF_8).asScala.toSeq)
       catch { case _: java.io.IOException => None }
-    hinted.filter(v => at(logDir, v).isDefined).map { start =>
+    // existence probes are STATS, not body reads: the probe loop must
+    // not fetch (potentially checkpoint-sized) manifest bodies just to
+    // test presence — only the final tip body is read, once
+    hinted.filter(v => slotLive(log, v)).map { start =>
       var v = start
-      while (at(logDir, v + 1).isDefined) v += 1
+      while (slotLive(log, v + 1)) v += 1
       (v, readSlot(log.resolve(CommitStore.slotName(v))))
     }
+  }
+
+  private def slotLive(log: java.nio.file.Path, version: Long): Boolean = {
+    val slot = log.resolve(CommitStore.slotName(version))
+    Files.isSymbolicLink(slot) && Files.exists(slot)
   }
 
   override def at(logDir: String, version: Long): Option[Seq[String]] = {
@@ -244,11 +255,13 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
           finally in.close()
         }
       } catch { case _: java.io.IOException => None }
-    hinted.filter(v => at(logDir, v).isDefined).map { start =>
-      var v = start
-      while (at(logDir, v + 1).isDefined) v += 1
-      (v, readSlot(new Path(log, CommitStore.slotName(v))))
-    }
+    // fs.exists is one HEAD per probe; at() would GET each body
+    hinted.filter(v => fs.exists(new Path(log, CommitStore.slotName(v))))
+      .map { start =>
+        var v = start
+        while (fs.exists(new Path(log, CommitStore.slotName(v + 1)))) v += 1
+        (v, readSlot(new Path(log, CommitStore.slotName(v))))
+      }
   }
 
   /** Best-effort advisory hint, written after the CAS won. A torn read

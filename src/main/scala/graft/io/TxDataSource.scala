@@ -133,9 +133,12 @@ private[io] case class TxRelation(
         s"graft-tx: $path holds no committed TxTable"))
   }
 
-  // one mergeSchema footer pass at resolve time — the same resolution
-  // a snapshot read performs
-  override val schema: StructType = snap.schema
+  // one mergeSchema footer pass on FIRST ACCESS — the same resolution
+  // a snapshot read performs. Lazy, not eager: the write path returns
+  // this relation after an append, and an EMPTY append to a fresh path
+  // is a documented no-op that must not crash on "no committed
+  // TxTable" just because the relation was constructed.
+  override lazy val schema: StructType = snap.schema
 
   // Spark re-applies EVERY predicate above this scan: pushdown here is
   // a cost optimization (manifest pruning + inner parquet skipping),

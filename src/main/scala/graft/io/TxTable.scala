@@ -721,9 +721,13 @@ object TxTable {
     * carry the row's `partitionCol` (the key→partition stability
     * contract), `updateSet` must not reassign the key or a partition
     * column (a row may not migrate partitions), and schemas align
-    * across an evolution commit the same way [[upsert]]'s do. A merge
-    * where nothing updates, deletes, or inserts publishes no version.
-    */
+    * across an evolution commit the same way [[upsert]]'s do. An empty
+    * source, or one whose touched partitions don't exist and whose
+    * inserts all filter out, publishes no version; a merge that
+    * touches an EXISTING partition rewrites it (and commits) even when
+    * no clause fires — change detection would cost a comparison pass
+    * per commit, so scoping the source to rows that matter is the
+    * caller's lever, exactly as it is for upsert. */
   def merge(
       spark: SparkSession, targetDir: String, source: DataFrame,
       key: String, partitionCol: PartitionSpec,
@@ -1028,12 +1032,15 @@ object TxTable {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, dir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
       val (v, _) = store.latest(log)
       if (v == 0) return
+      // AFTER the emptiness guard: maintenance on a never-committed
+      // path must stay a pure no-op — recording a (possibly typo'd)
+      // spec here would lock out the table's real first writer
+      ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       if (entries.isEmpty) return
@@ -1084,12 +1091,13 @@ object TxTable {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, dir, partitionCol)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
       val (v, _) = store.latest(log)
       if (v == 0) return
+      // after the emptiness guard — see optimizeZOrder
+      ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val needy = entries.filter { case (_, e) =>

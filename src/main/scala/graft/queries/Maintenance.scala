@@ -154,12 +154,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,
@@ -206,12 +201,7 @@ object Maintenance {
           .select(col("event_id"), col("event_type"), col("value"))
           .orderBy(col("event_id"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """WITH b1 AS (
@@ -252,12 +242,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,
@@ -299,12 +284,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("day"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
@@ -348,12 +328,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,
@@ -397,12 +372,7 @@ object Maintenance {
             col("value"))
           .orderBy(col("event_id"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """WITH b1 AS (
@@ -458,12 +428,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """WITH t AS (
@@ -521,12 +486,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,
@@ -564,12 +524,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,
@@ -607,12 +562,7 @@ object Maintenance {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT event_type, COUNT(*) AS n,

@@ -147,12 +147,7 @@ object Streams {
             graft.streaming.IncrementalStream.readState(s, s"$base/state", keys))
           .orderBy(col("day"), col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -393,12 +388,7 @@ object Streams {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
           .orderBy(col("day"), col("event_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """WITH st AS (
@@ -478,12 +468,7 @@ object Streams {
             col("change_type"), col("cnt"), col("sum_v"))
           .orderBy(col("day"), col("change_type"))
           .localCheckpoint(true)
-        def rmr(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(base))
+        rmrf(base)
         out
       },
       """WITH feed AS (

@@ -15,6 +15,20 @@ package object queries {
     def apply(fn: QueryFn, oracle: String): Q = Q(fn, Some(oracle))
   }
 
+  /** Recursive temp-dir cleanup for queries that materialize scratch
+    * state (TxTables, spools, stream checkpoints) during construction:
+    * call AFTER the result frame is localCheckpoint'ed — a bench run
+    * invokes each query several times and must not leak /tmp state.
+    * One definition, not a per-query copy. */
+  def rmrf(dir: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(go)
+      f.delete(): Unit
+    }
+    go(new java.io.File(dir))
+  }
+
   /** Shared DuckDB oracle fragment: the events→fact star mapping
     * (mirrors graft.ops.GoldModel.fact — keep the two in lockstep).
     * Tehran wall-clock keying like the reference

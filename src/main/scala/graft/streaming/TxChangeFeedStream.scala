@@ -35,11 +35,19 @@ object TxChangeFeedStream {
     * persist the cursor, and the spool stays an exact, ordered copy of
     * the feed. Idempotence contract is the cursor (same as
     * [[TxChangeFeed.drain]]): never re-spool a version already landed. */
+  /** The stamp column is injected into every spooled row; a payload
+    * already carrying the name would be silently overwritten — the same
+    * reserved-name discipline as mirror/replicate's _op/_seq. */
+  private def requireNoStampCollision(d: DataFrame): Unit =
+    require(!d.columns.contains("_commit_version"),
+      "change-feed payload carries reserved column _commit_version — rename it upstream")
+
   def spool(
       spark: SparkSession, dir: String, key: String,
       spoolDir: String, fromVersion: Long = 0L): Long = {
     var cursor = fromVersion
     TxChangeFeed.drain(spark, dir, key, fromVersion).foreach { case (v, d) =>
+      requireNoStampCollision(d)
       d.withColumn("_commit_version", lit(v))
         .write.mode("append").parquet(spoolDir)
       cursor = v
@@ -56,15 +64,19 @@ object TxChangeFeedStream {
       fromVersion: Long, pollMs: Long, stop: () => Boolean): Long =
     TxChangeFeed.follow(spark, dir, key, fromVersion, pollMs, stop) {
       (v, d) =>
+        requireNoStampCollision(d)
         d.withColumn("_commit_version", lit(v))
           .write.mode("append").parquet(spoolDir)
     }
 
   /** The streaming SOURCE over a spool: a real `readStream` the full
     * stateful-operator surface composes with. Schema is pinned from
-    * the spooled files (file sources require an explicit schema). */
+    * the spooled files (file sources require an explicit schema) —
+    * with mergeSchema, because a schema-widening commit's diff spools
+    * the widened columns and a single-footer schema pick would
+    * silently drop them from every streamed row. */
   def source(spark: SparkSession, spoolDir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(spoolDir).schema)
+      .schema(spark.read.option("mergeSchema", "true").parquet(spoolDir).schema)
       .parquet(spoolDir)
 }

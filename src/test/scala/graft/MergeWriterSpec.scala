@@ -395,6 +395,10 @@ class MergeWriterSpec extends SparkTestBase {
     assert(SymlinkCommitStore.latest(log)._1 === 30L)
     java.nio.file.Files.write(tip, java.util.List.of("not-a-version"))
     assert(SymlinkCommitStore.latest(log)._1 === 30L)
+    // all-digit but beyond Long range: unparseable garbage → fallback,
+    // never a NumberFormatException out of latest()
+    java.nio.file.Files.write(tip, java.util.List.of("99999999999999999999999"))
+    assert(SymlinkCommitStore.latest(log)._1 === 30L)
     java.nio.file.Files.delete(tip)
     assert(SymlinkCommitStore.latest(log)._1 === 30L)
 

@@ -311,5 +311,47 @@ class TxChangeFeedSpec extends SparkTestBase {
     val exD = intercept[IllegalArgumentException](
       TxTable.diff(spark, src2, 0L, 1L, "id").collect())
     assert(exD.getMessage.contains("change_type"))
+    // the spool stamps _commit_version the same way
+    val src3 = freshTable()
+    TxTable.upsert(spark, src3,
+      Seq((1L, 1.0, 9L, 1L, 20240101))
+        .toDF("id", "price", "_commit_version", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    val exS = intercept[IllegalArgumentException](
+      graft.streaming.TxChangeFeedStream.spool(
+        spark, src3, "id", freshTable()))
+    assert(exS.getMessage.contains("_commit_version"))
+  }
+
+  test("a schema-widening commit's spooled columns survive into the stream source") {
+    // source() pins the file-source schema from the spool; a
+    // single-footer pick could land on a pre-widening file and
+    // silently drop the widened column from every streamed row — the
+    // pin must be the mergeSchema resolution.
+    val s = spark
+    import s.implicits._
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    val spool = Files.createTempDirectory("graft_cf_wide").toString + "/s"
+    val c1 = graft.streaming.TxChangeFeedStream.spool(spark, target, "id", spool)
+    TxTable.upsert(spark, target,
+      Seq((2L, 2.0, 2L, 20240101, "hello"))
+        .toDF("id", "price", "etl_seq", "date_id", "note"),
+      "id", "etl_seq", "date_id")
+    graft.streaming.TxChangeFeedStream.spool(
+      spark, target, "id", spool, fromVersion = c1)
+    val src = graft.streaming.TxChangeFeedStream.source(spark, spool)
+    assert(src.schema.fieldNames.contains("note"),
+      s"widened column lost from the stream schema: ${src.schema.fieldNames.toSeq}")
+    val name = "cf_spool_widened"
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val notes = spark.table(name)
+      .filter(col("id") === 2L).select("note")
+      .collect().map(_.getString(0))
+    assert(notes.toSeq == Seq("hello"))
   }
 }

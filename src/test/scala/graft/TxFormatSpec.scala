@@ -124,4 +124,18 @@ class TxFormatSpec extends SparkTestBase {
         .option("partitionColumns", "day").save(dir)
     }
   }
+
+  test("an EMPTY append to a fresh path is a no-op, not a crash") {
+    // TxTable.upsert documents empty batches as no-ops (an hour with
+    // zero events must not fail the pipeline); the format seam must
+    // not break that by eagerly resolving the returned relation's
+    // schema against a table that was never created.
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_fmt_empty").toString + "/fact"
+    Seq.empty[(Long, String, Double)].toDF("id", "day", "v")
+      .write.format("graft-tx").mode("append")
+      .option("key", "id").option("version", "v")
+      .option("partitionColumns", "day").save(dir)
+    assert(TxTable.latestVersion(s, dir) == 0L)
+  }
 }

@@ -109,6 +109,19 @@ class TxMetaSpec extends SparkTestBase {
     assert(pruned.toSeq == Seq(1L))
   }
 
+  test("maintenance on a never-committed path records NOTHING") {
+    // a typo'd compactFiles/optimizeZOrder against a path whose table
+    // doesn't exist yet must stay a pure no-op — recording the wrong
+    // spec would lock out the table's real first writer
+    val s = spark
+    val dir = Files.createTempDirectory("graft_meta_fresh").toString + "/fact"
+    TxTable.compactFiles(s, dir, "wrong_col", maxFilesPerLeaf = 1)
+    TxTable.optimizeZOrder(s, dir, "wrong_col", "v", "id")
+    assert(TxTable.partitionColumnsOf(s, dir).isEmpty)
+    TxTable.upsert(s, dir, rows, "id", "v", "day") // the REAL first writer
+    assert(TxTable.partitionColumnsOf(s, dir).contains(Seq("day")))
+  }
+
   test("pre-meta tables stay writable and readable (no record, no enforcement)") {
     val s = spark
     val dir = Files.createTempDirectory("graft_meta_old").toString + "/fact"
