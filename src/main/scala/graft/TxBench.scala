@@ -42,6 +42,41 @@ object TxBench {
       }
       rmr(new java.io.File(base))
     }
+
+    // Round-11 verbs on the full-month table (~31 day partitions):
+    // merge must cost about an upsert of the same touched span (same
+    // read + one join + one staged write + CAS); optimize is a full
+    // rewrite by construction (its cost IS the table size — measured
+    // so PLANS can say it, not argue it); the format read must cost a
+    // pruned snapshot.
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("txbench_r11").toString
+      val tbl = s"$base/fact"
+      graft.io.TxTable.upsert(spark, tbl, ev, "event_id", "value", "day")
+      val src = ev.filter(col("day") >= "2024-01-10" && col("day") < "2024-01-20")
+        .withColumn("value", col("value") * 3)
+      val t0 = System.nanoTime()
+      graft.io.TxTable.merge(spark, tbl, src, "event_id", "day",
+        updateSet = Seq("value" -> col("s.value")),
+        updateCond = col("s.value") > col("t.value"),
+        deleteCond = Some(col("s.event_type") === "view"))
+      val mergeS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.io.TxTable.optimizeZOrder(spark, tbl, "day", "value", "event_id")
+      val optS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val n = spark.read.format("graft-tx").load(tbl)
+        .filter(col("day") >= "2024-01-05" && col("day") < "2024-01-08")
+        .count()
+      val fmtS = (System.nanoTime() - t2) / 1e9
+      println(f"merge(10d)_s=$mergeS%.2f optimize(full)_s=$optS%.2f " +
+        f"format_pruned_read_s=$fmtS%.2f rows_read=$n")
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(base))
+    }
     spark.stop()
   }
 }
