@@ -15,6 +15,13 @@ package graft.io
   *    any ordering the sort doesn't own.
   *  - `rowGroupBytes`: row-group granularity — smaller groups, finer
   *    skipping, more footer; probe-heavy tables want 8–32 MB.
+  *  - `optimizeWrite`: shuffle the staged batch onto the partition key
+  *    before writing, so each output partition is written by one task
+  *    → ONE file per leaf per commit instead of (tasks × leaves) —
+  *    the public table formats' optimized-write move. Costs one extra
+  *    exchange per commit; buy it on WIDE commits (many touched
+  *    partitions per batch), where the default shape's small-file debt
+  *    (every task touching every leaf) outruns compaction.
   *
   * `Layout.none` (the default everywhere) writes exactly as before:
   * layout is opt-in per table, because the sort costs CPU at write time
@@ -24,8 +31,10 @@ case class Layout(
     sortCols: Seq[String] = Nil,
     bloomCols: Seq[String] = Nil,
     bloomNdv: Long = 1L << 20,
-    rowGroupBytes: Option[Long] = None) {
-  def isNone: Boolean = sortCols.isEmpty && bloomCols.isEmpty && rowGroupBytes.isEmpty
+    rowGroupBytes: Option[Long] = None,
+    optimizeWrite: Boolean = false) {
+  def isNone: Boolean =
+    sortCols.isEmpty && bloomCols.isEmpty && rowGroupBytes.isEmpty && !optimizeWrite
 
   /** The layout with sort/bloom columns restricted to `columns` — for
     * callers that apply one layout across tables of different schemas

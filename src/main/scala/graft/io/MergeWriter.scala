@@ -73,9 +73,13 @@ object MergeWriter {
     * partition column satisfies FileFormatWriter's required ordering,
     * so the writer inserts no second (order-destroying) sort and the
     * secondary sort survives into the files' row-group stats. */
-  private def laidOut(df: DataFrame, partitionCol: String, layout: Layout): DataFrame =
-    if (layout.sortCols.isEmpty) df
-    else df.sortWithinPartitions((partitionCol +: layout.sortCols).map(col): _*)
+  private def laidOut(df: DataFrame, partitionCol: String, layout: Layout): DataFrame = {
+    // optimizeWrite: one task per touched partition → one file per
+    // leaf (see Layout) — the same knob TxTable.writeLaidOut honors
+    val placed = if (layout.optimizeWrite) df.repartition(col(partitionCol)) else df
+    if (layout.sortCols.isEmpty) placed
+    else placed.sortWithinPartitions((partitionCol +: layout.sortCols).map(col): _*)
+  }
 
   private def configured(
       w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],

@@ -744,6 +744,19 @@ object TxTable {
         s"${reassigned.intersect(frozen)}")
     val batch = source.withColumn(PKey, keyExpr(partitionCol))
       .localCheckpoint(true)
+    // a duplicate source key would FAN OUT its target row through the
+    // full-outer join — silent duplication, the one merge failure mode
+    // worse than a crash. The check is one aggregate over the already-
+    // materialized batch (batch-sized, never table-sized), the same
+    // contract the public MERGE implementations enforce at run time.
+    // (null keys exempt: equality never matches them, so each inserts
+    // independently and none can fan a target row out)
+    val dup = batch.filter(col(key).isNotNull)
+      .groupBy(col(key)).count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source is not key-unique on '$key' (e.g. ${dup.head.get(0)}) — " +
+        "dedup upstream (seq-argmax) before merging")
     val touched = touchedOf(batch, partitionCol)
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return
@@ -933,9 +946,13 @@ object TxTable {
     * so the secondary layout sort survives into the files (the
     * MergeWriter.laidOut discipline). */
   private def writeLaidOut(df: DataFrame, layout: Layout, path: String): Unit = {
+    // optimizeWrite: co-locate each partition's rows in one task before
+    // the write — one file per leaf per commit instead of
+    // (tasks × leaves); one extra exchange, the wide-commit trade
+    val placed = if (layout.optimizeWrite) df.repartition(col(PKey)) else df
     val sorted =
-      if (layout.sortCols.isEmpty) df
-      else df.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)
+      if (layout.sortCols.isEmpty) placed
+      else placed.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)
     val w0 = sorted.write.mode("error")
     val w1 = layout.rowGroupBytes.fold(w0)(b => w0.option("parquet.block.size", b))
     layout.bloomCols.foldLeft(w1) { (acc, c) =>
@@ -1068,7 +1085,11 @@ object TxTable {
         .drop(zCol)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(clustered, layout.copy(sortCols = Nil), s"$dir/$stageRel")
+      // sortCols AND optimizeWrite stripped: the z-range repartition +
+      // sort above IS this write's placement — a hash re-shuffle here
+      // would undo the clustering it exists to lay down
+      writeLaidOut(clustered,
+        layout.copy(sortCols = Nil, optimizeWrite = false), s"$dir/$stageRel")
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))

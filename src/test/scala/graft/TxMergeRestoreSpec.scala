@@ -117,6 +117,46 @@ class TxMergeRestoreSpec extends SparkTestBase {
     assert(TxTable.latestVersion(s, dir) == 2L)
   }
 
+  test("TxTable.merge refuses a duplicate-key source (null keys exempt)") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_tx_merge_dup").toString + "/fact"
+    TxTable.upsert(s, dir, target, "id", "v", "p")
+    // a duplicate key would fan its target row out through the join —
+    // silent duplication, worse than the crash this buys
+    val dup = Seq((1L, "a", 5.0), (1L, "a", 6.0)).toDF("id", "p", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.merge(s, dir, dup, "id", "p", updateSet = Seq("v" -> col("s.v")))
+    }
+    assert(ex.getMessage.contains("key-unique"))
+    // null keys never match anything: two of them are two inserts, not
+    // a fan-out — they stay legal
+    val nulls = Seq((Option.empty[Long], "a", 5.0), (Option.empty[Long], "a", 6.0))
+      .toDF("id", "p", "v")
+    TxTable.merge(s, dir, nulls, "id", "p")
+    assert(TxTable.snapshot(s, dir).get.filter(col("id").isNull).count() == 2)
+  }
+
+  test("optimizeWrite stages ONE file per leaf on a wide fragmented commit") {
+    val s = spark; import s.implicits._
+    import graft.io.Layout
+    val dir = Files.createTempDirectory("graft_tx_ow").toString + "/fact"
+    // 6-way repartitioned batch over 4 partitions: the default shape
+    // writes up to 6 files per leaf; optimizeWrite collapses to 1
+    val batch = (1L to 400L)
+      .map(i => (i, s"p${i % 4}", i.toDouble)).toDF("id", "p", "v")
+      .repartition(6)
+    TxTable.upsert(s, dir, batch, "id", "v", "p",
+      layout = Layout(optimizeWrite = true))
+    val leaves = TxTable.latest(s, dir)._2.values
+    leaves.foreach { leaf =>
+      val files = new java.io.File(dir, leaf)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"optimizeWrite left $files files in $leaf")
+    }
+    // rows intact
+    assert(TxTable.snapshot(s, dir).get.count() == 400)
+  }
+
   test("TxTable.merge refuses to reassign key or partition columns") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_tx_merge_req").toString + "/fact"
