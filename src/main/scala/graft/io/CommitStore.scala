@@ -129,7 +129,16 @@ object SymlinkCommitStore extends CommitStore {
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = Paths.get(logDir)
     if (!Files.isDirectory(log)) return (0L, Nil)
-    hintedLatest(logDir, log).getOrElse {
+    // the WHOLE hinted probe is best-effort: a concurrent vacuum can
+    // delete a slot (or its body) between the existence stat and the
+    // final readSlot, surfacing as NoSuchFileException mid-probe. The
+    // full listing below only ever picks the MAX slot, which vacuum
+    // never deletes — so any I/O failure on the hint path falls back
+    // there instead of escaping a latest() call.
+    val hinted =
+      try hintedLatest(logDir, log)
+      catch { case _: java.io.IOException => None }
+    hinted.getOrElse {
       fullListings.incrementAndGet()
       // Files.list holds a directory handle until closed — this runs on
       // every snapshot resolve and commit attempt, so leaking it would
@@ -227,7 +236,13 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
   override def latest(logDir: String): (Long, Seq[String]) = {
     val log = new Path(logDir)
     if (!fs.exists(log)) return (0L, Nil)
-    hintedLatest(logDir, log).getOrElse {
+    // best-effort like the symlink store: a vacuum racing the probe
+    // can delete the hinted slot between exists() and readSlot() —
+    // fall back to the listing (whose max slot vacuum never touches)
+    val hinted =
+      try hintedLatest(logDir, log)
+      catch { case _: java.io.IOException => None }
+    hinted.getOrElse {
       val versions = fs.listStatus(log).toSeq
         .flatMap(s => CommitStore.versionOf(s.getPath.getName).map(_ -> s.getPath))
       if (versions.isEmpty) (0L, Nil)

@@ -87,6 +87,29 @@ object SortedWriter {
     shiftleft(part1by1(y).cast("long"), 1)
       .bitwiseOR(part1by1(x).cast("long"))
 
+  /** N-dimensional Morton interleave: bit `b*N + i` of the result is
+    * bit `b` of column `i` — the [[zvalue]] layout generalized. 16 bits
+    * per dimension, so up to 4 dimensions fit one long (and 4 is past
+    * the point where Z-order pays anyway: each added dimension thins
+    * every dimension's share of the row-group bounding box, the
+    * standard lake-format guidance of 2–3 Z-columns). The 2-D call
+    * takes the magic-mask fast path; the general form is a plain
+    * bit-gather — 16 shift/and/or triples per dimension, all codegen'd
+    * long arithmetic. */
+  def zvalueN(cols: Seq[Column]): Column = cols match {
+    case Seq(single) => single.cast("long").bitwiseAND(lit(0xFFFFL))
+    case Seq(x, y) => zvalue(x, y)
+    case cs =>
+      require(cs.size <= 4, s"z-order supports 1-4 columns, got ${cs.size}")
+      val n = cs.size
+      cs.zipWithIndex.map { case (c, i) =>
+        val x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+        (0 until 16).map(b =>
+          shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), b * n + i): Column)
+          .reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` clustered on the Z-curve of TWO columns.
     *
     * A single-column sort gives perfect row-group skipping on that

@@ -301,6 +301,16 @@ object TxTable {
           val out = fs.create(metaPath(dir), false)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          // re-read-and-verify after a SUCCESSFUL create too:
+          // create(overwrite=false) is check-then-create on local and
+          // most object-store FSs, so two racing first writers with
+          // different specs can both slip past the check — whichever
+          // content actually landed is the table's spec, and a writer
+          // whose spec lost that race must fail here, not double-key
+          readMeta(fs, dir).foreach(recorded => require(recorded == spec.cols,
+            s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
+              s"but this writer passed ${spec.cols.mkString("(", ", ", ")")} — " +
+              "a racing first writer recorded a different spec"))
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.nio.file.FileAlreadyExistsException =>
@@ -356,6 +366,18 @@ object TxTable {
   def snapshotPartitionTuples(
       spark: SparkSession, dir: String,
       values: Seq[Seq[Column]]): Option[DataFrame] = {
+    // arity check against the recorded _meta spec: a wrong-arity tuple
+    // (or a single-column call on a multi-column table) computes keys
+    // in the WRONG ENCODING and would silently return the empty frame —
+    // the same loud failure the write verbs give a mismatched spec
+    readMeta(fsOf(spark, dir), dir).foreach { recorded =>
+      values.find(_.size != recorded.size).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
+            s"but this read passed a ${bad.size}-column partition tuple — " +
+            "a mismatched spec would double-key the table")
+      }
+    }
     val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
     val keys = spark.range(1)
@@ -394,9 +416,34 @@ object TxTable {
   def snapshotWhere(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       pred: Column): Option[DataFrame] = {
+    // the predicate is evaluated over a frame whose columns are NAMED
+    // from the caller's spec — a spec disagreeing with the recorded
+    // one (swapped order, wrong names) would bind the stored values to
+    // the wrong columns and prune WRONG (missing rows, not just
+    // unpruned) — so the mismatch fails loudly like the write verbs
+    readMeta(fsOf(spark, dir), dir).foreach(recorded =>
+      require(recorded == partitionCol.cols,
+        s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
+          s"but this read passed ${partitionCol.cols.mkString("(", ", ", ")")} — " +
+          "a mismatched spec would prune on the wrong identity"))
     val (_, entries) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
-    val n = partitionCol.cols.size
+    val hit = entriesWhere(spark, entries, partitionCol, pred)
+    if (hit.nonEmpty) Some(read(spark, dir, hit))
+    else Some(emptyWithSnapshotSchema(spark, dir, entries))
+  }
+
+  /** The manifest-level predicate pruning [[snapshotWhere]] reads
+    * through, shared with the `where`-scoped maintenance verbs: the
+    * entries whose recorded partition VALUE satisfies `pred`, evaluated
+    * ENGINE-side over a manifest-sized frame (one string column per
+    * partition column, named after it). Entries predating the value
+    * field (or written under a different column count) are INCLUDED —
+    * conservative, correctness over pruning. */
+  private def entriesWhere(
+      spark: SparkSession, entries: Map[String, Entry],
+      spec: PartitionSpec, pred: Column): Map[String, Entry] = {
+    val n = spec.cols.size
     val (known, unknown) = entries.partition(
       _._2.vhex.exists(_.split(",", -1).length == n))
     val hitKeys: Set[String] =
@@ -406,7 +453,7 @@ object TxTable {
           org.apache.spark.sql.Row.fromSeq(k +: vhexSplit(e.vhex.get))
         }
         val schema = org.apache.spark.sql.types.StructType(
-          ("__k" +: partitionCol.cols).map(c =>
+          ("__k" +: spec.cols).map(c =>
             org.apache.spark.sql.types.StructField(
               c, org.apache.spark.sql.types.StringType, nullable = true)))
         spark.createDataFrame(
@@ -414,9 +461,7 @@ object TxTable {
           .filter(pred)
           .select("__k").collect().map(_.getString(0)).toSet
       }
-    val hit = entries.filter { case (k, e) => hitKeys(k) || unknown.contains(k) }
-    if (hit.nonEmpty) Some(read(spark, dir, hit))
-    else Some(emptyWithSnapshotSchema(spark, dir, entries))
+    entries.filter { case (k, _) => hitKeys(k) || unknown.contains(k) }
   }
 
   /** Time travel: the table exactly as committed at `version`. Data
@@ -1002,9 +1047,9 @@ object TxTable {
   def compactFiles(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       maxFilesPerLeaf: Int = 4, layout: Layout = Layout.none,
-      maxRetries: Int = 10): Unit =
-    compactWhere(spark, dir, partitionCol, layout, maxRetries, "compactFiles")(
-      files => files.length > maxFilesPerLeaf)
+      maxRetries: Int = 10, where: Option[Column] = None): Unit =
+    compactWhere(spark, dir, partitionCol, layout, maxRetries, "compactFiles",
+      where)(files => files.length > maxFilesPerLeaf)
 
   /** [[compactFiles]] with a BYTE threshold instead of a file count —
     * the transactional face of Compaction.compact's `targetBytes`
@@ -1017,9 +1062,9 @@ object TxTable {
   def compactSmallFiles(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       targetBytes: Long, layout: Layout = Layout.none,
-      maxRetries: Int = 10): Unit =
+      maxRetries: Int = 10, where: Option[Column] = None): Unit =
     compactWhere(spark, dir, partitionCol, layout, maxRetries,
-      "compactSmallFiles") { files =>
+      "compactSmallFiles", where) { files =>
       val total = files.map(_.getLen).sum
       files.length > math.max(1L, (total + targetBytes - 1) / targetBytes)
     }
@@ -1045,7 +1090,37 @@ object TxTable {
   def optimizeZOrder(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       xCol: String, yCol: String, layout: Layout = Layout.none,
-      maxRetries: Int = 10): Unit = {
+      maxRetries: Int = 10): Unit =
+    optimizeZOrderBy(spark, dir, partitionCol, Seq(xCol, yCol), layout, maxRetries)
+
+  /** [[optimizeZOrder]] generalized on both axes the public formats'
+    * `OPTIMIZE … WHERE … ZORDER BY (…)` has:
+    *
+    *  - `cols`: 1–4 clustering columns — the Morton interleave
+    *    ([[SortedWriter.zvalueN]]) generalizes, at the usual lake
+    *    guidance that each added dimension thins every dimension's
+    *    share of the bounding box (2–3 columns is the sweet spot).
+    *  - `where`: a predicate over the PARTITION columns bounding the
+    *    rewrite set at the MANIFEST (the [[snapshotWhere]] pruning,
+    *    shared code): only matching leaves are read, re-clustered, and
+    *    re-staged; every other manifest entry — and its file identity —
+    *    is untouched, and a lost CAS race re-stages only the scoped
+    *    set. This is what makes OPTIMIZE operable at 100 TB: an
+    *    unscoped rewrite is one world-sized commit that doubles table
+    *    storage transiently and starves under any concurrent writer,
+    *    while `where`-scoped runs (yesterday's partitions, one tenant)
+    *    bound both. Z-bucket bounds are computed over the SCOPED rows,
+    *    so a scoped pass clusters its slice as tightly as a full pass
+    *    would.
+    *
+    * Rows-preserving like every maintenance verb: [[diff]] across the
+    * commit emits nothing, whatever the scope. */
+  def optimizeZOrderBy(
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
+      cols: Seq[String], layout: Layout = Layout.none,
+      maxRetries: Int = 10, where: Option[Column] = None): Unit = {
+    require(cols.nonEmpty && cols.size <= 4,
+      s"optimizeZOrderBy takes 1-4 clustering columns, got ${cols.size}")
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -1060,26 +1135,31 @@ object TxTable {
       ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
-      if (entries.isEmpty) return
+      // scope BEFORE touching a file — and re-scope on every retry, so
+      // a lost race recomputes against the winner's manifest and never
+      // re-stages more than the predicate's leaves
+      val scope = where.fold(entries)(entriesWhere(spark, entries, partitionCol, _))
+      if (scope.isEmpty) return
       val all = spark.read.option("mergeSchema", "true")
-        .parquet(entries.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .parquet(scope.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
         .withColumn(PKey, keyExpr(partitionCol))
-      val statsRow = all.agg(
-        min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
-        min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+      val statCols = cols.flatMap(c => Seq(
+        min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val statsRow = all.agg(statCols.head, statCols.tail: _*).head()
       def bound(i: Int): Double =
         if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
-      val (xmin, xmax, ymin, ymax) = (bound(0), bound(1), bound(2), bound(3))
       def bucket(c: Column, lo: Double, hi: Double): Column =
         if (hi > lo)
           floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535).cast("int")
         else lit(0)
+      val buckets = cols.zipWithIndex.map { case (c, i) =>
+        bucket(col(c), bound(2 * i), bound(2 * i + 1))
+      }
       val zCol = Iterator.from(0).map(i => s"__z$i")
         .find(n => !all.columns.contains(n)).get
-      val n = math.max(spark.sparkContext.defaultParallelism, entries.size)
+      val n = math.max(spark.sparkContext.defaultParallelism, scope.size)
       val clustered = all
-        .withColumn(zCol, SortedWriter.zvalue(
-          bucket(col(xCol), xmin, xmax), bucket(col(yCol), ymin, ymax)))
+        .withColumn(zCol, SortedWriter.zvalueN(buckets))
         .repartitionByRange(n, col(PKey), col(zCol))
         .sortWithinPartitions(col(PKey), col(zCol))
         .drop(zCol)
@@ -1105,9 +1185,14 @@ object TxTable {
       s"TxTable.optimizeZOrder lost the commit race $maxRetries times on $dir")
   }
 
+  /** `where` bounds the fold set at the MANIFEST (shared
+    * [[snapshotWhere]] pruning): only matching leaves are even LISTED
+    * for the fold test — on a wide table the per-leaf listStatus sweep
+    * is itself the cost a scoped compaction avoids. */
   private def compactWhere(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
-      layout: Layout, maxRetries: Int, op: String)(
+      layout: Layout, maxRetries: Int, op: String,
+      where: Option[Column] = None)(
       needsFold: Seq[org.apache.hadoop.fs.FileStatus] => Boolean): Unit = {
     val fs = fsOf(spark, dir)
     val log = s"$dir/$LogDir"
@@ -1121,7 +1206,8 @@ object TxTable {
       ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
-      val needy = entries.filter { case (_, e) =>
+      val scope = where.fold(entries)(entriesWhere(spark, entries, partitionCol, _))
+      val needy = scope.filter { case (_, e) =>
         needsFold(fs.listStatus(new Path(s"$dir/${e.leaf}")).toSeq
           .filter(_.getPath.getName.endsWith(".parquet")))
       }

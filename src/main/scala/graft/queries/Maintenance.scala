@@ -570,5 +570,49 @@ object Maintenance {
         |FROM events
         |WHERE value >= 100.0 AND value < 400.0
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // OPTIMIZE ... WHERE ... ZORDER BY (3 columns) under the oracle
+    // gate — the scoped form that makes the maintenance verb operable
+    // at 100 TB (an unscoped OPTIMIZE is one world-sized commit; the
+    // scoped one rewrites only the manifest entries whose partition
+    // value matches, leaving every other leaf's file identity alone —
+    // io/TxTable.optimizeZOrderBy). Here: events partitioned by day,
+    // the BACK HALF of the month re-clustered on the 3-D Morton curve
+    // of (value, user_id, event_id), then one value-range probe
+    // aggregates the FULL snapshot. The oracle recomputes from raw
+    // events, so a scoped rewrite that dropped/duplicated/mutated a
+    // row on EITHER side of the scope boundary breaks the hash; the
+    // physical claims (only matching leaves re-pointed, 3-D bounding
+    // boxes tightened) are footer-asserted in TxOptimizeSpec.
+    "x_tx_optimize_scoped" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txzs").toString
+        val tbl = s"$base/fact"
+        graft.io.TxTable.upsert(s, tbl,
+          Tables.events(s, dir)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("day")),
+          "event_id", "event_id", "day")
+        graft.io.TxTable.optimizeZOrderBy(s, tbl, "day",
+          Seq("value", "user_id", "event_id"),
+          where = Some(col("day") >= "2024-01-15"))
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .filter(col("value") >= 100.0 && col("value") < 400.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE value >= 100.0 AND value < 400.0
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }

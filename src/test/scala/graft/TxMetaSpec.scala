@@ -54,6 +54,33 @@ class TxMetaSpec extends SparkTestBase {
     assert(TxTable.snapshot(s, dir).get.count() == 3)
   }
 
+  test("pruned READS are held to the recorded spec too: wrong arity or wrong columns fail loudly") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_meta_read").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", Seq("day", "event_type"))
+    // a single-column tuple on a two-column table would compute keys in
+    // the wrong encoding and silently return the empty frame — it must
+    // throw instead (the ADVICE finding)
+    intercept[IllegalArgumentException] {
+      TxTable.snapshotPartitions(s, dir, Seq(lit("2024-01-01")))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.snapshotPartitionTuples(s, dir,
+        Seq(Seq(lit("2024-01-01"), lit("click"), lit("extra"))))
+    }
+    // snapshotWhere binds stored values to the CALLER's column names —
+    // a swapped spec would prune on the wrong identity (missing rows)
+    intercept[IllegalArgumentException] {
+      TxTable.snapshotWhere(s, dir, Seq("event_type", "day"),
+        col("day") === "2024-01-01")
+    }
+    // the matching forms still read
+    assert(TxTable.snapshotPartitionTuples(s, dir,
+      Seq(Seq(lit("2024-01-01"), lit("click")))).get.count() == 1)
+    assert(TxTable.snapshotWhere(s, dir, Seq("day", "event_type"),
+      col("day") === "2024-01-01").get.count() == 1)
+  }
+
   test("multi-column specs record and round-trip; vacuum preserves the slot") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_meta_mc").toString + "/fact"
