@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,30 +12,33 @@ import org.apache.spark.sql.functions._
   * streaming systems use for exactly this shape (a CDC spool feeding a
   * streaming job): each commit's row-level diff is materialized once
   * into a spool directory — an append-only parquet log, one write per
-  * commit, each row stamped with its `_commit_version` — and a genuine
-  * `readStream` file source tails that spool. Everything downstream is
-  * ordinary Structured Streaming: `withWatermark`, `window`/
-  * `session_window` aggregates, stream-stream joins, `foreachBatch` —
-  * none of which the driver-loop feed could host.
+  * commit (or per `commitsPerAppend` commits on a catch-up drain), each
+  * row stamped with its `_commit_version` — and a genuine `readStream`
+  * file source tails that spool. Everything downstream is ordinary
+  * Structured Streaming: `withWatermark`, `window`/`session_window`
+  * aggregates, stream-stream joins, `foreachBatch` — none of which the
+  * driver-loop feed could host.
   *
   * Why a spool and not a custom V2 MicroBatchStream: the spool IS the
   * V2 source's offset log made visible — file names are the offsets,
   * the file source's own tracking provides exactly-once per file — with
   * none of the scaffolding, and it doubles as a replayable archive of
   * the feed (a late consumer replays from file 0 without touching the
-  * table). Scale shape: spooling a commit costs the partitions that
-  * commit touched (TxTable.diff's manifest pruning); the spool grows
-  * with CHANGE volume, not table size, and is plain parquet — vacuum it
-  * by age like any log directory.
+  * table). The COMMIT-LOG-NATIVE alternative that needs no spool at all
+  * is `spark.readStream.format("graft-tx")` ([[graft.io.TxStreamSource]]);
+  * the spool remains the right shape when the feed must also be an
+  * archive or feed non-Spark consumers. Scale shape: spooling a commit
+  * costs the partitions that commit touched (TxTable.diff's manifest
+  * pruning); the spool grows with CHANGE volume, not table size, and is
+  * plain parquet — reclaim it by age with [[vacuumSpool]].
   */
 object TxChangeFeedStream {
 
-  /** Drain every commit after `fromVersion` into the spool (one append
-    * per commit, rows stamped with `_commit_version`) and return the
-    * new cursor — the Trigger.AvailableNow half: call it on a cadence,
-    * persist the cursor, and the spool stays an exact, ordered copy of
-    * the feed. Idempotence contract is the cursor (same as
-    * [[TxChangeFeed.drain]]): never re-spool a version already landed. */
+  /** Marker recording the highest `_commit_version` reclaimed by
+    * [[vacuumSpool]]. Leading underscore: Spark/Hadoop's default path
+    * filter hides it from both batch and streaming reads of the dir. */
+  private val HorizonFile = "_spool_horizon"
+
   /** The stamp column is injected into every spooled row; a payload
     * already carrying the name would be silently overwritten — the same
     * reserved-name discipline as mirror/replicate's _op/_seq. */
@@ -42,16 +46,44 @@ object TxChangeFeedStream {
     require(!d.columns.contains("_commit_version"),
       "change-feed payload carries reserved column _commit_version — rename it upstream")
 
+  /** Drain every commit after `fromVersion` into the spool and return
+    * the new cursor — the Trigger.AvailableNow half: call it on a
+    * cadence, persist the cursor, and the spool stays an exact, ordered
+    * copy of the feed. Idempotence contract is the cursor (same as
+    * [[TxChangeFeed.drain]]): never re-spool a version already landed.
+    *
+    * @param commitsPerAppend batch size of the catch-up path: a
+    *   long-gap drain at 1 (the default, and the per-commit tail shape)
+    *   is one Spark write job PER COMMIT — O(commits) jobs. A larger
+    *   value unions that many commits' (manifest-pruned) diffs into ONE
+    *   append, each row still stamped with its own `_commit_version`,
+    *   so a 10k-commit catch-up is ceil(10k/N) jobs instead of 10k. The
+    *   union is re-hashed on the stamp before writing so a chunk lands
+    *   as O(shuffle partitions) files, not (commits × join partitions)
+    *   — one extra exchange of change-volume-sized data, the same
+    *   trade as Layout.optimizeWrite. */
   def spool(
       spark: SparkSession, dir: String, key: String,
-      spoolDir: String, fromVersion: Long = 0L): Long = {
+      spoolDir: String, fromVersion: Long = 0L,
+      commitsPerAppend: Int = 1): Long = {
+    require(commitsPerAppend >= 1, "commitsPerAppend must be >= 1")
     var cursor = fromVersion
-    TxChangeFeed.drain(spark, dir, key, fromVersion).foreach { case (v, d) =>
-      requireNoStampCollision(d)
-      d.withColumn("_commit_version", lit(v))
-        .write.mode("append").parquet(spoolDir)
-      cursor = v
-    }
+    TxChangeFeed.drain(spark, dir, key, fromVersion)
+      .grouped(commitsPerAppend).foreach { chunk =>
+        val stamped = chunk.map { case (v, d) =>
+          requireNoStampCollision(d)
+          d.withColumn("_commit_version", lit(v))
+        }
+        // allowMissingColumns: a schema-widening commit inside a chunk
+        // widens the whole chunk, pre-evolution rows null-padded — the
+        // same alignment every cross-version TxTable read performs
+        val body = stamped.reduce(_.unionByName(_, allowMissingColumns = true))
+        val placed =
+          if (chunk.size == 1) body // per-commit tail: byte-identical to before
+          else body.repartition(col("_commit_version"))
+        placed.write.mode("append").parquet(spoolDir)
+        cursor = chunk.last._1
+      }
     cursor
   }
 
@@ -69,14 +101,97 @@ object TxChangeFeedStream {
           .write.mode("append").parquet(spoolDir)
     }
 
+  /** Age-based spool retention — the "vacuum it like any log directory"
+    * verb, made safe against the two silent failure modes a bare
+    * delete-old-files has:
+    *
+    *  - A RUNNING (or restartable) stream's exactly-once contract: the
+    *    file source re-reads only files named in a PLANNED-BUT-UNCOMMITTED
+    *    offset-log batch, so the operator rule is `olderThanMs` must
+    *    exceed the oldest in-flight batch's age (any committed
+    *    checkpoint never re-reads its files — a restart from a
+    *    checkpoint PAST the horizon replays correctly, spec-pinned).
+    *    Never reclaim past a live checkpoint's position.
+    *  - A FRESH consumer silently starting mid-history: the highest
+    *    reclaimed `_commit_version` is recorded in a `_spool_horizon`
+    *    marker (written BEFORE the deletes — a crash between the two
+    *    leaves the horizon conservatively high, never silently low),
+    *    and [[source]] refuses a consumer whose `resumeFromVersion`
+    *    sits below it — replay-from-zero after a vacuum must fail
+    *    loudly, the re-bootstrap-from-a-snapshot contract every
+    *    log-tailing CDC source documents.
+    *
+    * Returns the number of spool files reclaimed. */
+  def vacuumSpool(
+      spark: SparkSession, spoolDir: String, olderThanMs: Long): Int = {
+    val p = new Path(spoolDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val aged = fs.listStatus(p).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          s.getModificationTime <= cutoff
+      }
+    if (aged.isEmpty) return 0
+    // the horizon is the max stamp across the aged files — one bounded
+    // read of exactly the files being reclaimed
+    val maxV = spark.read.parquet(aged.map(_.getPath.toString): _*)
+      .agg(max(col("_commit_version"))).head().getLong(0)
+    val horizon = math.max(readHorizon(spark, spoolDir), maxV)
+    val tmp = new Path(p, s".horizon-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(p, HorizonFile))) {
+      fs.delete(new Path(p, HorizonFile), false)
+      fs.rename(tmp, new Path(p, HorizonFile)): Unit
+    }
+    aged.foreach(s => fs.delete(s.getPath, false): Unit)
+    aged.size
+  }
+
+  /** Highest `_commit_version` reclaimed from this spool (0 = nothing
+    * ever vacuumed): versions at or below it are NOT fully replayable
+    * from the spool. */
+  def readHorizon(spark: SparkSession, spoolDir: String): Long = {
+    val p = new Path(spoolDir, HorizonFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    body.toLong
+  }
+
   /** The streaming SOURCE over a spool: a real `readStream` the full
     * stateful-operator surface composes with. Schema is pinned from
     * the spooled files (file sources require an explicit schema) —
     * with mergeSchema, because a schema-widening commit's diff spools
     * the widened columns and a single-footer schema pick would
-    * silently drop them from every streamed row. */
-  def source(spark: SparkSession, spoolDir: String): DataFrame =
-    spark.readStream
+    * silently drop them from every streamed row.
+    *
+    * @param resumeFromVersion the consumer's persisted cursor — rows
+    *   stamped at or below it are filtered out, and (the loud-failure
+    *   half of [[vacuumSpool]]'s contract) it must be at least the
+    *   spool's reclaim horizon: a fresh consumer (`0`, the default)
+    *   on a vacuumed spool would silently miss the reclaimed history,
+    *   so it throws and must re-bootstrap from a table snapshot. */
+  def source(
+      spark: SparkSession, spoolDir: String,
+      resumeFromVersion: Long = 0L): DataFrame = {
+    val horizon = readHorizon(spark, spoolDir)
+    require(resumeFromVersion >= horizon,
+      s"spool $spoolDir reclaimed history up to commit $horizon " +
+        s"(vacuumSpool) but this consumer resumes from $resumeFromVersion — " +
+        "a replay from there would silently skip the reclaimed commits; " +
+        "re-bootstrap from a table snapshot, or pass the checkpointed " +
+        "cursor as resumeFromVersion")
+    val df = spark.readStream
       .schema(spark.read.option("mergeSchema", "true").parquet(spoolDir).schema)
       .parquet(spoolDir)
+    if (resumeFromVersion > 0L) df.filter(col("_commit_version") > resumeFromVersion)
+    else df
+  }
 }

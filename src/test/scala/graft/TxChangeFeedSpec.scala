@@ -323,6 +323,124 @@ class TxChangeFeedSpec extends SparkTestBase {
     assert(exS.getMessage.contains("_commit_version"))
   }
 
+  test("vacuumSpool reclaims aged files; a checkpointed stream resumes past the horizon; a fresh consumer fails loudly") {
+    import graft.streaming.TxChangeFeedStream
+    import org.apache.spark.sql.streaming.Trigger
+    val target = freshTable()
+    val base = Files.createTempDirectory("graft_cf_vac").toString
+    val spool = s"$base/s"
+    val ckpt = s"$base/ckpt"
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))
+    val c1 = TxChangeFeedStream.spool(spark, target, "id", spool)
+    assert(c1 === 2L)
+    // a consumer processes the first two commits and checkpoints (file
+    // sink: the memory sink cannot recover from a checkpoint, and
+    // recovery-across-restart is exactly what this test pins)
+    val sink = s"$base/sink"
+    def runOnce(): Unit = {
+      // resume from the recorded horizon (0 before any vacuum): the
+      // checkpoint's file log carries exactly-once across the restart
+      val q = TxChangeFeedStream.source(spark, spool,
+          resumeFromVersion = TxChangeFeedStream.readHorizon(spark, spool))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() === 2L)
+
+    // age separation, then more commits spool as YOUNG files
+    Thread.sleep(1200)
+    val tSplit = System.currentTimeMillis()
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))
+    commit(target, Seq((1L, 1.5, 4L, 20240101)))
+    TxChangeFeedStream.spool(spark, target, "id", spool, fromVersion = c1)
+
+    // reclaim exactly the files older than the split point
+    val reclaimed = TxChangeFeedStream.vacuumSpool(
+      spark, spool, olderThanMs = System.currentTimeMillis() - tSplit)
+    assert(reclaimed > 0, "no files reclaimed")
+    assert(TxChangeFeedStream.readHorizon(spark, spool) === 2L)
+    // surviving spool rows are exactly the post-horizon commits
+    assert(spark.read.parquet(spool).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+
+    // the RESTARTED stream (checkpoint already past the horizon)
+    // replays only the new commits, with no missing-file failure
+    runOnce()
+    assert(spark.read.parquet(sink).count() === 4L)
+
+    // a FRESH from-zero consumer must fail loudly, not silently skip
+    // the reclaimed history
+    val ex = intercept[IllegalArgumentException] {
+      TxChangeFeedStream.source(spark, spool)
+    }
+    assert(ex.getMessage.contains("reclaimed"))
+    // ...and a consumer passing its checkpointed cursor reads on
+    val name2 = "cf_vac_fresh_cursor"
+    val q2 = TxChangeFeedStream.source(spark, spool, resumeFromVersion = 3L)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table(name2).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === Set(4L),
+      "resumeFromVersion must filter rows at or below the cursor")
+  }
+
+  test("bulk catch-up: a long-gap drain lands in ceil(commits/N) appends with identical spool rows") {
+    import graft.streaming.TxChangeFeedStream
+    val target = freshTable()
+    (1 to 12).foreach(i =>
+      commit(target, Seq((i.toLong, i * 1.0, i.toLong, 20240101 + (i % 3)))))
+    val base = Files.createTempDirectory("graft_cf_bulk").toString
+    val perCommit = s"$base/one"
+    val bulk = s"$base/bulk"
+
+    // the drain's cost unit is the WRITE ACTION (one sequential driver
+    // round trip each; under AQE a single action fans into one raw job
+    // per exchange, so raw job counts don't measure the drain shape) —
+    // count SQL executions instead
+    val execs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(): Unit
+          case _ => ()
+        }
+    }
+    def countActions(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        execs.set(0); body
+        // events ride the async listener bus — settle it
+        var prev = -1L
+        while (execs.get != prev) { prev = execs.get; Thread.sleep(100) }
+        execs.get
+      }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val jOne = countActions {
+      assert(TxChangeFeedStream.spool(spark, target, "id", perCommit) === 12L)
+    }
+    val jBulk = countActions {
+      assert(TxChangeFeedStream.spool(spark, target, "id", bulk,
+        commitsPerAppend = 4) === 12L)
+    }
+    assert(jOne === 12L, s"per-commit drain should be one write per commit, got $jOne")
+    assert(jBulk === 3L, s"bulk drain should be ceil(12/4) = 3 writes, got $jBulk")
+    // and the spooled rows are IDENTICAL, stamps included
+    def rows(dir: String): Seq[String] =
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(rows(bulk) === rows(perCommit))
+  }
+
   test("a schema-widening commit's spooled columns survive into the stream source") {
     // source() pins the file-source schema from the spool; a
     // single-footer pick could land on a pre-widening file and
