@@ -50,9 +50,38 @@ import org.apache.spark.sql.types.StructType
 class TxDataSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-tx"
+
+  // ---- streaming: spark.readStream.format("graft-tx") ----------------
+  // the commit-log-native change feed (see TxStreamSource's scaladoc):
+  // options `key` (required — the diff's merge key) and
+  // `startingVersion` (default 0 = replay from genesis)
+
+  private def keyOf(p: Map[String, String]): String =
+    p.getOrElse("key", throw new IllegalArgumentException(
+      "graft-tx streaming requires a 'key' option (the table's merge key)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, org.apache.spark.sql.types.StructType) = {
+    val p = lower(parameters)
+    (shortName(), schema.getOrElse(
+      TxStreamSource.feedSchema(sqlContext.sparkSession, pathOf(p), keyOf(p))))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val p = lower(parameters)
+    new TxStreamSource(sqlContext.sparkSession, pathOf(p), keyOf(p),
+      p.get("startingversion").map(_.toLong).getOrElse(0L))
+  }
 
   private def lower(parameters: Map[String, String]): Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase -> v }

@@ -1,0 +1,139 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** `spark.readStream.format("graft-tx")` — the COMMIT-LOG-NATIVE
+  * streaming source over a [[TxTable]], completing the three feed
+  * shapes: the driver loop ([[graft.streaming.TxChangeFeed]], for
+  * applyCdc-style consumers that own their cursor), the spool bridge
+  * ([[graft.streaming.TxChangeFeedStream]], when the feed must double
+  * as an archive), and this — a genuine Structured Streaming source a
+  * plain-Spark consumer reaches with zero graft imports:
+  *
+  * {{{
+  *   spark.readStream.format("graft-tx")
+  *     .option("key", "event_id")          // the table's merge key
+  *     .option("startingVersion", "0")     // 0 (default) = full replay
+  *     .load(dir)
+  *     .withWatermark("ts", "35 minutes")  // full stateful surface
+  *     .groupBy(window($"ts", "1 day"), $"change_type").count()
+  * }}}
+  *
+  * Offsets ARE commit versions (dense by the CAS construction, so a
+  * LongOffset cursor is exact): `getOffset` is the O(1) `_tip` probe,
+  * and each micro-batch (start, end] is the union of the per-commit
+  * row-level diffs, every row stamped `_commit_version` — the same
+  * emission the spool materializes, with NO spool directory, no second
+  * copy of the change data, and no retention verb to operate: replay
+  * depth is governed by the table's own [[TxTable.vacuum]] retention,
+  * and a checkpoint resuming below the oldest retained version fails
+  * loudly in [[TxTable.diff]] (re-bootstrap from a snapshot), the same
+  * contract every log-tailing CDC source documents.
+  *
+  * Scale shape: a micro-batch costs the partitions its commits touched
+  * (diff's manifest pruning) — never a table scan; an idle poll is one
+  * tip probe. Why V1 `Source` and not a V2 `MicroBatchStream`: V1's
+  * `getBatch` returns a DataFrame, so the batch can BE the diff's
+  * manifest-pruned join plan; V2's `PartitionReader` contract would
+  * force this source to re-implement (or driver-collect) that read.
+  * The schema is pinned at stream start, like every streaming source:
+  * columns a mid-stream widening commit adds surface on restart, not
+  * mid-query.
+  */
+class TxStreamSource(
+    spark: SparkSession, path: String, key: String,
+    startingVersion: Long)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
+  override val schema: StructType = TxStreamSource.feedSchema(spark, path, key)
+
+  /** LongOffset on the live path, SerializedOffset("n") from the
+    * checkpoint WAL on restart — both carry the version as json. */
+  private def ver(o: Offset): Long = o.json.trim.toLong
+
+  private def tipOffset(tip: Long): OffsetV2 =
+    if (tip <= 0L && startingVersion <= 0L) null // V2 contract: null = nothing yet
+    else LongOffset(math.max(tip, startingVersion))
+
+  override def getOffset: Option[Offset] = {
+    val tip = TxTable.latestVersion(spark, path) // O(1) _tip probe
+    if (tip <= 0L && startingVersion <= 0L) None
+    else Some(LongOffset(math.max(tip, startingVersion)))
+  }
+
+  // ---- Trigger.AvailableNow (admission control) -----------------------
+  // pin the endpoint once at query start, then drain batches up to it
+  // and stop — without this, the engine falls back to one giant batch
+  // and warns. The commit log keeps growing; the pin is what makes the
+  // trigger terminate on a live table.
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(TxTable.latestVersion(spark, path))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    tipOffset(availableNowEnd.getOrElse(TxTable.latestVersion(spark, path)))
+
+  override def reportLatestOffset(): OffsetV2 =
+    tipOffset(TxTable.latestVersion(spark, path))
+
+  /** Conform one commit's diff to the pinned schema: null-pad columns
+    * the diff lacks (pre-evolution commits), fix the column order, and
+    * drop columns the pinned schema predates (post-start widenings —
+    * they surface when the stream restarts, the file-source rule). */
+  private def align(d: DataFrame): DataFrame = {
+    val padded = schema.fields.foldLeft(d)((acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    padded.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(ver).getOrElse(startingVersion)
+    val toV = ver(end)
+    val body =
+      if (fromV >= toV) // defensive: an empty range is an empty batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      else
+        ((fromV + 1) to toV).map { v =>
+          align(TxTable.diff(spark, path, v - 1, v, key)
+            .withColumn("_commit_version", lit(v)))
+        }.reduce(_ unionByName _)
+    GraftStreamingFrame.ofBatch(body)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object TxStreamSource {
+
+  /** The feed's pinned schema: the table's diff readout (change_type,
+    * key, payload) plus the `_commit_version` stamp. Requires at least
+    * the bootstrap commit — a never-committed table has no schema to
+    * pin (start the stream after the first write, exactly as a file
+    * source needs its directory to exist). */
+  def feedSchema(spark: SparkSession, path: String, key: String): StructType = {
+    val tip = TxTable.latestVersion(spark, path)
+    require(tip >= 1L,
+      s"graft-tx streaming: $path holds no committed TxTable yet — " +
+        "start the stream after the bootstrap commit")
+    // schema-only use of a lazy diff plan (tip-1, tip]: nothing executes
+    val d = TxTable.diff(spark, path, tip - 1, tip, key)
+    require(!d.columns.contains("_commit_version"),
+      "change-feed payload carries reserved column _commit_version — rename it upstream")
+    StructType(d.schema.fields :+
+      StructField("_commit_version", LongType, nullable = false))
+  }
+}

@@ -499,5 +499,90 @@ object Streams {
         |SELECT day, change_type, cnt, sum_v FROM g
         |WHERE epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
         |      <= (SELECT w FROM wm)
+        |ORDER BY day, change_type""".stripMargin),
+
+    // t21's exact pipeline through the COMMIT-LOG-NATIVE source
+    // (io/TxStreamSource): the same four commits, but the stream is
+    // `spark.readStream.format("graft-tx")` straight off the table —
+    // no spool directory, no second copy of the change data; offsets
+    // ARE commit versions and each micro-batch is the manifest-pruned
+    // per-commit diff. Sharing t21's oracle is the point: the two feed
+    // shapes (spool bridge vs native source) must emit value-identical
+    // streams into an identical watermarked window aggregate.
+    "t22_stream_native_feed" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txnf").toString
+        val tbl = s"$base/fact"
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+        val d10 = lit("2024-01-10 00:00:00").cast("timestamp")
+        val d15 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val d20 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val d28 = lit("2024-01-28 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") < d15),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= d10 && col("ts") < d20)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") >= d20),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.delete(s, tbl,
+          ev.filter(col("event_type") === "click" && col("ts") >= d28)
+            .select(col("event_id"), col("event_type")),
+          "event_id", "event_type")
+
+        val name = s"t22_stream_native_feed_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = s.readStream.format("graft-tx")
+            .option("key", "event_id").load(tbl)
+            .withWatermark("ts", "35 minutes")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("change_type"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.table(name)
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("change_type"), col("cnt"), col("sum_v"))
+          .orderBy(col("day"), col("change_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH feed AS (
+        |  SELECT 'insert' AS change_type, ts, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  UNION ALL
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN 'update' ELSE 'insert' END,
+        |         ts, value * 2
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |    AND (ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |         OR value * 2 IS DISTINCT FROM value)
+        |  UNION ALL
+        |  SELECT 'insert', ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  UNION ALL
+        |  SELECT 'delete', ts, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-28 00:00:00'),
+        |wm AS (SELECT epoch_ms(MAX(ts)) - 35 * 60 * 1000 AS w FROM feed),
+        |g AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, change_type,
+        |         COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM feed GROUP BY 1, 2)
+        |SELECT day, change_type, cnt, sum_v FROM g
+        |WHERE epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+        |      <= (SELECT w FROM wm)
         |ORDER BY day, change_type""".stripMargin))
 }

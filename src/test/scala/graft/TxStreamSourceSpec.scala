@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.TxTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The commit-log-native streaming source (io/TxStreamSource, reached
+  * as `spark.readStream.format("graft-tx")`): offsets are commit
+  * versions, each micro-batch is the stamped union of per-commit diffs,
+  * the checkpoint carries the cursor across restarts, and the whole
+  * thing needs no spool directory.
+  */
+class TxStreamSourceSpec extends SparkTestBase {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txss").toString + "/t"
+
+  private def commit(target: String, rows: Seq[(Long, Double, Long, Int)]): Unit = {
+    val s = spark
+    import s.implicits._
+    TxTable.upsert(spark, target,
+      rows.toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+  }
+
+  private def feed(dir: String, extraOpts: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft-tx").option("key", "id")
+    extraOpts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(dir)
+  }
+
+  test("readStream.format(graft-tx) replays the full feed: inserts, updates, deletes, stamped by version") {
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(target, Seq((1L, 1.5, 2L, 20240101)))                  // update
+    TxTable.delete(spark, target,
+      { val s = spark; import s.implicits._
+        Seq((2L, 20240102)).toDF("id", "date_id") }, "id", "date_id")
+
+    val name = "txss_replay"
+    val q = feed(target)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .select("_commit_version", "change_type", "id", "price")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "insert", 1L, 1.0), (1L, "insert", 2L, 2.0),
+      (2L, "update", 1L, 1.5),
+      (3L, "delete", 2L, 2.0)))
+  }
+
+  test("the checkpoint carries the cursor: a restarted stream emits only commits past it") {
+    val target = freshTable()
+    val base = Files.createTempDirectory("graft_txss_ck").toString
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))
+    def runOnce(): Unit = {
+      val q = feed(target)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() === 2L)
+    // two more commits land while the stream is down
+    commit(target, Seq((1L, 1.1, 3L, 20240101)))
+    commit(target, Seq((3L, 3.0, 4L, 20240103)))
+    runOnce()
+    val versions = spark.read.parquet(sink)
+      .select("_commit_version").collect().map(_.getLong(0)).toSeq.sorted
+    assert(versions === Seq(1L, 2L, 3L, 4L),
+      "restart must resume from the checkpointed version, no replays, no gaps")
+    // caught up: another restart emits nothing new
+    runOnce()
+    assert(spark.read.parquet(sink).count() === 4L)
+  }
+
+  test("startingVersion skips history; stateful operators compose downstream") {
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(target, Seq((3L, 3.0, 2L, 20240103)))
+    commit(target, Seq((4L, 4.0, 3L, 20240101)))
+
+    val name = "txss_starting"
+    // a windowed count over the feed — the stateful composition the
+    // driver-loop feed cannot host — grouped by the stamped version
+    val q = feed(target, Map("startingVersion" -> "1"))
+      .groupBy(col("_commit_version")).count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L),
+      "startingVersion=1 must skip the bootstrap commit")
+  }
+
+  test("a never-committed table refuses to pin a stream schema") {
+    val dir = freshTable()
+    val ex = intercept[IllegalArgumentException] {
+      feed(dir).schema
+    }
+    assert(ex.getMessage.contains("bootstrap"))
+  }
+}
