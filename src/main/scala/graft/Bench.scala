@@ -121,6 +121,32 @@ object Bench {
     }
     lcgPass()
     val calib = Seq(lcgPass(), lcgPass(), lcgPass()).min
+    // Multi-core calibration: calib_s is single-threaded and therefore
+    // BLIND to multi-core contention — r11 measured a uniform 1.2×
+    // inflation across 152 untouched queries while calib_s moved 1%,
+    // because a competing multi-threaded load steals cores that the
+    // 1-thread loop never asks for. calib_mt_s runs the same LCG on
+    // every query-execution core at once (cpus threads × 100M steps);
+    // when the host is quiet it tracks calib_s × (work ratio), and
+    // under multi-core contention it inflates the same way the query
+    // suite does — so uniform between-run inflation is machine-
+    // detectable from the artifact alone: queries up, calib_s flat,
+    // calib_mt_s up ⇒ host contention, not a regression.
+    def lcgMtPass(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + i; var k = 0
+          while (k < 100000000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+          if (x == 42) print("")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    lcgMtPass()
+    val calibMt = Seq(lcgMtPass(), lcgMtPass(), lcgMtPass()).min
     // Adversarial-skew measurement: the same hot-key join timed with
     // and without salting (ops/Skew.saltedJoin), both numbers in the
     // metric JSON. 90% of lineitem rows collapse onto ONE part key —
@@ -219,7 +245,7 @@ object Bench {
     // while shuffle covered one, inviting cross-metric misreading
     val spillMb = math.round(spillFinalPassBytes / 1e5) / 10.0
     val metricJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir","sf_secondary":${secondaryDir.fold("null")("\"" + _ + "\"")},"queries_secondary":$secondaryJson,"scale_ratio":$ratioJson,"scale_ratio_noisy":$ratioNoisyJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"calib_mt_s":$calibMt,"n_ok":${results.size},$skewJson,"failed":$failedJson,"fixtures":$fixturesJson,"spill_mb_final_pass":$spillMb,"shuffle_mb":$shuffleJson,"queries":$qs,"sf":"$sfDir","sf_secondary":${secondaryDir.fold("null")("\"" + _ + "\"")},"queries_secondary":$secondaryJson,"scale_ratio":$ratioJson,"scale_ratio_noisy":$ratioNoisyJson}"""
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED (excluded from total): " +
         failedNames.mkString(", ") + " — first errors: " +
@@ -244,6 +270,15 @@ object Bench {
     // the cut. Leading whitespace is legal around a JSON document, so
     // json.loads(tail) now parses whether the harness takes the whole
     // tail or its last line.
+    // HARNESS CONTRACT (pinned here, the single source of truth): the
+    // round artifact keeps only the last CaptureWindow chars of stdout
+    // and json-parses them. Everything below derives from that one
+    // constant — the newline pad that flushes earlier output past the
+    // window, and the byte budget the compact summary must fit —
+    // and the fit is ASSERTED, so a summary outgrowing the window
+    // fails this run loudly instead of silently shipping an
+    // unparseable artifact. Nothing may print after the summary.
+    val CaptureWindow = 2000
     val sortedQ = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${math.round(v * 100) / 100.0}" }
     // the failed list is CAPPED here (count + first few names): a
@@ -254,12 +289,15 @@ object Bench {
       .mkString("[", ",", "]")
     val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},""" +
       s""""unit":"sec","calib_s":${math.round(calib * 1000) / 1000.0},""" +
+      s""""calib_mt_s":${math.round(calibMt * 1000) / 1000.0},""" +
       s""""n_ok":${results.size},"failed_n":${failedNames.size},""" +
       s""""failed_top":$failedCompact,""" +
       s""""spill_mb_final_pass":$spillMb,"sf":"$sfDir",""" +
       s""""full":"${outFile.getFileName}","queries_total":${results.size},""" +
       s""""queries_top":{"""
-    val budget = 1900 - head.length - 2
+    // 100-char headroom under the window for the closing braces and any
+    // line terminator the capture includes
+    val budget = (CaptureWindow - 100) - head.length - 2
     // strict prefix of the slowest-first order (stop at the first
     // non-fit): queries_top must BE the slowest N, not "whatever fit"
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -270,7 +308,12 @@ object Bench {
       else full = true
     }
     val compact = head + kept.mkString(",") + "}}"
-    println("\n" * 2100 + compact)
+    assert(compact.length <= CaptureWindow - 50,
+      s"compact summary (${compact.length} chars) outgrew the $CaptureWindow-char capture window")
+    // final statement on stdout before stop(): leading whitespace is
+    // legal around a JSON document, so the captured tail parses whether
+    // the harness takes the whole window or its last line
+    println("\n" * (CaptureWindow + 100) + compact)
     spark.stop()
   }
 }
