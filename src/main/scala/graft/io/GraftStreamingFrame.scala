@@ -22,4 +22,15 @@ object GraftStreamingFrame {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The opposite direction, for a V1 streaming SINK: the frame handed
+    * to `Sink.addBatch` is streaming-tagged, so ordinary batch verbs on
+    * it (localCheckpoint, write) refuse with "streaming sources must be
+    * executed with writeStream.start()". Re-wrap it as a plain batch
+    * frame over the micro-batch's rows — the ForeachBatchSink move. */
+  def ofMicroBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

@@ -51,6 +51,7 @@ class TxDataSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSourceProvider
+    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-tx"
@@ -80,7 +81,28 @@ class TxDataSource
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val p = lower(parameters)
     new TxStreamSource(sqlContext.sparkSession, pathOf(p), keyOf(p),
-      p.get("startingversion").map(_.toLong).getOrElse(0L))
+      p.get("startingversion").map(_.toLong).getOrElse(0L),
+      p.get("maxcommitspertrigger").map(_.toLong))
+  }
+
+  /** `df.writeStream.format("graft-tx")` — each micro-batch is one
+    * transactional keyed upsert commit ([[TxFormatSink]]); options
+    * `key`, `version`, `partitionColumns` mirror the batch write. */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val p = lower(parameters)
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-tx sink supports Append/Update output (keyed upsert per " +
+        "micro-batch); Complete would re-land the whole result every batch")
+    val parts = partColsOf(p)
+    require(parts.nonEmpty, "graft-tx streaming writes require partitionColumns")
+    new TxFormatSink(pathOf(p), keyOf(p),
+      p.getOrElse("version", throw new IllegalArgumentException(
+        "graft-tx streaming writes require a 'version' option")),
+      PartitionSpec(parts))
   }
 
   private def lower(parameters: Map[String, String]): Map[String, String] =

@@ -46,7 +46,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 class TxStreamSource(
     spark: SparkSession, path: String, key: String,
-    startingVersion: Long)
+    startingVersion: Long,
+    maxCommitsPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -81,8 +82,22 @@ class TxStreamSource(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
-    tipOffset(availableNowEnd.getOrElse(TxTable.latestVersion(spark, path)))
+  /** `maxCommitsPerTrigger` bounds each micro-batch's commit span — a
+    * 10k-commit catch-up otherwise plans one union of 10k diffs in a
+    * single giant batch (the FileStreamSource maxFilesPerTrigger move).
+    * Under Trigger.AvailableNow the engine keeps draining bounded
+    * batches until the pinned endpoint, then stops. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val end = availableNowEnd.getOrElse(TxTable.latestVersion(spark, path))
+    val bounded = maxCommitsPerTrigger match {
+      case None => end
+      case Some(m) =>
+        val from = Option(start).map(o => o.json.trim.toLong)
+          .getOrElse(startingVersion)
+        math.min(end, math.max(from, startingVersion) + m)
+    }
+    tipOffset(bounded)
+  }
 
   override def reportLatestOffset(): OffsetV2 =
     tipOffset(TxTable.latestVersion(spark, path))
@@ -115,6 +130,29 @@ class TxStreamSource(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** `df.writeStream.format("graft-tx")` — the WRITE half of the native
+  * streaming seam ([[graft.streaming.TxStreamSink]]'s foreachBatch
+  * helper, reachable with zero graft imports): each micro-batch lands
+  * as ONE transactional keyed upsert commit, so concurrent writers
+  * serialize through the CAS and a reader never observes half a batch.
+  * Exactly-once without batch-id bookkeeping: under at-least-once
+  * recovery a replayed micro-batch re-upserts the same (key, version)
+  * rows and the latest-wins merge collapses them to the same state —
+  * the idempotence is in the table's merge algebra, not the sink. */
+private[io] class TxFormatSink(
+    path: String, key: String, version: String, spec: PartitionSpec)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[Row]): Unit = {
+    // the engine hands a streaming-tagged frame; batch verbs refuse it —
+    // re-wrap over the micro-batch's rows (the ForeachBatchSink move)
+    val batch = org.apache.spark.sql.GraftStreamingFrame.ofMicroBatch(data.toDF())
+    TxTable.upsert(batch.sparkSession, path, batch, key, version, spec)
+  }
+
+  override def toString: String = s"TxFormatSink[$path]"
 }
 
 object TxStreamSource {

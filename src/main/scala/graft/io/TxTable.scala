@@ -574,7 +574,10 @@ object TxTable {
   /** Keyed latest-wins upsert with first-committer-wins concurrency:
     * safe for any number of concurrent writers landing DISTINCT
     * batches; a replay of the SAME batch stays idempotent through the
-    * keyed merge; an EMPTY batch is a no-op (no version published) —
+    * keyed merge; a batch carrying SEVERAL versions of one key (a
+    * change feed drained in one micro-batch) collapses to the highest
+    * `version` per key — on fresh and existing partitions identically;
+    * an EMPTY batch is a no-op (no version published) —
     * an hour with zero events must not fail the pipeline. Single-writer
     * plan shape is identical to `MergeWriter.upsertPartitioned`
     * (snapshot-pruned read of touched partitions, one keyed merge,
@@ -932,7 +935,14 @@ object TxTable {
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
       val merged0 =
-        if (existingDirs.isEmpty) batch
+        // the merge runs even when every touched partition is NEW (empty
+        // existing side of the batch's shape): a multi-version batch —
+        // a change feed drained in one micro-batch, a backfill carrying
+        // revisions — must collapse latest-wins IDENTICALLY whether the
+        // partition exists or not; the old write-the-batch shortcut made
+        // the same batch key-unique on existing partitions and
+        // duplicated on fresh ones
+        if (existingDirs.isEmpty) merge(batch.limit(0), batch)
         else {
           // immutable snapshot files: this read cannot be torn by a
           // concurrent commit, unlike the live-directory read of the

@@ -219,16 +219,31 @@ class MergeWriterSpec extends SparkTestBase {
       "commit count drifted from version counter")
   }
 
+  /** Bootstrap commits stage through the latest-wins merge too (the
+    * multi-version-batch fix), whose window exchange AQE would coalesce
+    * to one near-empty task at fixture scale — defragmenting the very
+    * leaves these compaction tests need fragmented. Pin the exchange at
+    * the session's shuffle-partition count for the fixture write. */
+  private def withFragmentation[T](f: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, before)
+  }
+
   test("compactFiles folds fragmented leaves; diff across the compaction commit is empty") {
     import graft.io.TxTable
     val s = spark
     import s.implicits._
     val target = Files.createTempDirectory("graft_tx_compact").toString + "/fact"
-    // a deliberately fragmented batch: 6 tasks → up to 6 files per leaf
-    TxTable.upsert(spark, target,
-      (1L to 60L).map(i => (i, i * 1.0, 1L, 20240101 + (i % 2).toInt))
-        .toDF("id", "price", "etl_seq", "date_id").repartition(6),
-      "id", "etl_seq", "date_id")
+    // a deliberately fragmented batch: 4 un-coalesced merge tasks → up
+    // to 4 files per leaf
+    withFragmentation {
+      TxTable.upsert(spark, target,
+        (1L to 60L).map(i => (i, i * 1.0, 1L, 20240101 + (i % 2).toInt))
+          .toDF("id", "price", "etl_seq", "date_id").repartition(6),
+        "id", "etl_seq", "date_id")
+    }
     def leafFiles(): Map[String, Int] =
       TxTable.latest(spark, target)._2.map { case (k, leaf) =>
         k -> new java.io.File(target, leaf).list()
@@ -269,12 +284,14 @@ class MergeWriterSpec extends SparkTestBase {
     def batch(lo: Long, hi: Long, date: Int) =
       (lo to hi).map(i => (i, i * 1.0, 1L, date))
         .toDF("id", "price", "etl_seq", "date_id").repartition(6)
-    // distinct partitions: each bootstrap write keeps its 6-task
-    // fragmentation (a keyed re-merge would let AQE coalesce it away)
-    TxTable.upsert(spark, target, batch(1L, 1000L, 20240101),
-      "id", "etl_seq", "date_id", layout = layout)
-    TxTable.upsert(spark, target, batch(1001L, 2000L, 20240102),
-      "id", "etl_seq", "date_id", layout = layout)
+    // distinct partitions, AQE coalescing pinned off so each bootstrap
+    // keeps its multi-task fragmentation through the merge window
+    withFragmentation {
+      TxTable.upsert(spark, target, batch(1L, 1000L, 20240101),
+        "id", "etl_seq", "date_id", layout = layout)
+      TxTable.upsert(spark, target, batch(1001L, 2000L, 20240102),
+        "id", "etl_seq", "date_id", layout = layout)
+    }
     def leafDir(): java.io.File =
       new java.io.File(target, TxTable.latest(spark, target)._2.values.min)
     assert(leafDir().list().count(_.endsWith(".parquet")) > 2,
@@ -651,15 +668,39 @@ class MergeWriterSpec extends SparkTestBase {
     assert(TxTable.snapshot(spark, target).get.count() === 1L)
   }
 
+  test("a multi-version batch collapses latest-wins on FRESH partitions too") {
+    // the old fresh-partition shortcut wrote the batch as-is, so the
+    // SAME batch was key-unique when its partition existed and
+    // duplicated when it didn't — a change feed drained into one
+    // micro-batch (several versions of one key) corrupted bootstrap
+    // commits. The merge must run on both paths.
+    import graft.io.TxTable
+    val s = spark
+    import s.implicits._
+    val target = Files.createTempDirectory("graft_tx_mv").toString + "/fact"
+    val batch = Seq(
+      (1L, 1.0, 1L, 20240101), (1L, 1.5, 2L, 20240101), // two versions, fresh partition
+      (2L, 2.0, 1L, 20240102))
+      .toDF("id", "price", "etl_seq", "date_id")
+    TxTable.upsert(spark, target, batch, "id", "etl_seq", "date_id")
+    val rows = TxTable.snapshot(spark, target).get
+      .select("id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 1.5), (2L, 2.0)),
+      "fresh-partition bootstrap did not collapse the batch latest-wins")
+  }
+
   test("compactSmallFiles folds by byte threshold; generous target is a no-op") {
     import graft.io.TxTable
     val s = spark
     import s.implicits._
     val target = Files.createTempDirectory("graft_tx_csf").toString + "/fact"
-    TxTable.upsert(spark, target,
-      (1L to 40L).map(i => (i, i * 1.0, 1L, 20240101))
-        .toDF("id", "price", "etl_seq", "date_id").repartition(6),
-      "id", "etl_seq", "date_id")
+    withFragmentation {
+      TxTable.upsert(spark, target,
+        (1L to 40L).map(i => (i, i * 1.0, 1L, 20240101))
+          .toDF("id", "price", "etl_seq", "date_id").repartition(6),
+        "id", "etl_seq", "date_id")
+    }
     def files(): Int = {
       val leaf = TxTable.latest(spark, target)._2.values.head
       new java.io.File(target, leaf).list().count(_.endsWith(".parquet"))

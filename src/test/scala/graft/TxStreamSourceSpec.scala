@@ -102,6 +102,57 @@ class TxStreamSourceSpec extends SparkTestBase {
       "startingVersion=1 must skip the bootstrap commit")
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch's commit span under AvailableNow") {
+    val target = freshTable()
+    (1 to 6).foreach(i => commit(target, Seq((i.toLong, i * 1.0, i.toLong, 20240101))))
+    val name = "txss_bounded"
+    val q = feed(target, Map("maxCommitsPerTrigger" -> "2"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all six commits arrive, in exactly ceil(6/2) = 3 data batches
+    assert(spark.table(name).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === (1L to 6L).toSet)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 3,
+      s"expected 3 bounded batches, got $dataBatches: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
+  test("source-to-sink through public formats only: a graft-tx stream mirrors table A into table B") {
+    val a = freshTable()
+    val b = freshTable()
+    commit(a, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(a, Seq((1L, 1.5, 2L, 20240101)))                  // revision
+    commit(a, Seq((3L, 3.0, 3L, 20240103)))
+    val ckpt = Files.createTempDirectory("graft_txss_mirror").toString
+    def mirrorOnce(): Unit = {
+      val q = feed(a)
+        .select("id", "price", "etl_seq", "date_id", "_commit_version")
+        .writeStream.format("graft-tx")
+        .option("key", "id").option("version", "_commit_version")
+        .option("partitionColumns", "date_id")
+        .option("checkpointLocation", s"$ckpt/c")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination()
+    }
+    mirrorOnce()
+    def state(dir: String): Set[(Long, Double)] =
+      TxTable.snapshot(spark, dir).get.select("id", "price")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(state(b) === state(a), "mirror diverged after first drain")
+    // more commits land; the restarted stream applies only the delta,
+    // and a replayed upsert batch stays idempotent through the merge
+    commit(a, Seq((2L, 2.5, 4L, 20240102), (4L, 4.0, 4L, 20240101)))
+    mirrorOnce()
+    assert(state(b) === state(a), "mirror diverged after incremental drain")
+    assert(state(b) === Set((1L, 1.5), (2L, 2.5), (3L, 3.0), (4L, 4.0)))
+    // B is itself a first-class TxTable: 2 commits, one per micro-batch
+    assert(TxTable.latestVersion(spark, b) === 2L)
+  }
+
   test("a never-committed table refuses to pin a stream schema") {
     val dir = freshTable()
     val ex = intercept[IllegalArgumentException] {
