@@ -77,6 +77,40 @@ object TxBench {
       }
       rmr(new java.io.File(base))
     }
+
+    // Round-12 verbs: the `where`-scoped OPTIMIZE claim measured, not
+    // argued — a 3-of-31-day scope must cost a small fraction of the
+    // full rewrite (the kept leaves are never read, never staged); the
+    // native graft-tx stream source's full drain costs the feed's
+    // touched partitions, commit by commit.
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("txbench_r12").toString
+      val tbl = s"$base/fact"
+      graft.io.TxTable.upsert(spark, tbl, ev, "event_id", "value", "day")
+      val t0 = System.nanoTime()
+      graft.io.TxTable.optimizeZOrderBy(spark, tbl, "day",
+        Seq("value", "event_id"),
+        where = Some(col("day") >= "2024-01-10" && col("day") < "2024-01-13"))
+      val scopedS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.io.TxTable.optimizeZOrderBy(spark, tbl, "day",
+        Seq("value", "event_id"))
+      val fullS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val q = spark.readStream.format("graft-tx").option("key", "event_id")
+        .load(tbl)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val drainS = (System.nanoTime() - t2) / 1e9
+      println(f"optimize(3of31-scoped)_s=$scopedS%.2f optimize(full)_s=$fullS%.2f " +
+        f"native_stream_full_drain_s=$drainS%.2f")
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(base))
+    }
     spark.stop()
   }
 }
