@@ -614,5 +614,104 @@ object Maintenance {
         |FROM events
         |WHERE value >= 100.0 AND value < 400.0
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // SCHEMA EVOLUTION under the oracle gate (S10 was spec-only): the
+    // bootstrap commit lands the narrow shape, a second commit carries
+    // a WIDENED schema (a quality score the pipeline started emitting
+    // mid-history) touching only the back half of the month, and the
+    // post-evolution snapshot reads the union shape with pre-evolution
+    // rows nulled (mergeSchema across immutable leaves of different
+    // vintages). The aggregate pins all of it: per-type counts and
+    // value sums span BOTH vintages, the non-null count and sum of the
+    // new column come only from post-evolution rows — the oracle
+    // restates the column's backfill-free semantics with a CASE.
+    "x_tx_evolution" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txev").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") < "2024-01-16"),
+          "event_id", "event_id", "day")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-16")
+            .withColumn("quality", col("value") / 1000.0),
+          "event_id", "event_id", "day")
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+            count(col("quality")).as("n_scored"),
+            sum(col("quality").cast("decimal(18,6)")).cast("double").as("sum_q"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+        |             THEN 1 END) AS n_scored,
+        |  CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+        |                THEN CAST(value / 1000.0 AS DECIMAL(18,6)) END)
+        |       AS DOUBLE) AS sum_q
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // TRANSACTIONAL WINDOW REPLACEMENT under the oracle gate (S11 was
+    // spec-only): the recompute-style idempotent write — a corrected
+    // reprocess of the mid-month window lands as ONE commit in which,
+    // within the partitions the batch touches, existing rows matching
+    // the window predicate DROP and the recompute takes their place
+    // (here the recompute keeps only non-view events, doubled — so
+    // replacement is observable as a count change, which an upsert
+    // could never produce). Rows outside the window and partitions the
+    // recompute doesn't touch survive untouched; the oracle restates
+    // exactly that per-touched-partition contract.
+    "x_tx_replace_window" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txrw").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl, ev, "event_id", "event_id", "day")
+        val windowPred =
+          col("day") >= "2024-01-10" && col("day") < "2024-01-20"
+        val recompute = ev
+          .filter(windowPred && col("event_type") =!= "view")
+          .withColumn("value", col("value") * 2)
+        graft.io.TxTable.replaceWindow(s, tbl, recompute, "day", windowPred)
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |recompute AS (
+        |  SELECT event_id, event_type, value * 2 AS value, day FROM ev
+        |  WHERE day >= '2024-01-10' AND day < '2024-01-20'
+        |    AND event_type <> 'view'),
+        |touched AS (SELECT DISTINCT day FROM recompute),
+        |kept AS (
+        |  SELECT * FROM ev
+        |  WHERE NOT (day >= '2024-01-10' AND day < '2024-01-20'
+        |             AND day IN (SELECT day FROM touched)))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM recompute)
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }

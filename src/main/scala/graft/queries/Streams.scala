@@ -584,5 +584,49 @@ object Streams {
         |SELECT day, change_type, cnt, sum_v FROM g
         |WHERE epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
         |      <= (SELECT w FROM wm)
-        |ORDER BY day, change_type""".stripMargin))
+        |ORDER BY day, change_type""".stripMargin),
+
+    // Streaming EXACT DEDUP under the oracle gate (upgrading the
+    // spec-only batch≡stream pin): the dedup corpus (documents + the
+    // synthetic exact/near-dup planted copies every batch dedup query
+    // uses) is replayed as a stream with a per-doc arrival time, and
+    // streaming/StreamDedup.firstArrivals passes each content hash's
+    // FIRST copy only (dropDuplicatesWithinWatermark — state bounded by
+    // the horizon, not the stream's lifetime). WHICH copy survives is
+    // arrival-order-dependent, so the oracle aggregates only
+    // copy-invariant facts: survivors per text-length bucket ≡ distinct
+    // content hashes per bucket (hash → text → bucket is functional).
+    "t23_stream_dedup" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_sdedup").toString
+        val in = s"$base/in"
+        // epoch 2024-01-01 + doc_id seconds: distinct, deterministic
+        // arrival times; planted copies arrive after their originals
+        Text.corpus(s, dir)
+          .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+          .write.parquet(in)
+        val name = s"t23_stream_dedup_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val src = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+          val q = graft.streaming.StreamDedup
+            .firstArrivals(src, "ts", "30 days")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.table(name)
+          .groupBy(pmod(length(col("text")), lit(10)).cast("int").as("len_bucket"))
+          .agg(count(lit(1)).as("n_unique"))
+          .orderBy(col("len_bucket"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      s"""WITH ${graft.queries.Text.CorpusCte}
+         |SELECT CAST(length(text) % 10 AS INT) AS len_bucket,
+         |       COUNT(DISTINCT md5(lower(text))) AS n_unique
+         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin))
 }

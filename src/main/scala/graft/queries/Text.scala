@@ -54,7 +54,7 @@ object Text {
             concat(col("text"), lit(" zz near dup marker zz")).as("text")))
   }
 
-  private val CorpusCte =
+  private[queries] val CorpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
