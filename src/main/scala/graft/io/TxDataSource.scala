@@ -63,7 +63,7 @@ class TxDataSource
 
   private def keyOf(p: Map[String, String]): String =
     p.getOrElse("key", throw new IllegalArgumentException(
-      "graft-tx streaming requires a 'key' option (the table's merge key)"))
+      "graft-tx change feeds require a 'key' option (the table's merge key)"))
 
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[org.apache.spark.sql.types.StructType],
@@ -121,6 +121,21 @@ class TxDataSource
     val p = lower(parameters)
     val path = pathOf(p)
     val spark = sqlContext.sparkSession
+    // changesFrom: the BATCH change-feed read (the public formats'
+    // table_changes / readChangeFeed surface) — row-level diffs of the
+    // commits in (changesFrom, changesTo ?: tip], each row stamped
+    // `_commit_version`, same emission as the streaming source. Mutually
+    // exclusive with versionAsOf (a changes read IS a version range).
+    if (p.contains("changesfrom")) {
+      require(!p.contains("versionasof"),
+        "graft-tx: changesFrom and versionAsOf are mutually exclusive")
+      val from = p("changesfrom").toLong
+      val to = p.get("changesto").map(_.toLong)
+        .getOrElse(TxTable.latestVersion(spark, path))
+      require(from >= 0 && from <= to,
+        s"graft-tx: invalid change range ($from, $to]")
+      return TxChangesRelation(spark, path, keyOf(p), from, to)
+    }
     // partition columns: the table's own _meta record by default — a
     // reader shouldn't have to be told what the table already knows.
     // An explicit option must AGREE with the record (a mismatch means
@@ -218,6 +233,42 @@ private[io] case class TxRelation(
     filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** The batch change-feed relation behind `option("changesFrom", v)`:
+  * one frame of the per-commit row-level diffs in (fromV, toV], each
+  * row stamped `_commit_version` — [[TxStreamSource]]'s emission as a
+  * batch read, for consumers (audits, downstream batch ETL) that want
+  * a version range rather than a running stream. Costs the partitions
+  * the range's commits touched (diff's manifest pruning), never a
+  * table scan; schemas align across an evolution commit inside the
+  * range (older diffs null-padded). No filter pushdown — the frame is
+  * change-volume-sized by construction and Spark evaluates predicates
+  * on top. */
+private[io] case class TxChangesRelation(
+    spark: SparkSession, path: String, key: String,
+    fromV: Long, toV: Long)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val needConversion: Boolean = false
+
+  private lazy val frame: DataFrame =
+    if (fromV >= toV) {
+      // empty range: a zero-row frame of the feed's pinned shape
+      val shape = TxStreamSource.feedSchema(spark, path, key)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], shape)
+    } else
+      ((fromV + 1) to toV).map { v =>
+        TxTable.diff(spark, path, v - 1, v, key)
+          .withColumn("_commit_version", lit(v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  override lazy val schema: StructType = frame.schema
+
+  override def buildScan(): RDD[Row] =
+    frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 private[io] object TxRelation {

@@ -713,5 +713,55 @@ object Maintenance {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM recompute)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin),
+
+    // BATCH change-feed read through the public format (the
+    // table_changes / readChangeFeed surface, io/TxChangesRelation):
+    // two commits land (bootstrap, then a doubled-value revision of
+    // the mid-month span plus late inserts), and
+    // `option("changesFrom", 1)` reads ONLY the second commit's
+    // row-level diff — updates where the revision actually changed the
+    // value (diff suppresses no-op updates) and inserts for the new
+    // span — as a plain batch frame, zero graft imports. The oracle
+    // rebuilds that diff from the raw events.
+    "x_tx_changes" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txch").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") < "2024-01-15"),
+          "event_id", "event_id", "day")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-10" && col("day") < "2024-01-20")
+            .withColumn("value", col("value") * 2),
+          "event_id", "event_id", "day")
+        val out = s.read.format("graft-tx")
+          .option("key", "event_id").option("changesFrom", "1")
+          .load(tbl)
+          .groupBy(col("change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("change_type"), col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |feed AS (
+        |  SELECT CASE WHEN day < '2024-01-15' THEN 'update'
+        |              ELSE 'insert' END AS change_type,
+        |         event_type, value * 2 AS value
+        |  FROM ev
+        |  WHERE day >= '2024-01-10' AND day < '2024-01-20'
+        |    AND (day >= '2024-01-15' OR value * 2 IS DISTINCT FROM value))
+        |SELECT change_type, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM feed
+        |GROUP BY change_type, event_type
+        |ORDER BY change_type, event_type""".stripMargin))
 }

@@ -125,6 +125,50 @@ class TxFormatSpec extends SparkTestBase {
     }
   }
 
+  test("changesFrom reads the version range's row-level diffs, stamped by version") {
+    val s = spark; import s.implicits._
+    val dir = seed("graft_fmt_cdc")
+    // v2: update id=1, insert id=6; v3: delete id=2
+    TxTable.upsert(s, dir,
+      Seq((1L, "2024-01-01", "click", 15.0), (6L, "2024-01-03", "click", 60.0))
+        .toDF("id", "day", "event_type", "v"),
+      "id", "v", "day")
+    TxTable.delete(s, dir,
+      Seq((2L, "2024-01-01")).toDF("id", "day"), "id", "day")
+
+    def changes(from: Long, extra: Map[String, String] = Map.empty) = {
+      val r = s.read.format("graft-tx")
+        .option("key", "id").option("changesFrom", from.toString)
+      extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(dir)
+    }
+    val got = changes(1L)
+      .select("_commit_version", "change_type", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (2L, "update", 1L, 15.0), (2L, "insert", 6L, 60.0),
+      (3L, "delete", 2L, 20.0)))
+    // changesTo bounds the range; an empty range is an empty frame of
+    // the feed's shape, not a crash
+    assert(changes(1L, Map("changesTo" -> "2"))
+      .select("_commit_version").collect().map(_.getLong(0)).toSet === Set(2L))
+    val empty = changes(3L)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("change_type") &&
+      empty.columns.contains("_commit_version"))
+    // ...and the full-history read equals the native drain's union
+    val native = graft.streaming.TxChangeFeed.drain(s, dir, "id")
+      .map { case (v, d) => d.withColumn("_commit_version", lit(v)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .collect().map(_.toString).sorted.toSeq
+    val viaFormat = changes(0L).collect().map(_.toString).sorted.toSeq
+    assert(viaFormat === native)
+    // versionAsOf and changesFrom cannot combine
+    intercept[IllegalArgumentException] {
+      changes(1L, Map("versionAsOf" -> "1")).collect()
+    }
+  }
+
   test("an EMPTY append to a fresh path is a no-op, not a crash") {
     // TxTable.upsert documents empty batches as no-ops (an hour with
     // zero events must not fail the pipeline); the format seam must
