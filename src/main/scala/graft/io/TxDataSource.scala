@@ -97,7 +97,10 @@ class TxDataSource
     require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
       "graft-tx sink supports Append/Update output (keyed upsert per " +
         "micro-batch); Complete would re-land the whole result every batch")
-    val parts = partColsOf(p)
+    // the option wins; `.partitionBy(…)` on the stream writer is the
+    // equivalent spelling and arrives through the createSink argument
+    val parts =
+      if (partColsOf(p).nonEmpty) partColsOf(p) else partitionColumns
     require(parts.nonEmpty, "graft-tx streaming writes require partitionColumns")
     new TxFormatSink(pathOf(p), keyOf(p),
       p.getOrElse("version", throw new IllegalArgumentException(

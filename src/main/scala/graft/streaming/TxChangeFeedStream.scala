@@ -136,18 +136,31 @@ object TxChangeFeedStream {
       }
     if (aged.isEmpty) return 0
     // the horizon is the max stamp across the aged files — one bounded
-    // read of exactly the files being reclaimed
-    val maxV = spark.read.parquet(aged.map(_.getPath.toString): _*)
-      .agg(max(col("_commit_version"))).head().getLong(0)
-    val horizon = math.max(readHorizon(spark, spoolDir), maxV)
-    val tmp = new Path(p, s".horizon-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(p, HorizonFile))) {
-      fs.delete(new Path(p, HorizonFile), false)
-      fs.rename(tmp, new Path(p, HorizonFile)): Unit
+    // read of exactly the files being reclaimed. A rows-preserving
+    // commit (compaction, optimize) spools an EMPTY diff, so an aged
+    // set can be all-empty: nothing replayable is being lost, the
+    // horizon stays where it was.
+    val maxRow = spark.read.parquet(aged.map(_.getPath.toString): _*)
+      .agg(max(col("_commit_version"))).head()
+    val prior = readHorizon(spark, spoolDir)
+    val horizon =
+      if (maxRow.isNullAt(0)) prior else math.max(prior, maxRow.getLong(0))
+    if (horizon > prior) {
+      val tmp = new Path(p, s".horizon-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, new Path(p, HorizonFile))) {
+        fs.delete(new Path(p, HorizonFile), false)
+        fs.rename(tmp, new Path(p, HorizonFile)): Unit
+      }
     }
-    aged.foreach(s => fs.delete(s.getPath, false): Unit)
+    aged.foreach { s =>
+      fs.delete(s.getPath, false): Unit
+      // local FSs shadow each file with a .name.crc checksum sibling —
+      // reclaim it too, or the spool dir accumulates orphans forever
+      val crc = new Path(s.getPath.getParent, s".${s.getPath.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false): Unit
+    }
     aged.size
   }
 

@@ -392,6 +392,24 @@ class TxChangeFeedSpec extends SparkTestBase {
       "resumeFromVersion must filter rows at or below the cursor")
   }
 
+  test("vacuumSpool over an all-empty aged set keeps the horizon at zero (nothing replayable lost)") {
+    import graft.streaming.TxChangeFeedStream
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    val base = Files.createTempDirectory("graft_cf_vac0").toString
+    val schemaSrc = s"$base/a"
+    TxChangeFeedStream.spool(spark, target, "id", schemaSrc)
+    // a rows-preserving commit spools an EMPTY diff: same shape, 0 rows
+    val emptySpool = s"$base/b"
+    spark.read.parquet(schemaSrc).limit(0)
+      .write.parquet(emptySpool)
+    val reclaimed = TxChangeFeedStream.vacuumSpool(spark, emptySpool, 0L)
+    assert(TxChangeFeedStream.readHorizon(spark, emptySpool) === 0L,
+      s"an all-empty reclaim (files=$reclaimed) must not raise the horizon")
+    // and the normal spool's horizon is untouched by the other dir
+    assert(TxChangeFeedStream.readHorizon(spark, schemaSrc) === 0L)
+  }
+
   test("bulk catch-up: a long-gap drain lands in ceil(commits/N) appends with identical spool rows") {
     import graft.streaming.TxChangeFeedStream
     val target = freshTable()

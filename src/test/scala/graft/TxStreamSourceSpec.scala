@@ -153,6 +153,24 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(TxTable.latestVersion(spark, b) === 2L)
   }
 
+  test("the sink accepts .partitionBy as the partitionColumns spelling") {
+    val s = spark; import s.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    commit(src, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    val q = feed(src)
+      .select("id", "price", "etl_seq", "date_id", "_commit_version")
+      .writeStream.format("graft-tx")
+      .option("key", "id").option("version", "_commit_version")
+      .partitionBy("date_id")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_txss_pb").toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination()
+    assert(TxTable.partitionColumnsOf(s, dst).contains(Seq("date_id")))
+    assert(TxTable.snapshot(s, dst).get.count() === 2L)
+  }
+
   test("a never-committed table refuses to pin a stream schema") {
     val dir = freshTable()
     val ex = intercept[IllegalArgumentException] {
