@@ -1128,7 +1128,8 @@ object TxTable {
   def optimizeZOrderBy(
       spark: SparkSession, dir: String, partitionCol: PartitionSpec,
       cols: Seq[String], layout: Layout = Layout.none,
-      maxRetries: Int = 10, where: Option[Column] = None): Unit = {
+      maxRetries: Int = 10, where: Option[Column] = None,
+      beforeCommit: () => Unit = () => ()): Unit = {
     require(cols.nonEmpty && cols.size <= 4,
       s"optimizeZOrderBy takes 1-4 clustering columns, got ${cols.size}")
     val fs = fsOf(spark, dir)
@@ -1188,6 +1189,7 @@ object TxTable {
           // rows-preserving rewrite: the partition value rides over
           k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
         }
+      if (attempt == 1) beforeCommit()
       if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }

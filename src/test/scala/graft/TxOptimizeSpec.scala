@@ -117,6 +117,44 @@ class TxOptimizeSpec extends SparkTestBase {
     assert(TxTable.latestVersion(s, dir) == 2L, "empty scope must not commit")
   }
 
+  test("a scoped optimize losing the CAS race re-scopes against the winner and never clobbers it") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_tx_zo_race").toString + "/fact"
+    val rows = (1L to 4000L)
+      .map(i => (i, (i % 97).toDouble, ((i * 53) % 101).toDouble,
+        f"2024-01-${1 + (i % 4)}%02d"))
+      .toDF("id", "x", "y", "day")
+    TxTable.upsert(s, dir, rows, "id", "id", "day")
+    val snapBefore = TxTable.snapshot(s, dir).get
+      .collect().map(_.toString).sorted.toSeq
+
+    // a writer lands a NEW row inside the optimize's race window, in a
+    // day the optimize is NOT scoped to — the optimize must lose its
+    // CAS, re-read the winner's manifest, re-stage only its scope, and
+    // the winner's row must survive
+    TxTable.optimizeZOrderBy(s, dir, "day", Seq("x", "y"),
+      where = Some(col("day") >= "2024-01-03"),
+      beforeCommit = () => TxTable.upsert(s, dir,
+        Seq((9001L, 1.0, 2.0, "2024-01-01")).toDF("id", "x", "y", "day"),
+        "id", "id", "day"))
+
+    // versions: 1 bootstrap, 2 racing upsert, 3 the optimize's retry
+    assert(TxTable.latestVersion(s, dir) === 3L)
+    val after = TxTable.snapshot(s, dir).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(after.length === snapBefore.length + 1,
+      "the racing writer's row was lost or duplicated")
+    assert(after.exists(_.startsWith("[9001,")),
+      "the racing writer's row is missing from the final snapshot")
+    // the optimize's final commit is a DELTA of its scope only — the
+    // winner-touched day-01 leaf keeps the winner's file identity
+    val v2 = TxTable.snapshotAt(s, dir, 2L).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === v2.sorted, "optimize changed rows across the race")
+    assert(TxTable.diff(s, dir, 2L, 3L, "id").count() === 0,
+      "the retried scoped optimize must still be rows-preserving")
+  }
+
   test("3-column z-order tightens zone maps on all three probe dimensions") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_tx_zo3").toString + "/fact"
