@@ -80,9 +80,17 @@ class TxDataSource
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val p = lower(parameters)
+    // startingVersion: a number (replay after that version; 0 = from
+    // genesis, the default) or "latest" — only commits landing after
+    // the stream starts (the new-changes-only consumer)
+    val starting = p.get("startingversion") match {
+      case Some("latest") =>
+        TxTable.latestVersion(sqlContext.sparkSession, pathOf(p))
+      case Some(v) => v.toLong
+      case None => 0L
+    }
     new TxStreamSource(sqlContext.sparkSession, pathOf(p), keyOf(p),
-      p.get("startingversion").map(_.toLong).getOrElse(0L),
-      p.get("maxcommitspertrigger").map(_.toLong))
+      starting, p.get("maxcommitspertrigger").map(_.toLong))
   }
 
   /** `df.writeStream.format("graft-tx")` — each micro-batch is one

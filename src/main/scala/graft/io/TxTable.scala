@@ -517,7 +517,10 @@ object TxTable {
     val store = CommitStore.forPath(fsOf(spark, dir), log)
     def entriesOf(v: Long): Map[String, String] =
       resolveAt(store, log, v).getOrElse(
-        throw new IllegalArgumentException(s"version $v not readable"))
+        throw new IllegalArgumentException(
+          s"version $v of $dir is not readable (vacuumed or never " +
+            "committed) — a change-feed consumer below the retention " +
+            "floor must re-bootstrap from a snapshot"))
         .map { case (k, e) => k -> e.leaf }
     val aE = entriesOf(fromVersion)
     val bE = entriesOf(toVersion)

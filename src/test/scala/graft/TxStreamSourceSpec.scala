@@ -153,6 +153,32 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(TxTable.latestVersion(spark, b) === 2L)
   }
 
+  test("startingVersion=latest emits only commits landing after the stream starts") {
+    val target = freshTable()
+    val base = Files.createTempDirectory("graft_txss_latest").toString
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))
+    def drain(): Set[Long] = {
+      val q = feed(target, Map("startingVersion" -> "latest"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val f = new java.io.File(s"$base/sink")
+      if (!f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet")))
+        Set.empty
+      else spark.read.parquet(s"$base/sink")
+        .select("_commit_version").collect().map(_.getLong(0)).toSet
+    }
+    // history (v1, v2) is skipped: nothing emits
+    assert(drain() === Set.empty[Long])
+    // a NEW commit lands; the restarted stream (same checkpoint, whose
+    // WAL already pinned the latest-at-start cursor) emits only it
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))
+    assert(drain() === Set(3L))
+  }
+
   test("the sink accepts .partitionBy as the partitionColumns spelling") {
     val s = spark; import s.implicits._
     val src = freshTable()
