@@ -167,6 +167,14 @@ class TxFormatSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       changes(1L, Map("versionAsOf" -> "1")).collect()
     }
+    // the changes read is SQL-reachable through the same seam
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW fmt_changes
+      |USING `graft-tx`
+      |OPTIONS (path '$dir', key 'id', changesFrom '2')""".stripMargin)
+    val viaSql = s.sql(
+      "SELECT change_type, id FROM fmt_changes ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql === Seq(("delete", 2L)))
   }
 
   test("an EMPTY append to a fresh path is a no-op, not a crash") {
