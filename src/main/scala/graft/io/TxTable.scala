@@ -763,6 +763,125 @@ object TxTable {
       s"TxTable.delete lost the commit race $maxRetries times on $targetDir")
   }
 
+  /** Predicate DELETE — the public formats' `DELETE FROM … WHERE`,
+    * completing the keyed [[delete]]: every row satisfying `pred`
+    * drops, as ONE CAS commit. Two-phase like the public
+    * implementations: one find pass locates the partitions that
+    * actually HOLD matching rows (scan bounded by `scope` — a
+    * predicate over the partition columns pruned at the manifest via
+    * the [[snapshotWhere]] machinery; retention deletes pass their day
+    * range here and never scan the rest of the table), then only those
+    * partitions are rewritten without their matching rows — O(touched)
+    * staging like every commit, emptied partitions tombstone out, and
+    * a no-match delete publishes nothing. With `scope` given, rows
+    * outside it are NOT candidates (the effective predicate is
+    * `pred AND scope`). Deletes surface in [[diff]] and replay through
+    * the change feed like any other commit. */
+  def deleteWhere(
+      spark: SparkSession, targetDir: String, partitionCol: PartitionSpec,
+      pred: Column, scope: Option[Column] = None,
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit =
+    rewriteWhere(spark, targetDir, partitionCol, pred, scope, layout,
+      maxRetries, beforeCommit, "deleteWhere")(
+      (rows, p) => rows.filter(!p))
+
+  /** Predicate UPDATE — `UPDATE … SET … WHERE` as one CAS commit:
+    * rows satisfying `pred` (within `scope`, when given — same
+    * manifest-pruned find pass as [[deleteWhere]]) take the `set`
+    * assignments, every other row rides through untouched, and only
+    * partitions holding matching rows rewrite. Assignments may not
+    * reassign the key–partition identity columns (a row may not
+    * migrate partitions — the [[merge]] updateSet contract). */
+  def updateWhere(
+      spark: SparkSession, targetDir: String, partitionCol: PartitionSpec,
+      set: Seq[(String, Column)], pred: Column, scope: Option[Column] = None,
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val reassigned = set.map(_._1).toSet.intersect(partitionCol.cols.toSet)
+    require(reassigned.isEmpty,
+      s"updateWhere must not reassign partition columns: $reassigned " +
+        "(a row may not migrate partitions)")
+    rewriteWhere(spark, targetDir, partitionCol, pred, scope, layout,
+      maxRetries, beforeCommit, "updateWhere") { (rows, p) =>
+      val assigned = set.toMap
+      val unknown = assigned.keySet.diff(rows.columns.toSet)
+      require(unknown.isEmpty,
+        s"updateWhere assigns columns the table does not have: $unknown")
+      // ONE select = SQL UPDATE's simultaneous-assignment semantics:
+      // every right-hand side evaluates against the OLD row, never a
+      // previous assignment's output
+      rows.select(rows.columns.toIndexedSeq.map { c =>
+        assigned.get(c)
+          .map(value => when(p, value).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** The shared two-phase predicate-rewrite loop behind
+    * [[deleteWhere]]/[[updateWhere]]: find the partitions holding
+    * matching rows (scan manifest-pruned by `scope`), rewrite exactly
+    * those through the caller's transform, tombstone emptied ones,
+    * publish a delta. Re-runs whole on a lost CAS race. */
+  private def rewriteWhere(
+      spark: SparkSession, targetDir: String, partitionCol: PartitionSpec,
+      pred: Column, scope: Option[Column], layout: Layout,
+      maxRetries: Int, beforeCommit: () => Unit, op: String)(
+      transform: (DataFrame, Column) => DataFrame): Unit = {
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      if (v == 0) return // empty table: vacuously done
+      ensureSpec(fs, targetDir, partitionCol)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      if (entries.isEmpty) return
+      val candidates = scope.fold(entries)(
+        entriesWhere(spark, entries, partitionCol, _))
+      if (candidates.isEmpty) return
+      // find pass: which candidate partitions actually hold a match —
+      // the rewrite set must be matches-only, or a table-wide predicate
+      // would rewrite every candidate leaf it MIGHT have matched
+      val scanned = read(spark, targetDir, candidates)
+        .withColumn(PKey, keyExpr(partitionCol))
+      val hit = scanned.filter(pred).select(PKey).distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
+      if (hit.isEmpty) return // nothing matches: no version published
+      val hitSet = hit.toSet
+      val existing = read(spark, targetDir,
+          entries.filter { case (k, _) => hitSet(k) })
+        .withColumn(PKey, keyExpr(partitionCol))
+        .filter(col(PKey).isInCollection(hit))
+      val rewritten = transform(existing, pred)
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      writeLaidOut(rewritten, layout, s"$targetDir/$stageRel")
+      val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          // the partition's value rides over from its entry
+          k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
+        }
+      // a hit partition that staged nothing was emptied — tombstone it
+      val staged = stagedLeaves.toMap ++
+        hit.filterNot(stagedLeaves.map(_._1).toSet)
+          .map(_ -> Entry(Tombstone, None))
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries, staged)) return
+      fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.$op lost the commit race $maxRetries times on $targetDir")
+  }
+
   /** Transactional `MERGE INTO` — [[graft.ops.Merge.mergeInto]]'s
     * conditional update/delete/insert clauses committed as ONE version,
     * O(touched) like every commit: only the partitions the (key-unique)

@@ -763,5 +763,82 @@ object Maintenance {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM feed
         |GROUP BY change_type, event_type
-        |ORDER BY change_type, event_type""".stripMargin))
+        |ORDER BY change_type, event_type""".stripMargin),
+
+    // Predicate DELETE under the oracle gate (DELETE FROM … WHERE —
+    // io/TxTable.deleteWhere): a retention-style delete drops every
+    // low-value row inside a day-range SCOPE (the scope prunes the
+    // find pass at the manifest; matching rows OUTSIDE it survive,
+    // which the oracle's AND restates), as one CAS commit, and the
+    // post-delete snapshot aggregates. Deletion is observable as a
+    // count change per type on both sides of the scope boundary.
+    "x_tx_delete_where" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txdw").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl, ev, "event_id", "event_id", "day")
+        graft.io.TxTable.deleteWhere(s, tbl, "day",
+          col("value") < 150.0,
+          scope = Some(col("day") >= "2024-01-08" && col("day") < "2024-01-22"))
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM ev
+        |WHERE NOT (value < 150.0
+        |           AND day >= '2024-01-08' AND day < '2024-01-22')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // Predicate UPDATE under the oracle gate (UPDATE … SET … WHERE —
+    // io/TxTable.updateWhere): clicks inside the scoped day range take
+    // a doubled value (exact in doubles — an exponent bump), every
+    // other row rides through, only partitions holding clicks rewrite.
+    // The oracle restates the assignment as a CASE over the raw table.
+    "x_tx_update_where" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txuw").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl, ev, "event_id", "event_id", "day")
+        graft.io.TxTable.updateWhere(s, tbl, "day",
+          set = Seq("value" -> (col("value") * 2)),
+          pred = col("event_type") === "click",
+          scope = Some(col("day") >= "2024-01-12" && col("day") < "2024-01-18"))
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(
+        |    CASE WHEN event_type = 'click'
+        |              AND day >= '2024-01-12' AND day < '2024-01-18'
+        |         THEN value * 2 ELSE value END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM ev
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
 }
