@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     extensions.injectOptimizerRule(_ => graft.plans.Top1WindowRewrite)
+    // SQL DML over graft-tx tables: DELETE FROM / UPDATE / MERGE INTO
+    // statements against a `USING graft-tx` view convert to the
+    // transactional verbs at analysis time (see graft.io.TxSqlDml)
+    extensions.injectResolutionRule(_ => graft.io.TxSqlDml.Resolution)
   }
 }

@@ -840,5 +840,84 @@ object Maintenance {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM ev
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // The SQL DML face under the oracle gate (io/TxSqlDml): the same
+    // UPDATE / DELETE / MERGE verbs driven as SQL STATEMENTS against a
+    // `USING graft-tx` view — parser → analyzer → TxSqlDml conversion →
+    // TxTable commit, one transactional version per statement. The day
+    // conjuncts become the verbs' manifest scopes automatically
+    // (pruned find passes), and the MERGE exercises SQL's first-match-
+    // wins clause order (the UPDATE clause shadows the DELETE clause).
+    // The oracle restates the three statements algebraically; the
+    // update-first shadowing appears as `NOT COALESCE(s>t)` inside the
+    // delete predicate.
+    "x_tx_sql_dml" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txsql").toString
+        val tbl = s"$base/fact"
+        val n = jdbcSeq.incrementAndGet()
+        val v = s"tx_sql_fact_$n"
+        val src = s"tx_sql_src_$n"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") < "2024-01-21"),
+          "event_id", "event_id", "day")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v " +
+          s"USING `graft-tx` OPTIONS (path '$tbl')")
+        ev.filter(col("day") >= "2024-01-15" && col("day") < "2024-01-26")
+          .withColumn("value", col("value") * 3)
+          .createOrReplaceTempView(src)
+        graft.io.TxSqlDml.sql(s,
+          s"UPDATE $v SET value = value * 2 WHERE event_type = 'click' " +
+            "AND day >= '2024-01-12' AND day < '2024-01-18'")
+        graft.io.TxSqlDml.sql(s,
+          s"DELETE FROM $v WHERE value < 100 " +
+            "AND day >= '2024-01-05' AND day < '2024-01-09'")
+        graft.io.TxSqlDml.sql(s,
+          s"""MERGE INTO $v t USING $src s ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value > t.value THEN UPDATE SET value = s.value
+             |WHEN MATCHED AND s.event_type = 'view' THEN DELETE
+             |WHEN NOT MATCHED AND s.value > 0 THEN INSERT *""".stripMargin)
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        s.catalog.dropTempView(v): Unit
+        s.catalog.dropTempView(src): Unit
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |t0 AS (SELECT * FROM ev WHERE day < '2024-01-21'),
+        |t1 AS (SELECT event_id, event_type, day,
+        |         CASE WHEN event_type = 'click'
+        |                   AND day >= '2024-01-12' AND day < '2024-01-18'
+        |              THEN value * 2 ELSE value END AS value FROM t0),
+        |t2 AS (SELECT * FROM t1
+        |       WHERE NOT (value < 100
+        |                  AND day >= '2024-01-05' AND day < '2024-01-09')),
+        |s AS (SELECT event_id, event_type, day, value * 3 AS value FROM ev
+        |      WHERE day >= '2024-01-15' AND day < '2024-01-26'),
+        |m AS (
+        |  SELECT COALESCE(t.event_type, s.event_type) AS event_type,
+        |    CASE WHEN t.event_id IS NOT NULL AND s.event_id IS NOT NULL THEN
+        |           CASE WHEN s.value > t.value THEN s.value ELSE t.value END
+        |         WHEN t.event_id IS NOT NULL THEN t.value
+        |         ELSE s.value END AS value
+        |  FROM t2 t FULL OUTER JOIN s ON t.event_id = s.event_id
+        |  WHERE NOT (t.event_id IS NOT NULL AND s.event_id IS NOT NULL
+        |             AND NOT COALESCE(s.value > t.value, FALSE)
+        |             AND s.event_type = 'view')
+        |    AND (t.event_id IS NOT NULL OR s.value > 0))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM m GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }

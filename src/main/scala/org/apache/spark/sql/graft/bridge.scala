@@ -30,6 +30,24 @@ object bridge {
       : org.apache.spark.sql.ExperimentalMethods =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
 
+  /** Parse SQL text into an (unresolved) LogicalPlan on a live session
+    * (`sessionState` is private[sql]; same visibility hop as above). */
+  def parsePlan(
+      spark: org.apache.spark.sql.SparkSession,
+      sqlText: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sqlText)
+
+  /** Run the session's analyzer over a plan (resolution only — no
+    * optimization, no execution). */
+  def analyze(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.executePlan(plan).analyzed
+
   /** Register a function builder on a live session's FunctionRegistry
     * (`sessionState` is private[sql]; same visibility hop as above). */
   def registerFunction(
