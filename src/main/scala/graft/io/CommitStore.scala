@@ -79,6 +79,19 @@ object CommitStore {
     * can prune without being told the columns. */
   private[io] val MetaFile = "_meta"
 
+  /** java.nio path of a LOCAL dir string, tolerating the `file:` scheme
+    * a catalog-normalized location carries: `Paths.get("file:/tmp/x")`
+    * would name a literal "file:" directory relative to the cwd, and
+    * every read through the catalog seam would see an "uncommitted"
+    * table that is in fact live. */
+  private[io] def localPath(dir: String): java.nio.file.Path = {
+    val uri = new Path(dir).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") Paths.get(uri.getPath)
+    // non-local scheme: not this store's path class — keep the lenient
+    // literal interpretation (callers probing symlinks get "absent")
+    else Paths.get(dir)
+  }
+
   private[io] def parseTip(lines: Seq[String]): Option[Long] =
     lines.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
       // Try, not toLong: an all-digit hint longer than Long range is
@@ -127,7 +140,7 @@ object SymlinkCommitStore extends CommitStore {
   private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
 
   override def latest(logDir: String): (Long, Seq[String]) = {
-    val log = Paths.get(logDir)
+    val log = CommitStore.localPath(logDir)
     if (!Files.isDirectory(log)) return (0L, Nil)
     // the WHOLE hinted probe is best-effort: a concurrent vacuum can
     // delete a slot (or its body) between the existence stat and the
@@ -182,7 +195,7 @@ object SymlinkCommitStore extends CommitStore {
   }
 
   override def at(logDir: String, version: Long): Option[Seq[String]] = {
-    val slot = Paths.get(logDir).resolve(CommitStore.slotName(version))
+    val slot = CommitStore.localPath(logDir).resolve(CommitStore.slotName(version))
     // a dangling slot (body vacuumed, or a partially-reclaimed log)
     // reads as absent, not as a crash
     if (Files.isSymbolicLink(slot) && Files.exists(slot)) Some(readSlot(slot))
@@ -196,7 +209,7 @@ object SymlinkCommitStore extends CommitStore {
 
   override def tryCommit(
       logDir: String, version: Long, lines: Seq[String]): Boolean = {
-    val log = Paths.get(logDir)
+    val log = CommitStore.localPath(logDir)
     Files.createDirectories(log)
     val body = log.resolve(s"m-${UUID.randomUUID()}.tsv")
     Files.write(body, lines.asJava, UTF_8)

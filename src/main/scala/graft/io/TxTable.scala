@@ -1460,7 +1460,7 @@ object TxTable {
       CommitStore.versionOf(s.getPath.getName).exists(_ < keepFrom))
     dead.foreach(s => fs.delete(s.getPath, false): Unit)
     val liveBodies: Set[String] = kept.flatMap { s =>
-      val p = java.nio.file.Paths.get(log, s.getPath.getName)
+      val p = CommitStore.localPath(log).resolve(s.getPath.getName)
       if (java.nio.file.Files.isSymbolicLink(p))
         Some(java.nio.file.Files.readSymbolicLink(p).toString)
       else None

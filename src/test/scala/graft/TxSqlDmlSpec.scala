@@ -165,6 +165,23 @@ class TxSqlDmlSpec extends SparkTestBase {
     refuse(s"DELETE FROM ${view}_tt WHERE id = 1", "time travel")
   }
 
+  test("catalog table (CREATE TABLE USING graft-tx): reads and SQL DML through a scheme-qualified location") {
+    val (dir, _) = seed("graft_sqlcat")
+    val tbl = s"tx_cat_t${viewSeq.incrementAndGet()}"
+    // the catalog normalizes locations to URI form (file:/…) — this
+    // pins that the commit store tolerates the scheme (a literal
+    // Paths.get("file:/…") would read the live table as uncommitted)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path 'file:$dir')")
+    try {
+      assert(spark.table(tbl).count() === 6L)
+      TxSqlDml.sql(spark, s"DELETE FROM $tbl WHERE v >= 400")
+      assert(state(dir) === Set((1L, 10.0), (2L, 200.0), (3L, 30.0), (6L, 60.0)))
+      TxSqlDml.sql(spark, s"UPDATE $tbl SET v = v + 1 WHERE id = 1")
+      assert(spark.table(tbl).filter("id = 1")
+        .select("v").head().getDouble(0) === 11.0)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("GraftExtensions session: plain spark.sql drives all three verbs") {
     val (dir, _) = seed("graft_sqlext")
     spark.sparkContext // share the context, then build a sibling session
