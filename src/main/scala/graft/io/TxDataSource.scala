@@ -61,9 +61,13 @@ class TxDataSource
   // options `key` (required — the diff's merge key) and
   // `startingVersion` (default 0 = replay from genesis)
 
-  private def keyOf(p: Map[String, String]): String =
-    p.getOrElse("key", throw new IllegalArgumentException(
-      "graft-tx change feeds require a 'key' option (the table's merge key)"))
+  private def keyOf(spark: SparkSession, p: Map[String, String]): String =
+    p.get("key")
+      .orElse(TxTable.mergeKeyOf(spark, pathOf(p)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-tx change feeds need a merge key: pass the 'key' option, " +
+          "or bootstrap the table through a keyed verb (which records it " +
+          "in _meta)"))
 
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[org.apache.spark.sql.types.StructType],
@@ -71,7 +75,8 @@ class TxDataSource
       parameters: Map[String, String]): (String, org.apache.spark.sql.types.StructType) = {
     val p = lower(parameters)
     (shortName(), schema.getOrElse(
-      TxStreamSource.feedSchema(sqlContext.sparkSession, pathOf(p), keyOf(p))))
+      TxStreamSource.feedSchema(sqlContext.sparkSession, pathOf(p),
+        keyOf(sqlContext.sparkSession, p))))
   }
 
   override def createSource(
@@ -89,7 +94,8 @@ class TxDataSource
       case Some(v) => v.toLong
       case None => 0L
     }
-    new TxStreamSource(sqlContext.sparkSession, pathOf(p), keyOf(p),
+    new TxStreamSource(sqlContext.sparkSession, pathOf(p),
+      keyOf(sqlContext.sparkSession, p),
       starting, p.get("maxcommitspertrigger").map(_.toLong))
   }
 
@@ -107,12 +113,21 @@ class TxDataSource
         "micro-batch); Complete would re-land the whole result every batch")
     // the option wins; `.partitionBy(…)` on the stream writer is the
     // equivalent spelling and arrives through the createSink argument
+    val spark = sqlContext.sparkSession
     val parts =
-      if (partColsOf(p).nonEmpty) partColsOf(p) else partitionColumns
-    require(parts.nonEmpty, "graft-tx streaming writes require partitionColumns")
-    new TxFormatSink(pathOf(p), keyOf(p),
-      p.getOrElse("version", throw new IllegalArgumentException(
-        "graft-tx streaming writes require a 'version' option")),
+      if (partColsOf(p).nonEmpty) partColsOf(p)
+      else if (partitionColumns.nonEmpty) partitionColumns
+      else TxTable.partitionColumnsOf(spark, pathOf(p)).getOrElse(Seq.empty)
+    require(parts.nonEmpty,
+      "graft-tx streaming writes need partition columns: pass " +
+        "partitionColumns/.partitionBy, or write to a table whose _meta " +
+        "records them")
+    new TxFormatSink(pathOf(p), keyOf(spark, p),
+      p.get("version")
+        .orElse(TxTable.versionColumnOf(spark, pathOf(p)))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-tx streaming writes need a version column: pass the " +
+            "'version' option, or write to a table whose _meta records it")),
       PartitionSpec(parts))
   }
 
@@ -145,7 +160,7 @@ class TxDataSource
         .getOrElse(TxTable.latestVersion(spark, path))
       require(from >= 0 && from <= to,
         s"graft-tx: invalid change range ($from, $to]")
-      return TxChangesRelation(spark, path, keyOf(p), from, to)
+      return TxChangesRelation(spark, path, keyOf(spark, p), from, to)
     }
     // partition columns: the table's own _meta record by default — a
     // reader shouldn't have to be told what the table already knows.
@@ -171,29 +186,77 @@ class TxDataSource
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val p = lower(parameters)
     val path = pathOf(p)
-    val parts = partColsOf(p)
+    val spark = sqlContext.sparkSession
+    // an EXISTING table is self-describing: key/version/partitions
+    // default from its _meta record, so `df.write.format("graft-tx")
+    // .mode("append").save(dir)` needs no options at all. Explicit
+    // options still apply (and must agree — ensureSpec enforces).
+    val parts =
+      if (partColsOf(p).nonEmpty) partColsOf(p)
+      else TxTable.partitionColumnsOf(spark, path).getOrElse(Seq.empty)
     require(parts.nonEmpty,
-      "graft-tx writes require partitionColumns")
+      "graft-tx writes need partition columns: pass partitionColumns, " +
+        "or write to a table whose _meta records them")
     mode match {
       case SaveMode.Append =>
-        val key = p.getOrElse("key", throw new IllegalArgumentException(
-          "graft-tx append requires a 'key' option"))
-        val version = p.getOrElse("version", throw new IllegalArgumentException(
-          "graft-tx append requires a 'version' option"))
-        TxTable.upsert(sqlContext.sparkSession, path, data,
+        val key = p.get("key")
+          .orElse(TxTable.mergeKeyOf(spark, path))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-tx append needs a merge key: pass the 'key' option, " +
+              "or write to a table whose _meta records it"))
+        val version = p.get("version")
+          .orElse(TxTable.versionColumnOf(spark, path))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-tx append needs a version column: pass the 'version' " +
+              "option, or write to a table whose _meta records it"))
+        TxTable.upsert(spark, path, data,
           key, version, PartitionSpec(parts))
       case other =>
         throw new UnsupportedOperationException(
           s"graft-tx supports SaveMode.Append (keyed upsert) only, got $other")
     }
-    TxRelation(sqlContext.sparkSession, path, parts, None)
+    TxRelation(spark, path, parts, None)
   }
 }
 
 private[io] case class TxRelation(
     spark: SparkSession, path: String,
     partCols: Seq[String], versionAsOf: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** `INSERT INTO <view/table>` — a keyed latest-wins UPSERT (the only
+    * honest INSERT on a keyed table: a blind append would duplicate
+    * keys and break every reader's one-row-per-key expectation; the
+    * reference's loader spells the same operation ON CONFLICT DO
+    * UPDATE). Key and version come from the table's `_meta` record —
+    * a table bootstrapped by a keyed verb is fully self-describing.
+    * The analyzer aligns INSERT data by POSITION (and casts), so the
+    * frame is renamed to the table's column names before the by-name
+    * merge. INSERT OVERWRITE refuses: overwrite has no one honest
+    * transactional meaning here (replaceWindow is the scoped form). */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!overwrite,
+      "graft-tx INSERT OVERWRITE is not supported — use " +
+        "TxTable.replaceWindow for scoped recomputes")
+    require(versionAsOf.isEmpty,
+      "INSERT into a versionAsOf (time travel) view is not allowed")
+    require(partCols.nonEmpty,
+      "INSERT INTO a graft-tx table needs its partition columns " +
+        "recorded in _meta (commit once through a write verb)")
+    val key = TxTable.mergeKeyOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        "INSERT INTO a graft-tx table needs its merge key recorded in " +
+          "_meta — bootstrap through a keyed verb, or use " +
+          "df.write.format(\"graft-tx\") with explicit options"))
+    val version = TxTable.versionColumnOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        "INSERT INTO a graft-tx table needs its version column recorded " +
+          "in _meta — bootstrap through upsert, or use " +
+          "df.write.format(\"graft-tx\") with explicit options"))
+    TxTable.upsert(spark, path,
+      data.toDF(schema.fieldNames.toIndexedSeq: _*),
+      key, version, PartitionSpec(partCols))
+  }
 
   override def sqlContext: SQLContext = spark.sqlContext
 

@@ -264,10 +264,35 @@ object TxTable {
   def partitionColumnsOf(spark: SparkSession, dir: String): Option[Seq[String]] =
     readMeta(fsOf(spark, dir), dir)
 
+  /** The merge-key column recorded in `_meta` — the table's row
+    * identity, recorded write-once by the first committing verb that
+    * knows it (upsert/merge/delete/applyCdc and the streaming sink).
+    * None on pre-record tables or tables bootstrapped by a keyless
+    * verb (replaceWindow). Self-describing consumers (INSERT INTO, the
+    * change-feed source, option-less format writes) default to it. */
+  def mergeKeyOf(spark: SparkSession, dir: String): Option[String] =
+    readMetaAll(fsOf(spark, dir), dir).flatMap(_.key)
+
+  /** The version (ordering) column recorded in `_meta` — which row
+    * wins inside latest-wins merges. Recorded by upsert-family verbs
+    * only: merge/delete order by clause semantics, not a column. */
+  def versionColumnOf(spark: SparkSession, dir: String): Option[String] =
+    readMetaAll(fsOf(spark, dir), dir).flatMap(_.version)
+
   private def metaPath(dir: String): Path =
     new Path(s"$dir/$LogDir/${CommitStore.MetaFile}")
 
-  private def readMeta(fs: FileSystem, dir: String): Option[Seq[String]] = {
+  /** Everything the `_meta` slot records. The slot is line-oriented
+    * `field\tvhex(value)` — readers scan for the fields they know, so
+    * adding a field never breaks an older reader (it simply doesn't
+    * look for it) and older slots read as None for the newer fields. */
+  private case class TableMeta(
+      partCols: Seq[String], key: Option[String], version: Option[String])
+
+  private def readMeta(fs: FileSystem, dir: String): Option[Seq[String]] =
+    readMetaAll(fs, dir).map(_.partCols)
+
+  private def readMetaAll(fs: FileSystem, dir: String): Option[TableMeta] = {
     val p = metaPath(dir)
     try {
       if (!fs.exists(p)) return None
@@ -275,8 +300,14 @@ object TxTable {
       val body =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      body.linesIterator.map(_.trim).find(_.startsWith("partitionColumns\t"))
-        .map(l => vhexSplit(l.split('\t')(1)))
+      def field(name: String): Option[String] =
+        body.linesIterator.map(_.trim).find(_.startsWith(name + "\t"))
+          .map(_.split('\t')(1))
+      field("partitionColumns").map { parts =>
+        TableMeta(vhexSplit(parts),
+          field("mergeKey").map(vdecode),
+          field("versionColumn").map(vdecode))
+      }
     } catch { case _: java.io.IOException => None } // advisory slot
   }
 
@@ -288,15 +319,31 @@ object TxTable {
     * is create-if-absent: a racing second creator re-reads and
     * verifies; an FS that refuses the write degrades to the pre-slot
     * behavior (no enforcement), never to a failed commit. */
-  private def ensureSpec(fs: FileSystem, dir: String, spec: PartitionSpec): Unit = {
-    readMeta(fs, dir) match {
-      case Some(recorded) =>
-        require(recorded == spec.cols,
-          s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
-            s"but this writer passed ${spec.cols.mkString("(", ", ", ")")} — " +
-            "a mismatched spec would double-key the table")
+  private def ensureSpec(
+      fs: FileSystem, dir: String, spec: PartitionSpec,
+      key: Option[String] = None, version: Option[String] = None): Unit = {
+    def verify(meta: TableMeta, note: String): Unit = {
+      require(meta.partCols == spec.cols,
+        s"TxTable $dir is partitioned by ${meta.partCols.mkString("(", ", ", ")")} " +
+          s"but this writer passed ${spec.cols.mkString("(", ", ", ")")}$note — " +
+          "a mismatched spec would double-key the table")
+      // the recorded merge key is the table's ROW IDENTITY: a writer
+      // merging on a different column silently violates every reader's
+      // latest-wins expectation (and the change feed's key), so the
+      // mismatch fails at commit time like the partition spec does
+      for (k <- key; rk <- meta.key)
+        require(rk == k, s"TxTable $dir is keyed by '$rk' but this " +
+          s"writer merges on '$k'$note — one table, one row identity")
+      for (v <- version; rv <- meta.version)
+        require(rv == v, s"TxTable $dir orders versions by '$rv' but " +
+          s"this writer passed '$v'$note — one table, one version order")
+    }
+    readMetaAll(fs, dir) match {
+      case Some(meta) => verify(meta, "")
       case None =>
-        val body = s"partitionColumns\t${vhexJoin(spec.cols)}\n"
+        val body = s"partitionColumns\t${vhexJoin(spec.cols)}\n" +
+          key.fold("")(k => s"mergeKey\t${vhexOf(k)}\n") +
+          version.fold("")(v => s"versionColumn\t${vhexOf(v)}\n")
         try {
           val out = fs.create(metaPath(dir), false)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -305,18 +352,14 @@ object TxTable {
           // create(overwrite=false) is check-then-create on local and
           // most object-store FSs, so two racing first writers with
           // different specs can both slip past the check — whichever
-          // content actually landed is the table's spec, and a writer
-          // whose spec lost that race must fail here, not double-key
-          readMeta(fs, dir).foreach(recorded => require(recorded == spec.cols,
-            s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
-              s"but this writer passed ${spec.cols.mkString("(", ", ", ")")} — " +
-              "a racing first writer recorded a different spec"))
+          // content actually landed is the table's record, and a writer
+          // whose record lost that race must fail here, not double-key
+          readMetaAll(fs, dir).foreach(verify(_,
+            " (a racing first writer recorded a different value)"))
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.nio.file.FileAlreadyExistsException =>
-            readMeta(fs, dir).foreach(recorded => require(recorded == spec.cols,
-              s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
-                s"but this writer passed ${spec.cols.mkString("(", ", ", ")")}"))
+            readMetaAll(fs, dir).foreach(verify(_, ""))
           case _: java.io.IOException => () // advisory: never fail a commit over it
         }
     }
@@ -596,7 +639,7 @@ object TxTable {
       layout: Layout = Layout.none, maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit =
     commitLoop(spark, targetDir, incoming, partitionCol, layout,
-      maxRetries, beforeCommit, "upsert")(
+      maxRetries, beforeCommit, "upsert", Some(key), Some(version))(
       (existing, batch) => Merge.upsertLatestWins(existing, batch, key, version))
 
   /** Replace a predicate-scoped WINDOW of the table — the idempotent
@@ -642,7 +685,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, targetDir, partitionCol)
+    ensureSpec(fs, targetDir, partitionCol, Some(key))
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -721,7 +764,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, targetDir, partitionCol)
+    ensureSpec(fs, targetDir, partitionCol, Some(key))
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -933,7 +976,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, targetDir, partitionCol)
+    ensureSpec(fs, targetDir, partitionCol, Some(key))
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -1029,7 +1072,8 @@ object TxTable {
   private def commitLoop(
       spark: SparkSession, targetDir: String, incoming: DataFrame,
       partitionCol: PartitionSpec, layout: Layout, maxRetries: Int,
-      beforeCommit: () => Unit, op: String)(
+      beforeCommit: () => Unit, op: String,
+      key: Option[String] = None, version: Option[String] = None)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // stable across retries: the batch itself never changes
     val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
@@ -1043,7 +1087,7 @@ object TxTable {
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
-    ensureSpec(fs, targetDir, partitionCol)
+    ensureSpec(fs, targetDir, partitionCol, key, version)
 
     var attempt = 0
     var committed = false

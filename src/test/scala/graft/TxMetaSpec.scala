@@ -54,6 +54,88 @@ class TxMetaSpec extends SparkTestBase {
     assert(TxTable.snapshot(s, dir).get.count() == 3)
   }
 
+  test("_meta records merge key + version column; mismatched writers refuse; keyless verbs record partitions only") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_meta_kv").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+    assert(TxTable.mergeKeyOf(s, dir).contains("id"))
+    assert(TxTable.versionColumnOf(s, dir).contains("v"))
+
+    val batch = Seq((3L, "2024-01-03", "click", 30.0))
+      .toDF("id", "day", "event_type", "v")
+    // a writer merging on a different identity (or version order) is
+    // the same silent-corruption class as a partition mismatch
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.upsert(s, dir, batch, "event_type", "v", "day")
+    }
+    assert(e1.getMessage.contains("keyed by"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.upsert(s, dir, batch, "id", "id", "day")
+    }
+    assert(e2.getMessage.contains("orders versions by"))
+    intercept[IllegalArgumentException] {
+      TxTable.merge(s, dir, batch, "event_type", "day")
+    }
+    // keyless verbs don't carry a version: no enforcement beyond key
+    TxTable.deleteWhere(s, dir, "day", col("id") === 999L) // no-op, no error
+
+    // a table bootstrapped by a KEYLESS verb records partitions only —
+    // the key/version fields read as None and self-describing consumers
+    // must ask for explicit options instead of guessing
+    val dir2 = Files.createTempDirectory("graft_meta_kv2").toString + "/fact"
+    TxTable.replaceWindow(s, dir2, rows, "day", col("day") >= "2024-01-01")
+    assert(TxTable.partitionColumnsOf(s, dir2).contains(Seq("day")))
+    assert(TxTable.mergeKeyOf(s, dir2).isEmpty)
+    assert(TxTable.versionColumnOf(s, dir2).isEmpty)
+    // and a later keyed writer on that table is NOT constrained (no
+    // record to disagree with) — pre-record compatibility
+    TxTable.upsert(s, dir2, batch, "id", "v", "day")
+    assert(TxTable.snapshot(s, dir2).get.count() === 3L)
+  }
+
+  test("self-describing surfaces: option-less format writes and SQL INSERT INTO ride the _meta record") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_meta_ins").toString + "/fact"
+    TxTable.upsert(s, dir, rows, "id", "v", "day")
+
+    // option-less format append: key/version/partitions all default
+    Seq((3L, "2024-01-03", "tap", 30.0), (1L, "2024-01-01", "click", 99.0))
+      .toDF("id", "day", "event_type", "v")
+      .write.format("graft-tx").mode("append").save(dir)
+    val got = TxTable.snapshot(s, dir).get
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 99.0), (2L, 20.0), (3L, 30.0)))
+
+    // SQL INSERT INTO = keyed upsert (positional values, renamed to the
+    // table's columns before the by-name merge); re-inserting a live
+    // key revises it rather than duplicating
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW meta_ins " +
+      s"USING `graft-tx` OPTIONS (path '$dir')")
+    s.sql("INSERT INTO meta_ins VALUES " +
+      "(4, '2024-01-04', 'view', 40.0), (2, '2024-01-02', 'view', 222.0)")
+    val got2 = TxTable.snapshot(s, dir).get
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got2 === Set((1L, 99.0), (2L, 222.0), (3L, 30.0), (4L, 40.0)))
+
+    // INSERT OVERWRITE refuses (no honest transactional meaning)
+    val e = intercept[Exception] {
+      s.sql("INSERT OVERWRITE TABLE meta_ins VALUES (9, '2024-01-09', 'x', 9.0)")
+    }
+    assert(e.getMessage.contains("INSERT OVERWRITE is not supported"))
+
+    // a keyless-bootstrapped table refuses INSERT INTO with guidance
+    val dir2 = Files.createTempDirectory("graft_meta_ins2").toString + "/fact"
+    TxTable.replaceWindow(s, dir2, rows, "day", col("day") >= "2024-01-01")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW meta_ins2 " +
+      s"USING `graft-tx` OPTIONS (path '$dir2')")
+    val e2 = intercept[Exception] {
+      s.sql("INSERT INTO meta_ins2 VALUES (9, '2024-01-09', 'x', 9.0)")
+    }
+    assert(e2.getMessage.contains("merge key"))
+    s.catalog.dropTempView("meta_ins"): Unit
+    s.catalog.dropTempView("meta_ins2"): Unit
+  }
+
   test("pruned READS are held to the recorded spec too: wrong arity or wrong columns fail loudly") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_meta_read").toString + "/fact"
