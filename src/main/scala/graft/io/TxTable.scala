@@ -520,10 +520,18 @@ object TxTable {
 
   // mergeSchema: leaves written before a schema-widening commit lack
   // the new columns; the merged read nulls them (S10 across versions)
+  /** Storage path of a manifest leaf: leaves are normally RELATIVE to
+    * the table dir (rename-safe), but a shallow clone's manifest points
+    * at the SOURCE table's leaves by qualified absolute path — those
+    * pass through untouched. */
+  private def leafPath(dir: String, leaf: String): String =
+    if (leaf.startsWith("/") || leaf.contains(":/")) leaf else s"$dir/$leaf"
+
   private def read(
       spark: SparkSession, dir: String, entries: Map[String, Entry]): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(entries.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+      .parquet(entries.values.map(_.leaf).toSeq.sorted
+        .map(leafPath(dir, _)): _*)
 
   /** Null-pad each frame with the columns only the other one has (type
     * taken from the owning side) — the cross-version face of
@@ -575,7 +583,7 @@ object TxTable {
     require(aE.nonEmpty || bE.nonEmpty, "diff between two empty versions")
     def readDirs(dirs: Seq[String]): DataFrame =
       spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$dir/$d"): _*)
+        .parquet(dirs.map(leafPath(dir, _)): _*)
     // schema anchor for a side with no changed (or no) leaves: one leaf
     // of that version, or the other side's — a column living only in
     // unchanged leaves cannot contribute a change row anyway, and
@@ -700,7 +708,7 @@ object TxTable {
       val existing0 =
         if (existingDirs.nonEmpty)
           spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
+            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.drop(opCol, seqCol).limit(0)
@@ -777,7 +785,7 @@ object TxTable {
       if (hit.isEmpty) return
       val existing = spark.read.option("mergeSchema", "true")
         .parquet(hit.flatMap(entries.get).map(_.leaf).distinct.sorted
-          .map(d => s"$targetDir/$d"): _*)
+          .map(leafPath(targetDir, _)): _*)
         .withColumn(PKey, keyExpr(partitionCol))
         .filter(col(PKey).isInCollection(hit))
       val remaining = existing.join(
@@ -990,7 +998,7 @@ object TxTable {
       val existing0 =
         if (existingDirs.nonEmpty)
           spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
+            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.limit(0)
@@ -1066,6 +1074,101 @@ object TxTable {
       s"TxTable.restore lost the commit race $maxRetries times on $dir")
   }
 
+  /** SHALLOW CLONE — a new table whose version-1 manifest points at the
+    * SOURCE table's data files by qualified absolute path: one manifest
+    * write, zero data movement, at any size. The clone is a full
+    * first-class TxTable from that moment: reads prune on its own
+    * manifest, and every write verb is naturally copy-on-write (a
+    * commit touching partition X reads the source's leaf but stages its
+    * replacement under the CLONE's data dir and re-points only the
+    * clone's manifest — the source never observes anything). The
+    * source's `_meta` record (partition identity, merge key, version
+    * column) carries over, so the clone is as self-describing as its
+    * source. `versionAsOf` clones a historical version (a writable
+    * branch of a time-travel read).
+    *
+    * THE vacuum contract, exactly the public formats' caveat: the clone
+    * pins no retention on its source. Vacuuming the CLONE is always
+    * safe (data reclaim walks only the clone's own data dir — foreign
+    * leaves are never candidates), but vacuuming the SOURCE past the
+    * cloned version deletes files the clone still references; either
+    * retain the source ≥ the clone's lifetime or [[materialize]] the
+    * clone to cut the dependency. */
+  def cloneShallow(
+      spark: SparkSession, sourceDir: String, targetDir: String,
+      versionAsOf: Option[Long] = None): Unit = {
+    val srcFs = fsOf(spark, sourceDir)
+    val srcLog = s"$sourceDir/$LogDir"
+    val srcStore = CommitStore.forPath(srcFs, srcLog)
+    val v = versionAsOf.getOrElse(srcStore.latest(srcLog)._1)
+    require(v >= 1, s"cloneShallow source $sourceDir holds no committed TxTable")
+    val entries = resolveAt(srcStore, srcLog, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $sourceDir is not cloneable (vacuumed or never committed)"))
+    // leaves absolutize against the source's QUALIFIED root, so the
+    // clone's reads resolve them regardless of either table's scheme
+    val srcRoot = srcFs.makeQualified(new Path(sourceDir)).toString
+    val absolute = entries.map { case (k, e) =>
+      k -> Entry(leafPath(srcRoot, e.leaf), e.vhex)
+    }
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    require(store.latest(log)._1 == 0,
+      s"cloneShallow target $targetDir already holds a committed TxTable")
+    readMetaAll(srcFs, sourceDir).foreach(m =>
+      ensureSpec(fs, targetDir, PartitionSpec(m.partCols), m.key, m.version))
+    require(store.tryCommit(log, 1L, render("checkpoint", absolute)),
+      s"cloneShallow lost a creation race on $targetDir")
+  }
+
+  /** Cut a shallow clone's dependency on its source: every manifest
+    * entry still pointing OUTSIDE the table dir is rewritten into local
+    * storage as one rows-preserving maintenance commit (CAS like every
+    * writer — entries a concurrent commit already localized drop out of
+    * the rewrite set on retry). Local entries keep file identity; a
+    * table with no foreign leaves is a no-op. After this, vacuuming the
+    * former source cannot break the table. */
+  def materialize(
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val fs = fsOf(spark, dir)
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      if (v == 0) return
+      ensureSpec(fs, dir, partitionCol)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      val foreign = entries.filter { case (_, e) =>
+        leafPath(dir, e.leaf) == e.leaf // absolute → not under this dir
+      }
+      if (foreign.isEmpty) return
+      val rows = read(spark, dir, foreign)
+        .withColumn(PKey, keyExpr(partitionCol))
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      writeLaidOut(rows, layout, s"$dir/$stageRel")
+      val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          // rows-preserving rewrite: the partition value rides over
+          k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
+        }
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
+      fs.delete(new Path(s"$dir/$stageRel"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.materialize lost the commit race $maxRetries times on $dir")
+  }
+
   /** The shared optimistic-commit loop: snapshot → merge (strategy
     * supplied by the caller) → single-job staging → CAS → loser
     * cleanup + retry. */
@@ -1118,7 +1221,7 @@ object TxTable {
           // a widened batch nulls old rows' new columns, a narrow batch
           // nulls its own missing ones.
           val existing = spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(d => s"$targetDir/$d"): _*)
+            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
           val (e2, b2) = alignSchemas(existing, batch)
@@ -1318,7 +1421,8 @@ object TxTable {
       val scope = where.fold(entries)(entriesWhere(spark, entries, partitionCol, _))
       if (scope.isEmpty) return
       val all = spark.read.option("mergeSchema", "true")
-        .parquet(scope.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+        .parquet(scope.values.map(_.leaf).toSeq.sorted
+        .map(leafPath(dir, _)): _*)
         .withColumn(PKey, keyExpr(partitionCol))
       val statCols = cols.flatMap(c => Seq(
         min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -1386,7 +1490,7 @@ object TxTable {
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val scope = where.fold(entries)(entriesWhere(spark, entries, partitionCol, _))
       val needy = scope.filter { case (_, e) =>
-        needsFold(fs.listStatus(new Path(s"$dir/${e.leaf}")).toSeq
+        needsFold(fs.listStatus(new Path(leafPath(dir, e.leaf))).toSeq
           .filter(_.getPath.getName.endsWith(".parquet")))
       }
       if (needy.isEmpty) return
@@ -1394,7 +1498,8 @@ object TxTable {
       val stageRel = s"$DataDir/$commitId"
       writeLaidOut(
         spark.read.option("mergeSchema", "true")
-          .parquet(needy.values.map(_.leaf).toSeq.sorted.map(d => s"$dir/$d"): _*)
+          .parquet(needy.values.map(_.leaf).toSeq.sorted
+          .map(leafPath(dir, _)): _*)
           .withColumn(PKey, keyExpr(partitionCol))
           .repartition(needy.size, col(PKey)),
         layout, s"$dir/$stageRel")

@@ -852,6 +852,64 @@ object Maintenance {
     // The oracle restates the three statements algebraically; the
     // update-first shadowing appears as `NOT COALESCE(s>t)` inside the
     // delete predicate.
+    // Shallow clone under the oracle gate (io/TxTable.cloneShallow +
+    // materialize): branch the bootstrap table with ONE manifest write
+    // (zero data movement — the 100 TB branching story), land a tripled
+    // revision in the CLONE only (copy-on-write: the source never
+    // observes it), then cut the clone's source dependency with a
+    // rows-preserving materialize commit. The readout aggregates BOTH
+    // tables tagged by name; the oracle restates source = bootstrap and
+    // clone = bootstrap latest-wins-merged with the revision — if the
+    // clone leaked into the source (or the branch missed rows, or
+    // materialize changed any row) the hash breaks.
+    "x_tx_clone" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txcl").toString
+        val src = s"$base/src"
+        val dst = s"$base/dst"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, src,
+          ev.filter(col("day") < "2024-01-21"),
+          "event_id", "event_id", "day")
+        graft.io.TxTable.cloneShallow(s, src, dst)
+        graft.io.TxTable.upsert(s, dst,
+          ev.filter(col("day") >= "2024-01-15" && col("day") < "2024-01-26")
+            .withColumn("value", col("value") * 3),
+          "event_id", "event_id", "day")
+        graft.io.TxTable.materialize(s, dst, "day")
+        val out = graft.io.TxTable.snapshot(s, src).get
+          .withColumn("tbl", lit("source"))
+          .unionByName(graft.io.TxTable.snapshot(s, dst).get
+            .withColumn("tbl", lit("clone")))
+          .groupBy(col("tbl"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("tbl"), col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |t0 AS (SELECT event_id, event_type, value FROM ev
+        |       WHERE day < '2024-01-21'),
+        |r AS (SELECT event_id, event_type, value * 3 AS value FROM ev
+        |      WHERE day >= '2024-01-15' AND day < '2024-01-26'),
+        |cl AS (
+        |  SELECT COALESCE(r.event_type, t0.event_type) AS event_type,
+        |         COALESCE(r.value, t0.value) AS value
+        |  FROM t0 FULL OUTER JOIN r ON t0.event_id = r.event_id),
+        |u AS (SELECT 'source' AS tbl, event_type, value FROM t0
+        |      UNION ALL
+        |      SELECT 'clone' AS tbl, event_type, value FROM cl)
+        |SELECT tbl, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM u GROUP BY tbl, event_type
+        |ORDER BY tbl, event_type""".stripMargin),
+
     "x_tx_sql_dml" -> Q(
       (s, dir) => {
         val base = java.nio.file.Files
