@@ -96,7 +96,8 @@ class TxDataSource
     }
     new TxStreamSource(sqlContext.sparkSession, pathOf(p),
       keyOf(sqlContext.sparkSession, p),
-      starting, p.get("maxcommitspertrigger").map(_.toLong))
+      starting, p.get("maxcommitspertrigger").map(_.toLong),
+      p.get("maxbytespertrigger").map(_.toLong))
   }
 
   /** `df.writeStream.format("graft-tx")` — each micro-batch is one

@@ -47,7 +47,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 class TxStreamSource(
     spark: SparkSession, path: String, key: String,
     startingVersion: Long,
-    maxCommitsPerTrigger: Option[Long] = None)
+    maxCommitsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -85,16 +86,33 @@ class TxStreamSource(
   /** `maxCommitsPerTrigger` bounds each micro-batch's commit span — a
     * 10k-commit catch-up otherwise plans one union of 10k diffs in a
     * single giant batch (the FileStreamSource maxFilesPerTrigger move).
-    * Under Trigger.AvailableNow the engine keeps draining bounded
-    * batches until the pinned endpoint, then stops. */
+    * `maxBytesPerTrigger` bounds it by DATA VOLUME instead: commits are
+    * admitted in version order until their staged-leaf bytes
+    * ([[TxTable.commitBytes]]) exceed the cap — always at least one, so
+    * a single commit larger than the cap still drains (the public
+    * file-source admission rule). The two caps compose (both apply);
+    * the bytes walk costs one leaf listing per ADMITTED commit, never
+    * the whole backlog. Under Trigger.AvailableNow the engine keeps
+    * draining bounded batches until the pinned endpoint, then stops. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val end = availableNowEnd.getOrElse(TxTable.latestVersion(spark, path))
-    val bounded = maxCommitsPerTrigger match {
+    val from = math.max(
+      Option(start).map(o => o.json.trim.toLong).getOrElse(startingVersion),
+      startingVersion)
+    val commitBounded = maxCommitsPerTrigger match {
       case None => end
-      case Some(m) =>
-        val from = Option(start).map(o => o.json.trim.toLong)
-          .getOrElse(startingVersion)
-        math.min(end, math.max(from, startingVersion) + m)
+      case Some(m) => math.min(end, from + m)
+    }
+    val bounded = maxBytesPerTrigger match {
+      case None => commitBounded
+      case Some(cap) =>
+        var v = from
+        var bytes = 0L
+        while (v < commitBounded && bytes < cap) {
+          v += 1
+          bytes += TxTable.commitBytes(spark, path, v)
+        }
+        v
     }
     tipOffset(bounded)
   }

@@ -1034,6 +1034,28 @@ object TxTable {
       s"TxTable.merge lost the commit race $maxRetries times on $targetDir")
   }
 
+  /** Staged-bytes of commit `v`: the total size of the data files its
+    * manifest body points at (tombstoned keys: 0) — the admission
+    * metric behind the stream source's `maxBytesPerTrigger`, the same
+    * new-files-only accounting the public file sources use for
+    * maxBytesPerTrigger (a delete-only commit counts ~0; its diff still
+    * reads the OLD leaves, so byte admission is a throttle, not an
+    * exact read-cost model). Checkpoint-kind bodies list the WHOLE
+    * table, so a checkpoint commit counts conservatively large — it
+    * lands alone in its micro-batch, never silently over-admits.
+    * O(touched leaves) listStatus calls; a vacuumed body counts 0. */
+  private[io] def commitBytes(spark: SparkSession, dir: String, v: Long): Long = {
+    val log = s"$dir/$LogDir"
+    val fs = fsOf(spark, dir)
+    CommitStore.forPath(fs, log).at(log, v).map { lines =>
+      parse(lines).values.toSeq.map(_.leaf).filter(_ != Tombstone).distinct
+        .map { leaf =>
+          try fs.listStatus(new Path(leafPath(dir, leaf))).map(_.getLen).sum
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+    }.getOrElse(0L)
+  }
+
   /** Commit history: (version, kind) ascending from 1 to the tip —
     * kind ∈ "delta" | "checkpoint", or "vacuumed" where retention has
     * reclaimed the body. Bodies are O(touched partitions), so the walk

@@ -145,15 +145,7 @@ object TxChangeFeedStream {
     val prior = readHorizon(spark, spoolDir)
     val horizon =
       if (maxRow.isNullAt(0)) prior else math.max(prior, maxRow.getLong(0))
-    if (horizon > prior) {
-      val tmp = new Path(p, s".horizon-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, new Path(p, HorizonFile))) {
-        fs.delete(new Path(p, HorizonFile), false)
-        fs.rename(tmp, new Path(p, HorizonFile)): Unit
-      }
-    }
+    if (horizon > prior) writeHorizon(fs, p, horizon)
     aged.foreach { s =>
       fs.delete(s.getPath, false): Unit
       // local FSs shadow each file with a .name.crc checksum sibling —
@@ -162,6 +154,104 @@ object TxChangeFeedStream {
       if (fs.exists(crc)) fs.delete(crc, false): Unit
     }
     aged.size
+  }
+
+  /** Fold aged per-commit spool files into consolidated ARCHIVE files —
+    * [[vacuumSpool]]'s shape with the content preserved instead of
+    * reclaimed. A per-commit tail writes one small file per commit; a
+    * year of that is a small-files problem for every replay. Compaction
+    * cannot simply rewrite the live directory: a RUNNING stream's file
+    * source would see each consolidated file as NEW and re-emit every
+    * row it already processed. So the fold lands under `_archive/`
+    * (leading underscore — invisible to both the running stream and any
+    * fresh `readStream`), the `_spool_horizon` marker advances exactly
+    * as vacuum's does (a fresh streaming consumer below it must refuse,
+    * since the live view no longer holds that history), and the
+    * originals are deleted last. [[replaySpool]] is the archive-aware
+    * batch read that late consumers bootstrap from.
+    *
+    * Crash-safe by self-healing, not by atomicity: archive-then-delete
+    * means a crash can leave rows present in BOTH views (or a re-run
+    * re-archive them) — diff rows are unique per (commit, key), so
+    * [[replaySpool]]'s exact-duplicate `distinct` restores the exact
+    * feed, and re-running compaction completes the interrupted pass.
+    * The age contract is [[vacuumSpool]]'s: `olderThanMs` must exceed
+    * the oldest in-flight (planned-but-uncommitted) batch's age of any
+    * running stream. Returns the number of live files folded. */
+  def compactSpool(
+      spark: SparkSession, spoolDir: String, olderThanMs: Long,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new Path(spoolDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val aged = fs.listStatus(p).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          s.getModificationTime <= cutoff
+      }
+    if (aged.isEmpty) return 0
+    val body = spark.read.option("mergeSchema", "true")
+      .parquet(aged.map(_.getPath.toString): _*)
+    val files = math.max(1L,
+      (aged.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    // archive append FIRST: content must exist in the hidden view
+    // before the live view loses it
+    body.coalesce(files).write.mode("append")
+      .parquet(s"$spoolDir/$ArchiveDir")
+    // horizon BEFORE the deletes (vacuumSpool's ordering): a crash
+    // between the two leaves it conservatively high, never silently low
+    val maxRow = body.agg(max(col("_commit_version"))).head()
+    val prior = readHorizon(spark, spoolDir)
+    val horizon =
+      if (maxRow.isNullAt(0)) prior else math.max(prior, maxRow.getLong(0))
+    if (horizon > prior) writeHorizon(fs, p, horizon)
+    aged.foreach { s =>
+      fs.delete(s.getPath, false): Unit
+      val crc = new Path(s.getPath.getParent, s".${s.getPath.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false): Unit
+    }
+    aged.size
+  }
+
+  /** The full feed as ONE batch frame: archive ∪ live, exact-duplicate
+    * rows collapsed (only a crashed/re-run compaction produces them —
+    * diff rows are unique per (commit, key), so `distinct` is identity
+    * on a healthy spool). This is the late-consumer bootstrap the
+    * horizon refusal in [[source]] points at. */
+  def replaySpool(spark: SparkSession, spoolDir: String): DataFrame = {
+    val p = new Path(spoolDir)
+    val arch = new Path(p, ArchiveDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a fully-compacted spool has NO live parquet files — a bare
+    // directory read would fail schema inference, so each side reads
+    // only if it holds files
+    val liveFiles =
+      if (fs.exists(p)) fs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } else Seq.empty
+    val sides = Seq(
+      if (fs.exists(arch)) Some(spark.read.option("mergeSchema", "true")
+        .parquet(arch.toString)) else None,
+      if (liveFiles.nonEmpty) Some(spark.read.option("mergeSchema", "true")
+        .parquet(liveFiles.map(_.getPath.toString): _*)) else None).flatten
+    require(sides.nonEmpty, s"spool $spoolDir holds no feed files")
+    sides.reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
+  }
+
+  private val ArchiveDir = "_archive"
+
+  private def writeHorizon(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, horizon: Long): Unit = {
+    val tmp = new Path(p, s".horizon-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(p, HorizonFile))) {
+      fs.delete(new Path(p, HorizonFile), false)
+      fs.rename(tmp, new Path(p, HorizonFile)): Unit
+    }
   }
 
   /** Highest `_commit_version` reclaimed from this spool (0 = nothing
@@ -197,9 +287,10 @@ object TxChangeFeedStream {
     val horizon = readHorizon(spark, spoolDir)
     require(resumeFromVersion >= horizon,
       s"spool $spoolDir reclaimed history up to commit $horizon " +
-        s"(vacuumSpool) but this consumer resumes from $resumeFromVersion — " +
-        "a replay from there would silently skip the reclaimed commits; " +
-        "re-bootstrap from a table snapshot, or pass the checkpointed " +
+        s"(vacuumSpool/compactSpool) but this consumer resumes from " +
+        s"$resumeFromVersion — a replay from there would silently skip " +
+        "the reclaimed commits; re-bootstrap from replaySpool (if " +
+        "compacted) or a table snapshot, or pass the checkpointed " +
         "cursor as resumeFromVersion")
     val df = spark.readStream
       .schema(spark.read.option("mergeSchema", "true").parquet(spoolDir).schema)

@@ -392,6 +392,66 @@ class TxChangeFeedSpec extends SparkTestBase {
       "resumeFromVersion must filter rows at or below the cursor")
   }
 
+  test("compactSpool folds aged files into a hidden archive; replaySpool is the exact feed; streams and horizon behave like vacuum") {
+    import graft.streaming.TxChangeFeedStream
+    import org.apache.spark.sql.streaming.Trigger
+    val target = freshTable()
+    val base = Files.createTempDirectory("graft_cf_cmp").toString
+    val spool = s"$base/s"
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))
+    commit(target, Seq((1L, 1.5, 3L, 20240101)))
+    TxChangeFeedStream.spool(spark, target, "id", spool)
+    val before = TxChangeFeedStream.replaySpool(spark, spool)
+      .collect().map(_.toString).toSet
+
+    Thread.sleep(1200)
+    val tSplit = System.currentTimeMillis()
+    commit(target, Seq((3L, 3.0, 4L, 20240103)))
+    TxChangeFeedStream.spool(spark, target, "id", spool, fromVersion = 3L)
+
+    // fold exactly the aged (pre-split) files
+    val folded = TxChangeFeedStream.compactSpool(
+      spark, spool, olderThanMs = System.currentTimeMillis() - tSplit)
+    assert(folded === 3, s"expected 3 per-commit files folded, got $folded")
+    // live view now holds only the young commit; a running/fresh stream
+    // never sees the archive (underscore dir is path-filtered)
+    assert(spark.read.parquet(spool).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === Set(4L))
+    // the horizon advanced exactly as a vacuum's would
+    assert(TxChangeFeedStream.readHorizon(spark, spool) === 3L)
+    intercept[IllegalArgumentException] {
+      TxChangeFeedStream.source(spark, spool)
+    }
+    // but the CONTENT survived: replay = archive ∪ live, exactly the feed
+    val after = TxChangeFeedStream.replaySpool(spark, spool)
+      .collect().map(_.toString).toSet
+    val young = spark.read.parquet(spool).collect().map(_.toString).toSet
+    assert(after === before ++ young)
+
+    // a resumed consumer past the horizon streams the live view
+    val sink = s"$base/sink"
+    val q = TxChangeFeedStream.source(spark, spool, resumeFromVersion = 3L)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", sink)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === Set(4L))
+
+    // re-running compaction on an already-folded spool is a no-op for
+    // the replay view (self-healing distinct), and a SECOND round that
+    // folds the young file composes: replay stays exact with zero live
+    // files left (archive-only read path)
+    val folded2 = TxChangeFeedStream.compactSpool(spark, spool, olderThanMs = 0L)
+    assert(folded2 === 1)
+    assert(TxChangeFeedStream.readHorizon(spark, spool) === 4L)
+    val finalReplay = TxChangeFeedStream.replaySpool(spark, spool)
+      .collect().map(_.toString).toSet
+    assert(finalReplay === after)
+  }
+
   test("vacuumSpool over an all-empty aged set keeps the horizon at zero (nothing replayable lost)") {
     import graft.streaming.TxChangeFeedStream
     val target = freshTable()

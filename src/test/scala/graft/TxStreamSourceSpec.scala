@@ -119,6 +119,38 @@ class TxStreamSourceSpec extends SparkTestBase {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("maxBytesPerTrigger bounds batches by staged data volume; an over-cap commit still drains alone") {
+    val target = freshTable()
+    // six commits of similar size: a tiny byte cap admits exactly one
+    // commit per batch (admission is accumulate-until-exceeded with an
+    // at-least-one floor)
+    (1 to 6).foreach(i => commit(target, Seq((i.toLong, i * 1.0, i.toLong, 20240101))))
+    val name = "txss_bytes_bounded"
+    val q = feed(target, Map("maxBytesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === (1L to 6L).toSet)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 6,
+      s"expected 6 single-commit batches under a 1-byte cap, got $dataBatches: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    // a generous cap admits everything in one batch; the caps compose
+    val name2 = "txss_bytes_loose"
+    val q2 = feed(target, Map(
+      "maxBytesPerTrigger" -> (64L * 1024 * 1024).toString,
+      "maxCommitsPerTrigger" -> "3"))
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table(name2).select("_commit_version")
+      .collect().map(_.getLong(0)).toSet === (1L to 6L).toSet)
+    val dataBatches2 = q2.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches2 === 2,
+      s"expected the commit cap to bound (2 batches), got $dataBatches2")
+  }
+
   test("source-to-sink through public formats only: a graft-tx stream mirrors table A into table B") {
     val a = freshTable()
     val b = freshTable()
