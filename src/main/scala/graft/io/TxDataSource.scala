@@ -115,17 +115,23 @@ class TxDataSource
     // the option wins; `.partitionBy(…)` on the stream writer is the
     // equivalent spelling and arrives through the createSink argument
     val spark = sqlContext.sparkSession
+    // one _meta read serves all three defaults
+    val id = TxTable.identityOf(spark, pathOf(p))
     val parts =
       if (partColsOf(p).nonEmpty) partColsOf(p)
       else if (partitionColumns.nonEmpty) partitionColumns
-      else TxTable.partitionColumnsOf(spark, pathOf(p)).getOrElse(Seq.empty)
+      else id.map(_._1).getOrElse(Seq.empty)
     require(parts.nonEmpty,
       "graft-tx streaming writes need partition columns: pass " +
         "partitionColumns/.partitionBy, or write to a table whose _meta " +
         "records them")
-    new TxFormatSink(pathOf(p), keyOf(spark, p),
+    new TxFormatSink(pathOf(p),
+      p.get("key").orElse(id.flatMap(_._2)).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-tx streaming writes need a merge key: pass the 'key' " +
+            "option, or write to a table whose _meta records it")),
       p.get("version")
-        .orElse(TxTable.versionColumnOf(spark, pathOf(p)))
+        .orElse(id.flatMap(_._3))
         .getOrElse(throw new IllegalArgumentException(
           "graft-tx streaming writes need a version column: pass the " +
             "'version' option, or write to a table whose _meta records it")),
@@ -189,24 +195,26 @@ class TxDataSource
     val path = pathOf(p)
     val spark = sqlContext.sparkSession
     // an EXISTING table is self-describing: key/version/partitions
-    // default from its _meta record, so `df.write.format("graft-tx")
-    // .mode("append").save(dir)` needs no options at all. Explicit
-    // options still apply (and must agree — ensureSpec enforces).
+    // default from its _meta record (read ONCE), so `df.write
+    // .format("graft-tx").mode("append").save(dir)` needs no options at
+    // all. Explicit options still apply (and must agree — ensureSpec
+    // enforces).
+    val id = TxTable.identityOf(spark, path)
     val parts =
       if (partColsOf(p).nonEmpty) partColsOf(p)
-      else TxTable.partitionColumnsOf(spark, path).getOrElse(Seq.empty)
+      else id.map(_._1).getOrElse(Seq.empty)
     require(parts.nonEmpty,
       "graft-tx writes need partition columns: pass partitionColumns, " +
         "or write to a table whose _meta records them")
     mode match {
       case SaveMode.Append =>
         val key = p.get("key")
-          .orElse(TxTable.mergeKeyOf(spark, path))
+          .orElse(id.flatMap(_._2))
           .getOrElse(throw new IllegalArgumentException(
             "graft-tx append needs a merge key: pass the 'key' option, " +
               "or write to a table whose _meta records it"))
         val version = p.get("version")
-          .orElse(TxTable.versionColumnOf(spark, path))
+          .orElse(id.flatMap(_._3))
           .getOrElse(throw new IllegalArgumentException(
             "graft-tx append needs a version column: pass the 'version' " +
               "option, or write to a table whose _meta records it"))
@@ -244,12 +252,13 @@ private[io] case class TxRelation(
     require(partCols.nonEmpty,
       "INSERT INTO a graft-tx table needs its partition columns " +
         "recorded in _meta (commit once through a write verb)")
-    val key = TxTable.mergeKeyOf(spark, path).getOrElse(
+    val id = TxTable.identityOf(spark, path) // one _meta read for both
+    val key = id.flatMap(_._2).getOrElse(
       throw new IllegalArgumentException(
         "INSERT INTO a graft-tx table needs its merge key recorded in " +
           "_meta — bootstrap through a keyed verb, or use " +
           "df.write.format(\"graft-tx\") with explicit options"))
-    val version = TxTable.versionColumnOf(spark, path).getOrElse(
+    val version = id.flatMap(_._3).getOrElse(
       throw new IllegalArgumentException(
         "INSERT INTO a graft-tx table needs its version column recorded " +
           "in _meta — bootstrap through upsert, or use " +

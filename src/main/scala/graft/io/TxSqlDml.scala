@@ -119,6 +119,11 @@ object TxSqlDml extends PredicateHelper {
         case a => fail(s"UPDATE assigns a non-column target: ${a.sql} " +
           "(nested-field assignment is not supported)")
       }
+      // duplicate targets would silently keep only the last assignment
+      val dupSet = set.map(_._1.toLowerCase).diff(
+        set.map(_._1.toLowerCase).distinct)
+      if (dupSet.nonEmpty)
+        fail(s"UPDATE assigns ${dupSet.distinct.mkString(", ")} more than once")
       val pred = cond.map(c => Detached(byName(c)))
       TxUpdateCommand(tx.path, tx.partCols, set,
         pred, cond.flatMap(scopeOf(_, tx.partCols)))
@@ -266,8 +271,19 @@ object TxSqlDml extends PredicateHelper {
       case a => fail(s"MERGE UPDATE assigns a non-column target: ${a.sql}")
     }
 
+    // duplicate UPDATE targets would silently keep only the last one
+    val dupU = updateSet.map(_._1.toLowerCase).diff(
+      updateSet.map(_._1.toLowerCase).distinct)
+    if (dupU.nonEmpty)
+      fail(s"MERGE UPDATE assigns ${dupU.distinct.mkString(", ")} more than once")
+
     // WHEN NOT MATCHED: identity-shaped insert only — the engine verb
     // inserts the source row by name, so the assignments must SAY that
+    // AND cover every source column the target shares (a partial list
+    // would silently insert source values for the omitted columns —
+    // SQL requires NULL there; omit columns by projecting the source)
+    val shared = tOut.map(_.name).filter(tc =>
+      source.output.exists(_.name.equalsIgnoreCase(tc)))
     val insert: Option[Option[Detached]] = notMatched match {
       case Seq() => None
       case Seq(InsertAction(c, assignments)) =>
@@ -278,6 +294,15 @@ object TxSqlDml extends PredicateHelper {
             s"(INSERT * / col = s.col), got: ${a.sql} — reshape the " +
             "source (SELECT … AS <target names>) and use INSERT *")
         }
+        val assigned = assignments.collect {
+          case Assignment(k: AttributeReference, _) => k.name.toLowerCase
+        }.toSet
+        val missing = shared.filterNot(c => assigned(c.toLowerCase))
+        if (missing.nonEmpty)
+          fail("MERGE INSERT must assign every source column the target " +
+            s"shares, missing: ${missing.mkString(", ")} — SQL inserts " +
+            "NULL for unlisted columns, which the engine verb cannot " +
+            "express; project the source to the columns you insert")
         Some(c.map(sided))
       case other => fail("WHEN NOT MATCHED supports one INSERT clause, " +
         s"got ${other.size}")
@@ -286,7 +311,8 @@ object TxSqlDml extends PredicateHelper {
     TxMergeCommand(tx.path, tx.partCols, key, source,
       updateSet, updateAct.flatMap(_.condition).map(sided),
       hasUpdate = updateAct.isDefined,
-      deleteAct.map(d => d.condition.map(sided)), updateFirst, insert)
+      deleteAct.map(d => d.condition.map(sided)), updateFirst, insert,
+      targetCols = tOut.map(_.name))
   }
 
   private def requireSameName(t: AttributeReference, s: AttributeReference): Unit =
@@ -350,7 +376,8 @@ case class TxMergeCommand(
     hasUpdate: Boolean,
     deleteCond: Option[Option[Detached]],
     updateFirst: Boolean,
-    insert: Option[Option[Detached]]) extends LeafRunnableCommand {
+    insert: Option[Option[Detached]],
+    targetCols: Seq[String]) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -380,7 +407,11 @@ case class TxMergeCommand(
       updateSet = updateSet.map { case (n, e) => n -> e.column },
       updateCond = uc.getOrElse(lit(true)),
       deleteCond = effDelete,
-      insertCond = insert.map(_.map(_.column).getOrElse(lit(true))))
+      insertCond = insert.map(_.map(_.column).getOrElse(lit(true))),
+      // SQL MERGE never widens the target: source-only columns stay
+      // usable in clause conditions but the committed schema is pinned
+      // to the table's columns (WITH SCHEMA EVOLUTION is refused)
+      outputCols = Some(targetCols))
     Seq.empty
   }
 }

@@ -264,6 +264,15 @@ object TxTable {
   def partitionColumnsOf(spark: SparkSession, dir: String): Option[Seq[String]] =
     readMeta(fsOf(spark, dir), dir)
 
+  /** One-read view of the whole `_meta` identity record:
+    * (partitionColumns, mergeKey, versionColumn) — for callers that
+    * need several fields (the self-describing format paths), so the
+    * slot is opened once instead of once per field. */
+  private[io] def identityOf(spark: SparkSession, dir: String)
+      : Option[(Seq[String], Option[String], Option[String])] =
+    readMetaAll(fsOf(spark, dir), dir)
+      .map(m => (m.partCols, m.key, m.version))
+
   /** The merge-key column recorded in `_meta` — the table's row
     * identity, recorded write-once by the first committing verb that
     * knows it (upsert/merge/delete/applyCdc and the streaming sink).
@@ -331,12 +340,14 @@ object TxTable {
       // merging on a different column silently violates every reader's
       // latest-wins expectation (and the change feed's key), so the
       // mismatch fails at commit time like the partition spec does
+      // case-insensitive like the engine's own column resolution (the
+      // write verbs resolve these names through Spark's resolver)
       for (k <- key; rk <- meta.key)
-        require(rk == k, s"TxTable $dir is keyed by '$rk' but this " +
-          s"writer merges on '$k'$note — one table, one row identity")
+        require(rk.equalsIgnoreCase(k), s"TxTable $dir is keyed by '$rk' " +
+          s"but this writer merges on '$k'$note — one table, one row identity")
       for (v <- version; rv <- meta.version)
-        require(rv == v, s"TxTable $dir orders versions by '$rv' but " +
-          s"this writer passed '$v'$note — one table, one version order")
+        require(rv.equalsIgnoreCase(v), s"TxTable $dir orders versions by " +
+          s"'$rv' but this writer passed '$v'$note — one table, one version order")
     }
     readMetaAll(fs, dir) match {
       case Some(meta) => verify(meta, "")
@@ -850,6 +861,10 @@ object TxTable {
       layout: Layout = Layout.none, maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Unit = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
+    // set.toMap below keeps the LAST duplicate silently — refuse instead
+    val dupNames = set.map(_._1.toLowerCase).diff(set.map(_._1.toLowerCase).distinct)
+    require(dupNames.isEmpty,
+      s"updateWhere assigns ${dupNames.distinct.mkString(", ")} more than once")
     val reassigned = set.map(_._1).toSet.intersect(partitionCol.cols.toSet)
     require(reassigned.isEmpty,
       s"updateWhere must not reassign partition columns: $reassigned " +
@@ -957,7 +972,8 @@ object TxTable {
       deleteCond: Option[org.apache.spark.sql.Column] = None,
       insertCond: Option[org.apache.spark.sql.Column] = Some(lit(true)),
       layout: Layout = Layout.none, maxRetries: Int = 10,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      outputCols: Option[Seq[String]] = None): Unit = {
     val reassigned = updateSet.map(_._1).toSet
     val frozen = partitionCol.cols.toSet + key
     require(reassigned.intersect(frozen).isEmpty,
@@ -1003,8 +1019,22 @@ object TxTable {
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.limit(0)
       val (e2, b2) = alignSchemas(existing0, batch)
-      val merged = Merge.mergeInto(
+      val merged0 = Merge.mergeInto(
         e2, b2, key, updateSet, updateCond, deleteCond, insertCond)
+      // outputCols pins the committed schema (the SQL MERGE contract:
+      // source-only columns feed clause conditions but never widen the
+      // target). Default (None) keeps the schema-union evolution
+      // posture documented above. Missing target columns null-pad (an
+      // insert-only merge into absent partitions from a narrower
+      // source); PKey rides along for the partitioned staging write.
+      val merged = outputCols.fold(merged0) { cols =>
+        val padded = cols.foldLeft(merged0)((d, c) =>
+          if (d.columns.exists(_.equalsIgnoreCase(c))) d
+          else d.withColumn(c, lit(null)))
+        val named = cols.map(c =>
+          padded.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        padded.select((named :+ PKey).map(col): _*)
+      }
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
       writeLaidOut(merged, layout, s"$targetDir/$stageRel")

@@ -196,13 +196,13 @@ object TxChangeFeedStream {
       .parquet(aged.map(_.getPath.toString): _*)
     val files = math.max(1L,
       (aged.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
-    // archive append FIRST: content must exist in the hidden view
-    // before the live view loses it
+    // the horizon stat first: a column-pruned scan of just the stamp
+    // column (cheap next to the full-row archive pass that follows)
+    val maxRow = body.agg(max(col("_commit_version"))).head()
+    // archive append BEFORE horizon/deletes: content must exist in the
+    // hidden view before the live view loses it
     body.coalesce(files).write.mode("append")
       .parquet(s"$spoolDir/$ArchiveDir")
-    // horizon BEFORE the deletes (vacuumSpool's ordering): a crash
-    // between the two leaves it conservatively high, never silently low
-    val maxRow = body.agg(max(col("_commit_version"))).head()
     val prior = readHorizon(spark, spoolDir)
     val horizon =
       if (maxRow.isNullAt(0)) prior else math.max(prior, maxRow.getLong(0))
@@ -292,8 +292,28 @@ object TxChangeFeedStream {
         "the reclaimed commits; re-bootstrap from replaySpool (if " +
         "compacted) or a table snapshot, or pass the checkpointed " +
         "cursor as resumeFromVersion")
+    // schema inference must survive a FULLY-compacted spool (zero live
+    // files — a bare directory read fails inference): fall back to the
+    // archive, whose files carry the same schema. The stream itself
+    // reads the (possibly empty) live view and simply waits for files.
+    val live = new Path(spoolDir)
+    val lfs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val liveFiles =
+      if (lfs.exists(live)) lfs.listStatus(live).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } else Seq.empty
+    val schemaSide =
+      if (liveFiles.nonEmpty) liveFiles.map(_.getPath.toString)
+      else {
+        val arch = new Path(live, ArchiveDir)
+        require(lfs.exists(arch),
+          s"spool $spoolDir holds no feed files to pin a schema from")
+        Seq(arch.toString)
+      }
     val df = spark.readStream
-      .schema(spark.read.option("mergeSchema", "true").parquet(spoolDir).schema)
+      .schema(spark.read.option("mergeSchema", "true")
+        .parquet(schemaSide: _*).schema)
       .parquet(spoolDir)
     if (resumeFromVersion > 0L) df.filter(col("_commit_version") > resumeFromVersion)
     else df

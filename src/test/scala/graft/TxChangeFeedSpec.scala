@@ -450,6 +450,19 @@ class TxChangeFeedSpec extends SparkTestBase {
     val finalReplay = TxChangeFeedStream.replaySpool(spark, spool)
       .collect().map(_.toString).toSet
     assert(finalReplay === after)
+
+    // a caught-up consumer restarting over the FULLY-compacted spool
+    // (zero live files) must still pin a schema (from the archive) and
+    // run — emitting nothing until new files land
+    val q2 = TxChangeFeedStream.source(spark, spool, resumeFromVersion = 4L)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$base/sink2")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val sunk2 = new java.io.File(s"$base/sink2").listFiles()
+    assert(sunk2 == null || !sunk2.exists(_.getName.endsWith(".parquet")) ||
+      spark.read.parquet(s"$base/sink2").count() === 0L)
   }
 
   test("vacuumSpool over an all-empty aged set keeps the horizon at zero (nothing replayable lost)") {

@@ -159,10 +159,41 @@ class TxSqlDmlSpec extends SparkTestBase {
     refuse(s"MERGE INTO $view t USING $view s ON t.id = s.id " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE",
       "NOT MATCHED BY SOURCE")
+    // duplicate assignment targets would silently keep only the last
+    refuse(s"UPDATE $view SET v = 1, v = 2 WHERE id = 1", "more than once")
+    refuse(s"MERGE INTO $view t USING $view s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v, v = s.v + 1", "more than once")
+    // a partial INSERT list would silently insert source values where
+    // SQL requires NULL -- refuse with the projection guidance
+    refuse(s"MERGE INTO $view t USING $view s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, day) VALUES (s.id, s.day)",
+      "every source column")
     // time-travel views are read-only
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${view}_tt " +
       s"USING `graft-tx` OPTIONS (path '$dir', versionAsOf '1')")
     refuse(s"DELETE FROM ${view}_tt WHERE id = 1", "time travel")
+  }
+
+  test("MERGE source-only columns feed clauses but never widen the target schema") {
+    val s = spark; import s.implicits._
+    val (dir, view) = seed("graft_sqlwiden")
+    // `op` exists only in the source: it drives the clauses and must
+    // NOT become a target column (SQL MERGE never widens; WITH SCHEMA
+    // EVOLUTION is the explicit spelling and is refused)
+    Seq((2L, "2024-01-01", "view", 200.0, "D"),
+        (7L, "2024-01-04", "click", 70.0, "I"))
+      .toDF("id", "day", "event_type", "v", "op")
+      .createOrReplaceTempView(s"${view}_src")
+    TxSqlDml.sql(spark,
+      s"""MERGE INTO $view t USING ${view}_src s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, day, event_type, v)
+         |VALUES (s.id, s.day, s.event_type, s.v)""".stripMargin)
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.columns.toSet === Set("id", "day", "event_type", "v"),
+      s"schema widened: ${snap.columns.mkString(", ")}")
+    assert(snap.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L, 5L, 6L, 7L))
   }
 
   test("catalog table (CREATE TABLE USING graft-tx): reads and SQL DML through a scheme-qualified location") {
