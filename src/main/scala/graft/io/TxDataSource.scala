@@ -86,18 +86,24 @@ class TxDataSource
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val p = lower(parameters)
     // startingVersion: a number (replay after that version; 0 = from
-    // genesis, the default) or "latest" — only commits landing after
-    // the stream starts (the new-changes-only consumer)
-    val starting = p.get("startingversion") match {
+    // genesis, the default), "latest" — only commits landing after the
+    // stream starts (the new-changes-only consumer) — or "snapshot":
+    // the current state opens the stream as one insert batch, then
+    // per-commit tailing (the bootstrap for consumers arriving after
+    // vacuum reclaimed the early history, where a from-zero replay
+    // fails loudly)
+    val (starting, snap) = p.get("startingversion") match {
       case Some("latest") =>
-        TxTable.latestVersion(sqlContext.sparkSession, pathOf(p))
-      case Some(v) => v.toLong
-      case None => 0L
+        (TxTable.latestVersion(sqlContext.sparkSession, pathOf(p)), false)
+      case Some("snapshot") =>
+        (TxTable.latestVersion(sqlContext.sparkSession, pathOf(p)), true)
+      case Some(v) => (v.toLong, false)
+      case None => (0L, false)
     }
     new TxStreamSource(sqlContext.sparkSession, pathOf(p),
       keyOf(sqlContext.sparkSession, p),
       starting, p.get("maxcommitspertrigger").map(_.toLong),
-      p.get("maxbytespertrigger").map(_.toLong))
+      p.get("maxbytespertrigger").map(_.toLong), initialSnapshot = snap)
   }
 
   /** `df.writeStream.format("graft-tx")` — each micro-batch is one

@@ -48,7 +48,8 @@ class TxStreamSource(
     spark: SparkSession, path: String, key: String,
     startingVersion: Long,
     maxCommitsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    initialSnapshot: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -96,9 +97,15 @@ class TxStreamSource(
     * draining bounded batches until the pinned endpoint, then stops. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val end = availableNowEnd.getOrElse(TxTable.latestVersion(spark, path))
-    val from = math.max(
-      Option(start).map(o => o.json.trim.toLong).getOrElse(startingVersion),
-      startingVersion)
+    // the CHECKPOINT wins once it exists (the Kafka/Delta startingOffsets
+    // contract): startingVersion only seeds a fresh stream. The
+    // latest/snapshot modes re-resolve startingVersion to the CURRENT
+    // tip on restart, so clamping the restored cursor up to it would
+    // admit every commit that landed while the stream was down into ONE
+    // batch, ignoring the maxCommits/maxBytes pacing (getBatch reads
+    // from the true cursor either way — pacing, not loss).
+    val from = Option(start).map(o => o.json.trim.toLong)
+      .getOrElse(startingVersion)
     val commitBounded = maxCommitsPerTrigger match {
       case None => end
       case Some(m) => math.min(end, from + m)
@@ -134,15 +141,30 @@ class TxStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startingVersion)
     val toV = ver(end)
+    // initial-snapshot bootstrap (startingVersion="snapshot"): the very
+    // first batch (no prior offset) opens with the WHOLE state at the
+    // pinned version as insert rows — diff(0 → pin) is exactly that and
+    // never walks the per-commit chain, so it works where a from-zero
+    // replay fails (early history vacuumed) and costs one table read
+    // instead of O(commits) diffs. Recovery re-plans the same range
+    // deterministically (start is still None for batch 0).
+    val opening =
+      if (initialSnapshot && start.isEmpty && startingVersion >= 1)
+        Seq(align(TxTable.diff(spark, path, 0L, startingVersion, key)
+          .withColumn("_commit_version", lit(startingVersion))))
+      else Seq.empty
+    val incremental =
+      if (fromV >= toV) Seq.empty
+      else ((fromV + 1) to toV).map { v =>
+        align(TxTable.diff(spark, path, v - 1, v, key)
+          .withColumn("_commit_version", lit(v)))
+      }
+    val parts = opening ++ incremental
     val body =
-      if (fromV >= toV) // defensive: an empty range is an empty batch
+      if (parts.isEmpty) // defensive: an empty range is an empty batch
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema)
-      else
-        ((fromV + 1) to toV).map { v =>
-          align(TxTable.diff(spark, path, v - 1, v, key)
-            .withColumn("_commit_version", lit(v)))
-        }.reduce(_ unionByName _)
+      else parts.reduce(_ unionByName _)
     GraftStreamingFrame.ofBatch(body)
   }
 
@@ -185,11 +207,33 @@ object TxStreamSource {
     require(tip >= 1L,
       s"graft-tx streaming: $path holds no committed TxTable yet — " +
         "start the stream after the bootstrap commit")
-    // schema-only use of a lazy diff plan (tip-1, tip]: nothing executes
-    val d = TxTable.diff(spark, path, tip - 1, tip, key)
-    require(!d.columns.contains("_commit_version"),
+    // schema-only use of a lazy diff plan (tip-1, tip]: nothing
+    // executes. When retention has reclaimed tip-1 (vacuum publishes a
+    // checkpoint-on-demand AT the tip, so a fresh table can sit exactly
+    // on the floor), derive the identical readout shape from the
+    // snapshot instead — change_type + key + payload, all nullable
+    // (diff's when/otherwise projections are), + the version stamp.
+    val base =
+      try TxTable.diff(spark, path, tip - 1, tip, key).schema
+      catch {
+        case _: IllegalArgumentException =>
+          val snap = TxTable.snapshot(spark, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-tx streaming: $path holds no live rows or readable " +
+                "diff to pin a schema from"))
+          val fields = snap.schema.fields
+          val keyF = fields.find(_.name == key).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-tx streaming: key '$key' is not a column of $path"))
+          StructType(
+            StructField("change_type",
+              org.apache.spark.sql.types.StringType, nullable = true) +:
+            (keyF +: fields.filterNot(_.name == key).toSeq)
+              .map(_.copy(nullable = true)))
+      }
+    require(!base.fieldNames.contains("_commit_version"),
       "change-feed payload carries reserved column _commit_version — rename it upstream")
-    StructType(d.schema.fields :+
+    StructType(base.fields :+
       StructField("_commit_version", LongType, nullable = false))
   }
 }

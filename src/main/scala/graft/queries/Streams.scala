@@ -628,5 +628,82 @@ object Streams {
       s"""WITH ${graft.queries.Text.CorpusCte}
          |SELECT CAST(length(text) % 10 AS INT) AS len_bucket,
          |       COUNT(DISTINCT md5(lower(text))) AS n_unique
-         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // startingVersion="snapshot" under the oracle gate: the CDC
+    // bootstrap for consumers arriving AFTER vacuum reclaimed the
+    // early history (a from-zero replay fails loudly there). The table
+    // bootstraps in two commits, retention vacuums the chain down to
+    // the floor, and the stream opens with the WHOLE state as one
+    // insert batch (diff(0→pin) — one table read, no per-commit walk),
+    // then a restart tails the two post-snapshot commits (an insert
+    // load and a delete) per-commit off the checkpoint. The oracle
+    // restates the feed: snapshot rows as inserts, the tail commits as
+    // their diffs.
+    "t24_stream_snapshot_feed" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txsnap").toString
+        val tbl = s"$base/fact"
+        val sink = s"$base/sink"
+        val ckpt = s"$base/ckpt"
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        val d10 = lit("2024-01-10 00:00:00").cast("timestamp")
+        val d15 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val d20 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val d28 = lit("2024-01-28 00:00:00").cast("timestamp")
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") < d15),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("ts") >= d10 && col("ts") < d20)
+            .withColumn("value", col("value") * 2),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.vacuum(s, tbl, retainVersions = 1, graceMs = 0L)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-tx")
+            .option("key", "event_id")
+            .option("startingVersion", "snapshot").load(tbl)
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain() // opening batch = the post-vacuum snapshot as inserts
+        graft.io.TxTable.upsert(s, tbl, ev.filter(col("ts") >= d20),
+          "event_id", "ts", "event_type")
+        graft.io.TxTable.delete(s, tbl,
+          ev.filter(col("event_type") === "click" && col("ts") >= d28)
+            .select(col("event_id"), col("event_type")),
+          "event_id", "event_type")
+        drain() // restart: per-commit tail off the checkpoint
+        val out = s.read.parquet(sink)
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("change_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH s0 AS (
+        |  SELECT value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |  UNION ALL
+        |  SELECT value * 2 FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, value FROM s0
+        |  UNION ALL
+        |  SELECT 'insert', value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  UNION ALL
+        |  SELECT 'delete', value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-28 00:00:00')
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM feed GROUP BY change_type
+        |ORDER BY change_type""".stripMargin))
 }

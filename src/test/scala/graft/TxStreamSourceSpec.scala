@@ -119,6 +119,50 @@ class TxStreamSourceSpec extends SparkTestBase {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("startingVersion=snapshot opens with the current state, then tails — the post-vacuum bootstrap") {
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102)))
+    commit(target, Seq((1L, 1.5, 2L, 20240101)))  // revision
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))
+    // reclaim the early history: a from-zero replay can no longer
+    // resolve versions 1-2, which is exactly the consumer this mode is
+    // for (the log-tailing CDC re-bootstrap contract)
+    TxTable.vacuum(spark, target, retainVersions = 1, graceMs = 0L)
+
+    val base = Files.createTempDirectory("graft_txss_snap").toString
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = feed(target, Map("startingVersion" -> "snapshot"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // the opening batch IS the snapshot: every live row as an insert,
+    // stamped with the pinned version (the tip at stream build — vacuum
+    // publishes a checkpoint-on-demand commit, so never assert exact
+    // version numbers across one)
+    val pin = TxTable.latestVersion(spark, target)
+    val got = spark.read.parquet(sink)
+      .select("_commit_version", "change_type", "id", "price")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (pin, "insert", 1L, 1.5), (pin, "insert", 2L, 2.0),
+      (pin, "insert", 3L, 3.0)))
+
+    // new commits tail per-commit; the restart does NOT re-emit the
+    // snapshot (the checkpointed cursor is past the pin)
+    commit(target, Seq((4L, 4.0, 4L, 20240101)))
+    drain()
+    val got2 = spark.read.parquet(sink)
+      .select("_commit_version", "change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 === got.map(t => (t._1, t._2, t._3)) + ((pin + 1, "insert", 4L)))
+  }
+
   test("maxBytesPerTrigger bounds batches by staged data volume; an over-cap commit still drains alone") {
     val target = freshTable()
     // six commits of similar size: a tiny byte cap admits exactly one
