@@ -92,18 +92,32 @@ class TxDataSource
     // per-commit tailing (the bootstrap for consumers arriving after
     // vacuum reclaimed the early history, where a from-zero replay
     // fails loudly)
+    // the tip-relative modes pin their resolution in the checkpoint
+    // (TxStreamSource.pinnedStartingVersion) so a restart replans the
+    // SAME opening batch — re-resolving to a moved tip would duplicate
+    // the commits that landed while the stream was down
+    val spark = sqlContext.sparkSession
     val (starting, snap) = p.get("startingversion") match {
       case Some("latest") =>
-        (TxTable.latestVersion(sqlContext.sparkSession, pathOf(p)), false)
+        (TxStreamSource.pinnedStartingVersion(spark, metadataPath,
+          TxTable.latestVersion(spark, pathOf(p))), false)
       case Some("snapshot") =>
-        (TxTable.latestVersion(sqlContext.sparkSession, pathOf(p)), true)
+        (TxStreamSource.pinnedStartingVersion(spark, metadataPath,
+          TxTable.latestVersion(spark, pathOf(p))), true)
       case Some(v) => (v.toLong, false)
       case None => (0L, false)
     }
-    new TxStreamSource(sqlContext.sparkSession, pathOf(p),
-      keyOf(sqlContext.sparkSession, p),
-      starting, p.get("maxcommitspertrigger").map(_.toLong),
-      p.get("maxbytespertrigger").map(_.toLong), initialSnapshot = snap)
+    // a non-positive cap would never admit the mandatory first commit —
+    // latestOffset's walk stays at `from` and the stream silently stalls
+    val maxCommits = p.get("maxcommitspertrigger").map(_.toLong)
+    maxCommits.foreach(m => require(m > 0,
+      s"graft-tx: maxCommitsPerTrigger must be positive, got $m"))
+    val maxBytes = p.get("maxbytespertrigger").map(_.toLong)
+    maxBytes.foreach(m => require(m > 0,
+      s"graft-tx: maxBytesPerTrigger must be positive, got $m"))
+    new TxStreamSource(spark, pathOf(p),
+      keyOf(spark, p),
+      starting, maxCommits, maxBytes, initialSnapshot = snap)
   }
 
   /** `df.writeStream.format("graft-tx")` — each micro-batch is one
@@ -212,23 +226,39 @@ class TxDataSource
     require(parts.nonEmpty,
       "graft-tx writes need partition columns: pass partitionColumns, " +
         "or write to a table whose _meta records them")
+    def doUpsert(): Unit = {
+      val key = p.get("key")
+        .orElse(id.flatMap(_._2))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-tx append needs a merge key: pass the 'key' option, " +
+            "or write to a table whose _meta records it"))
+      val version = p.get("version")
+        .orElse(id.flatMap(_._3))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-tx append needs a version column: pass the 'version' " +
+            "option, or write to a table whose _meta records it"))
+      TxTable.upsert(spark, path, data,
+        key, version, PartitionSpec(parts))
+    }
+    // a FRESH path makes every mode the same honest operation — the
+    // bootstrap commit. This is what lets `df.write.format("graft-tx")
+    // .saveAsTable(t)` create a table: Spark's CTAS command hands the
+    // new-table write SaveMode.Overwrite (and plain save() defaults to
+    // ErrorIfExists), both meaning "create" when nothing exists yet.
+    val fresh = TxTable.latestVersion(spark, path) == 0L
     mode match {
-      case SaveMode.Append =>
-        val key = p.get("key")
-          .orElse(id.flatMap(_._2))
-          .getOrElse(throw new IllegalArgumentException(
-            "graft-tx append needs a merge key: pass the 'key' option, " +
-              "or write to a table whose _meta records it"))
-        val version = p.get("version")
-          .orElse(id.flatMap(_._3))
-          .getOrElse(throw new IllegalArgumentException(
-            "graft-tx append needs a version column: pass the 'version' " +
-              "option, or write to a table whose _meta records it"))
-        TxTable.upsert(spark, path, data,
-          key, version, PartitionSpec(parts))
+      case _ if fresh => doUpsert()
+      case SaveMode.Append => doUpsert()
+      case SaveMode.Ignore => () // the documented contract: leave as-is
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalArgumentException(
+          s"graft-tx: $path already holds a committed TxTable " +
+            "(SaveMode.ErrorIfExists)")
       case other =>
         throw new UnsupportedOperationException(
-          s"graft-tx supports SaveMode.Append (keyed upsert) only, got $other")
+          s"graft-tx supports SaveMode.Append (keyed upsert) on an " +
+            s"existing table, got $other — overwrite has no one honest " +
+            "transactional meaning (TxTable.replaceWindow is the scoped form)")
     }
     TxRelation(spark, path, parts, None)
   }
@@ -247,8 +277,17 @@ private[io] case class TxRelation(
     * a table bootstrapped by a keyed verb is fully self-describing.
     * The analyzer aligns INSERT data by POSITION (and casts), so the
     * frame is renamed to the table's column names before the by-name
-    * merge. INSERT OVERWRITE refuses: overwrite has no one honest
-    * transactional meaning here (replaceWindow is the scoped form). */
+    * merge. A consequence worth stating plainly: an inserted row whose
+    * `_meta` version column orders BELOW the table's existing row for
+    * the same key LOSES the latest-wins merge — the INSERT succeeds but
+    * that row changes nothing (exactly `ON CONFLICT DO UPDATE WHERE
+    * excluded.version > current.version` semantics; replaying old data
+    * into a newer table is a no-op BY DESIGN, it is what makes the
+    * sink idempotent under at-least-once delivery). Callers that need
+    * append-blind history keep a version column that always advances
+    * (ingest time, commit sequence). INSERT OVERWRITE refuses:
+    * overwrite has no one honest transactional meaning here
+    * (replaceWindow is the scoped form). */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(!overwrite,
       "graft-tx INSERT OVERWRITE is not supported — use " +

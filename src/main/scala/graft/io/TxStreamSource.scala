@@ -197,6 +197,57 @@ private[io] class TxFormatSink(
 
 object TxStreamSource {
 
+  /** Durably resolve a tip-relative `startingVersion` ("latest" /
+    * "snapshot") EXACTLY ONCE per stream. Without this, every restart
+    * re-resolves the current tip (which moves while the stream is
+    * down), and a recovery replanning batch 0 after its offset was
+    * WAL'd — but before it committed — would open with a snapshot at a
+    * NEWER version than the checkpointed end offset, then re-emit the
+    * commits in between as incremental batches: duplicated rows,
+    * breaking exactly-once recovery. So the FIRST `createSource` for a
+    * checkpoint resolves the tip and pins it at
+    * `<metadataPath>/graft-tx-start` (the engine hands each source a
+    * private, durable slice of the checkpoint — the FileStreamSource
+    * metadata-log location); every restart reads the pin back instead
+    * of re-resolving. Create-without-overwrite + re-read on loss keeps
+    * a racing double-start on one checkpoint consistent; any other
+    * write failure propagates — an unpinnable checkpoint could not
+    * hold the offset WAL either, and degrading to re-resolution would
+    * silently reintroduce the duplicate-emission window. */
+  def pinnedStartingVersion(
+      spark: SparkSession, metadataPath: String, resolve: => Long): Long = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-tx-start")
+    val fs = pin.getFileSystem(spark.sessionState.newHadoopConf())
+    def read(): Option[Long] =
+      if (!fs.exists(pin)) None
+      else {
+        val in = fs.open(pin)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        // a torn/empty pin is unreadable state, not "no pin": falling
+        // through to re-resolve would be the exact bug being fixed
+        require(s.nonEmpty && s.forall(_.isDigit),
+          s"graft-tx: unreadable startingVersion pin at $pin ('$s') — " +
+            "the checkpoint is damaged; delete it to restart the stream")
+        Some(s.toLong)
+      }
+    read().getOrElse {
+      val v = resolve
+      try {
+        fs.mkdirs(pin.getParent)
+        val out = fs.create(pin, false)
+        try out.write((v.toString + "\n").getBytes(UTF_8)) finally out.close()
+        v
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          read().getOrElse(v)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          read().getOrElse(v)
+      }
+    }
+  }
+
   /** The feed's pinned schema: the table's diff readout (change_type,
     * key, payload) plus the `_commit_version` stamp. Requires at least
     * the bootstrap commit — a never-committed table has no schema to

@@ -273,6 +273,82 @@ class TxStreamSourceSpec extends SparkTestBase {
     assert(TxTable.snapshot(s, dst).get.count() === 2L)
   }
 
+  test("tip-relative starting versions are pinned in the checkpoint: a replanned opening batch cannot duplicate") {
+    // the recovery hole this guards: batch 0's offset is WAL'd, the
+    // stream dies before the batch commits, commits land meanwhile, and
+    // the restarted source re-resolves startingVersion=snapshot to the
+    // MOVED tip — its replanned opening would carry state beyond the
+    // WAL'd end offset, and the incremental batches after it would
+    // re-emit those commits. The pin makes the replan deterministic.
+    import org.apache.spark.sql.GraftStreamingFrame
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    commit(target, Seq((2L, 2.0, 2L, 20240102)))           // tip = 2
+    val meta = Files.createTempDirectory("graft_txss_pin").toString
+    val provider = new graft.io.TxDataSource
+    val params = Map("path" -> target, "key" -> "id",
+      "startingVersion" -> "snapshot")
+    val s1 = provider.createSource(spark.sqlContext, meta, None, "graft-tx", params)
+    assert(s1.getOffset.map(_.json.trim.toLong) === Some(2L))
+    // "the stream dies": a commit lands while it is down
+    commit(target, Seq((3L, 3.0, 3L, 20240103)))           // tip = 3
+    // recovery constructs a NEW source over the same checkpoint and
+    // replans batch 0 against the WAL'd end offset (2)
+    val s2 = provider.createSource(spark.sqlContext, meta, None, "graft-tx", params)
+    // executing a getBatch frame outside MicroBatchExecution needs the
+    // same conf relaxation the engine itself applies to its run session
+    val checkFlag = "spark.sql.streaming.unsupportedOperationCheck"
+    spark.conf.set(checkFlag, "false")
+    try {
+      val replanned = GraftStreamingFrame.ofMicroBatch(
+        s2.getBatch(None, LongOffset(2)))
+      val got = replanned.select("_commit_version", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((2L, 1L), (2L, 2L)),
+        "the replanned opening must be the PINNED v2 snapshot — key 3 or a " +
+          "v3 stamp means the restart re-resolved the moved tip")
+      // and the next incremental batch emits commit 3 exactly once
+      val inc = GraftStreamingFrame.ofMicroBatch(
+        s2.getBatch(Some(LongOffset(2)), LongOffset(3)))
+      assert(inc.select("_commit_version", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 3L)))
+    } finally spark.conf.set(checkFlag, "true")
+  }
+
+  test("pinnedStartingVersion: first call resolves and pins; later calls read the pin; a torn pin fails loudly") {
+    import graft.io.TxStreamSource
+    val meta = Files.createTempDirectory("graft_txss_pinfile").toString
+    assert(TxStreamSource.pinnedStartingVersion(spark, s"$meta/sources/0", 7L) === 7L)
+    // the durable pin wins over any later resolution
+    assert(TxStreamSource.pinnedStartingVersion(spark, s"$meta/sources/0",
+      sys.error("must not re-resolve")) === 7L)
+    // a damaged pin is refused, never silently re-resolved (written
+    // through the Hadoop FS so the checksum sidecar stays consistent)
+    val fs = new org.apache.hadoop.fs.Path(meta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$meta/sources/0/graft-tx-start"), true)
+    try out.write("not a version".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      TxStreamSource.pinnedStartingVersion(spark, s"$meta/sources/0", 9L)
+    }
+    assert(ex.getMessage.contains("pin"))
+  }
+
+  test("non-positive admission caps refuse at source creation instead of stalling the stream") {
+    val target = freshTable()
+    commit(target, Seq((1L, 1.0, 1L, 20240101)))
+    val provider = new graft.io.TxDataSource
+    def create(opts: (String, String)*) =
+      provider.createSource(spark.sqlContext,
+        Files.createTempDirectory("graft_txss_caps").toString, None, "graft-tx",
+        Map("path" -> target, "key" -> "id") ++ opts)
+    intercept[IllegalArgumentException](create("maxBytesPerTrigger" -> "0"))
+    intercept[IllegalArgumentException](create("maxCommitsPerTrigger" -> "-1"))
+    create("maxBytesPerTrigger" -> "1", "maxCommitsPerTrigger" -> "1") // positive caps fine
+  }
+
   test("a never-committed table refuses to pin a stream schema") {
     val dir = freshTable()
     val ex = intercept[IllegalArgumentException] {
