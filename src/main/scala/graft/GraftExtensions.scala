@@ -25,5 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // statements against a `USING graft-tx` view convert to the
     // transactional verbs at analysis time (see graft.io.TxSqlDml)
     extensions.injectResolutionRule(_ => graft.io.TxSqlDml.Resolution)
+    // catalog management over graft-tx tables: ALTER TABLE ADD COLUMNS
+    // and SHOW PARTITIONS re-route to the table's own verbs at analysis
+    // (graft.io.TxCatalog); DESCRIBE HISTORY is added at the parser —
+    // Spark has no grammar for it (graft.io.GraftSqlParser delegates
+    // every other statement byte-identically)
+    extensions.injectResolutionRule(_ => graft.io.TxCatalog.Resolution)
+    extensions.injectParser((_, delegate) => new graft.io.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,236 @@
+package graft.io
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, LeafRunnableCommand, ShowPartitionsCommand}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** The CATALOG face of `graft-tx`: persistent tables a SQL user manages
+  * with the statements a warehouse operator actually types —
+  *
+  * {{{
+  *   CREATE TABLE fact (id BIGINT, price DOUBLE, etl_seq BIGINT, date_id INT)
+  *     USING `graft-tx`
+  *     OPTIONS (path '/w/fact', key 'id', version 'etl_seq', partitionColumns 'date_id')
+  *   INSERT INTO fact VALUES …               -- keyed upsert (TxRelation.insert)
+  *   ALTER TABLE fact ADD COLUMNS (color STRING)
+  *   SHOW PARTITIONS fact
+  *   DESCRIBE HISTORY fact                   -- or DESCRIBE HISTORY '/w/fact'
+  *   SELECT … FROM fact                      -- across sessions: the catalog holds the binding
+  * }}}
+  *
+  * How it plugs in — the same analysis-time interception as
+  * [[TxSqlDml]], extended one station earlier in the pipeline:
+  *
+  *  - CREATE TABLE / SELECT / INSERT INTO need nothing: Spark's session
+  *    catalog already persists `USING graft-tx` tables and resolves
+  *    them through the V1 [[TxDataSource]] seam (reference S10 context:
+  *    `/root/reference/dags/etl/populate_sources_dag.py:89-107` manages
+  *    its `sources` dim with exactly this statement family).
+  *  - ALTER TABLE ADD COLUMNS and SHOW PARTITIONS resolve to V1
+  *    commands that REFUSE non-builtin providers (the provider
+  *    allowlist / partition-metadata checks in their `run`).
+  *    [[TxCatalog.Resolution]] replaces the resolved command — when and
+  *    only when the target's provider is `graft-tx` — with a command
+  *    driving the table's own verbs: [[TxTable.addColumns]] (one
+  *    rows-preserving commit widening the storage schema, THEN the
+  *    catalog schema — order matters: a crash between the two leaves
+  *    the catalog narrower than storage, which reads fine, where the
+  *    opposite order would leave a catalog promising a column the
+  *    storage can't serve) and [[TxTable.partitionValues]] (manifest
+  *    readout, zero data I/O — the manifest IS the partition metadata
+  *    SHOW PARTITIONS wants, so no `MSCK`/repair machinery exists to
+  *    drift from it).
+  *  - DESCRIBE HISTORY is not Spark grammar at all: [[GraftSqlParser]]
+  *    (injected via `injectParser`) recognizes the one statement form
+  *    and emits [[TxDescribeHistoryCommand]]; every other string —
+  *    including every statement the delegate can parse — passes through
+  *    byte-identical, so the wrapper is a superset, not a fork.
+  *
+  * Schema discipline for catalog tables: the metastore schema and the
+  * storage schema must agree (Spark's V1 resolution checks them
+  * against each other), so on a CATALOGED table evolve through `ALTER
+  * TABLE ADD COLUMNS` — which commits both sides — rather than
+  * path-level write-side widening, which the catalog cannot observe.
+  * Path-addressed tables (`load(dir)` / temp views) keep the write-side
+  * union evolution unchanged.
+  */
+object TxCatalog {
+
+  /** Analyzer rule (`SparkSessionExtensions.injectResolutionRule`):
+    * rewrites the resolved V1 ALTER/SHOW PARTITIONS commands over
+    * graft-tx catalog tables. Anything else passes through. */
+  object Resolution extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case AlterTableAddColumnsCommand(ident, cols) =>
+        txTable(ident).map(ct =>
+          TxAddColumnsCommand(ident, pathOf(ct), cols): LogicalPlan)
+          .getOrElse(plan)
+      case ShowPartitionsCommand(ident, output, spec) =>
+        txTable(ident).map(ct =>
+          TxShowPartitionsCommand(pathOf(ct), output, spec): LogicalPlan)
+          .getOrElse(plan)
+      case other => other
+    }
+  }
+
+  /** One-statement live-session entry — the [[TxSqlDml.sql]] retrofit
+    * for the catalog statements (resolution rules and parsers cannot be
+    * added to an already-built session): DESCRIBE HISTORY matches
+    * [[GraftSqlParser]]'s pattern directly; everything else parses with
+    * the session parser, analyzes, and converts through [[Resolution]]
+    * (and [[TxSqlDml.convert]], so one entry point serves the whole SQL
+    * surface). Statements needing no interception run exactly as
+    * `spark.sql` would. */
+  def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    sqlText match {
+      case GraftSqlParser.DescribeHistory(target) =>
+        bridge.ofRows(spark, TxDescribeHistoryCommand(target.trim))
+      case _ =>
+        val analyzed = bridge.analyze(spark, bridge.parsePlan(spark, sqlText))
+        bridge.ofRows(spark, TxSqlDml.convert(Resolution(analyzed)))
+    }
+
+  /** The catalog record IF `ident` names a graft-tx table; None for
+    * anything else (missing tables fall through to Spark's own error). */
+  private def txTable(ident: TableIdentifier): Option[CatalogTable] = {
+    val spark = SparkSession.active
+    try {
+      val ct = bridge.sessionCatalog(spark).getTableMetadata(ident)
+      if (ct.provider.exists(_.equalsIgnoreCase("graft-tx"))) Some(ct) else None
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Storage path of a cataloged graft-tx table: the normalized
+    * location (CREATE TABLE's `path` option lands there; managed
+    * tables get the warehouse default). */
+  private[io] def pathOf(ct: CatalogTable): String =
+    ct.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString)
+      .orElse(ct.storage.properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-tx catalog table ${ct.identifier} records no location"))
+
+  /** Partition identity: the table's own `_meta` record, falling back
+    * to the cataloged `partitionColumns` option (pre-meta tables). */
+  private[io] def partSpecOf(spark: SparkSession, ct: CatalogTable): PartitionSpec = {
+    val fromMeta = TxTable.partitionColumnsOf(spark, pathOf(ct))
+    val fromOpts = ct.storage.properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitioncolumns") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    PartitionSpec(fromMeta.orElse(fromOpts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx catalog table ${ct.identifier} records no partition " +
+          "columns — commit once through a write verb, or declare the " +
+          "partitionColumns option")))
+  }
+}
+
+/** `ALTER TABLE <tx> ADD COLUMNS (…)` → [[TxTable.addColumns]] (one
+  * rows-preserving storage commit) + the metastore schema update +
+  * relation-cache refresh, in that order (see [[TxCatalog]]'s scaladoc
+  * for why storage goes first). */
+case class TxAddColumnsCommand(
+    ident: TableIdentifier, path: String,
+    cols: Seq[StructField]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = bridge.sessionCatalog(spark)
+    val ct = catalog.getTableMetadata(ident)
+    TxTable.addColumns(spark, path, TxCatalog.partSpecOf(spark, ct), cols)
+    catalog.alterTableDataSchema(ident,
+      StructType(ct.dataSchema.fields.toSeq ++ cols))
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS <tx> [PARTITION (col=v, …)]` →
+  * [[TxTable.partitionValues]] rendered hive-style
+  * (`col1=v1/col2=v2`), filtered by the optional partial spec — the
+  * exact output contract of the built-in command, served from the
+  * manifest with zero data I/O. */
+case class TxShowPartitionsCommand(
+    path: String, override val output: Seq[Attribute],
+    spec: Option[Map[String, String]]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cols = TxTable.partitionColumnsOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx table at $path records no partition columns in _meta"))
+    spec.foreach { s =>
+      val unknown = s.keys.filterNot(k => cols.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty,
+        s"SHOW PARTITIONS spec names non-partition column(s): " +
+          unknown.mkString(", "))
+    }
+    TxTable.partitionValues(spark, path)
+      .filter(tuple => spec.forall(_.forall { case (k, v) =>
+        cols.zip(tuple).exists { case (c, t) => c.equalsIgnoreCase(k) && t == v }
+      }))
+      .map(tuple => Row(cols.zip(tuple)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")))
+  }
+}
+
+/** `DESCRIBE HISTORY <table-or-'/path'>` → [[TxTable.historyFrame]]:
+  * one row per retained commit (version, kind, committed_at,
+  * touched_entries). The target resolves at RUN time — a table name
+  * through the session catalog, a quoted string as a literal path —
+  * so the parsed statement survives catalog changes between parse and
+  * execution exactly like every other command. */
+case class TxDescribeHistoryCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = true)(),
+    AttributeReference("touched_entries", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path =
+      if (target.startsWith("'") && target.endsWith("'") && target.length >= 2)
+        target.substring(1, target.length - 1)
+      else {
+        val ident = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseTableIdentifier(target)
+        TxCatalog.pathOf(bridge.sessionCatalog(spark).getTableMetadata(ident))
+      }
+    TxTable.historyFrame(spark, path).collect().toSeq
+  }
+}
+
+/** Delegating parser (`SparkSessionExtensions.injectParser`) adding the
+  * ONE statement Spark's grammar lacks: `DESCRIBE HISTORY <target>` /
+  * `DESC HISTORY <target>` — the standard parser-extension move of the
+  * public table formats. Matched by a strict whole-statement pattern
+  * BEFORE delegating (the delegate would fail on it anyway, but
+  * pattern-first keeps error messages clean); every other method and
+  * every other statement routes to the delegate untouched. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case GraftSqlParser.DescribeHistory(target) =>
+      TxDescribeHistoryCommand(target.trim)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) = delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  /** The one added statement, as a strict whole-statement pattern. */
+  private[io] val DescribeHistory =
+    """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+}

@@ -442,6 +442,24 @@ object TxTable {
     else Some(emptyWithSnapshotSchema(spark, dir, entries))
   }
 
+  /** The live partition VALUE TUPLES at the current tip, decoded from
+    * the manifest alone — zero data I/O (the `SHOW PARTITIONS` face of
+    * the manifest, [[graft.io.TxCatalog]] routes the SQL statement
+    * here). Tuples are the ENGINE's string casts in `_meta` column
+    * order, sorted for stable output. Entries predating the value
+    * field (pre-vhex manifests, or written under a different arity)
+    * are omitted — their value is not decodable without a data read,
+    * and they upgrade as commits touch them. */
+  def partitionValues(spark: SparkSession, dir: String): Seq[Seq[String]] = {
+    val arity = readMeta(fsOf(spark, dir), dir).map(_.size)
+    val (_, entries) = latestEntries(spark, dir)
+    entries.values.toSeq
+      .flatMap(_.vhex)
+      .map(vhexSplit)
+      .filter(t => arity.forall(_ == t.size))
+      .sortBy(_.mkString(" "))
+  }
+
   /** Zero-row frame carrying the FULL snapshot schema: a no-hit pruned
     * read must be union-shaped with a hit one. Anchoring on an
     * arbitrary single leaf would make the schema nondeterministic
@@ -1096,6 +1114,103 @@ object TxTable {
     val store = CommitStore.forPath(fsOf(spark, dir), log)
     val (tip, _) = store.latest(log)
     (1L to tip).map(v => v -> store.at(log, v).map(kindOf).getOrElse("vacuumed"))
+  }
+
+  /** [[history]] as a one-frame operational readout — the `DESCRIBE
+    * HISTORY` face ([[graft.io.TxCatalog]] routes the SQL statement
+    * here): one row per version 1..tip with the body kind ("delta" |
+    * "checkpoint" | "vacuumed"), the commit slot's modification time,
+    * and the count of manifest entries the commit touched. Costs one
+    * small body read + one stat per retained version — an operational
+    * probe, never a data path. */
+  def historyFrame(spark: SparkSession, dir: String): DataFrame = {
+    val log = s"$dir/$LogDir"
+    val fs = fsOf(spark, dir)
+    val store = CommitStore.forPath(fs, log)
+    val (tip, _) = store.latest(log)
+    val rows = (1L to tip).map { v =>
+      val body = store.at(log, v)
+      val ts = try Some(fs.getFileStatus(
+          new Path(log, CommitStore.slotName(v))).getModificationTime)
+        catch { case _: java.io.IOException => None }
+      org.apache.spark.sql.Row(v,
+        body.map(kindOf).getOrElse("vacuumed"),
+        ts.map(t => new java.sql.Timestamp(t)).orNull,
+        body.map(lines => java.lang.Long.valueOf(lines.size - 1L)).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("committed_at",
+          org.apache.spark.sql.types.TimestampType, nullable = true),
+        org.apache.spark.sql.types.StructField("touched_entries",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS` as ONE rows-preserving commit: the
+    * table schema widens by rewriting exactly the SMALLEST live leaf
+    * with the new columns appended as typed nulls — the mergeSchema
+    * snapshot resolution then surfaces them table-wide (every other
+    * leaf null-pads), the same union the write-side evolution
+    * produces, at O(smallest partition) cost instead of a table
+    * rewrite. Existing columns are refused loudly (SQL's rule); an
+    * empty table has no storage schema to widen and is refused too
+    * (bootstrap with data carrying the columns instead). Rows-
+    * preserving like every maintenance verb: [[diff]] across the
+    * commit emits nothing. */
+  def addColumns(
+      spark: SparkSession, dir: String, partitionCol: PartitionSpec,
+      cols: Seq[org.apache.spark.sql.types.StructField],
+      maxRetries: Int = 10, beforeCommit: () => Unit = () => ()): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val dup = cols.map(_.name.toLowerCase).diff(
+      cols.map(_.name.toLowerCase).distinct)
+    require(dup.isEmpty,
+      s"addColumns lists ${dup.distinct.mkString(", ")} more than once")
+    val fs = fsOf(spark, dir)
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      require(v >= 1,
+        s"addColumns on $dir: an empty table has no storage schema to " +
+          "widen — bootstrap it with a write carrying the columns")
+      ensureSpec(fs, dir, partitionCol)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      require(entries.nonEmpty,
+        s"addColumns on $dir: the table holds no live partitions — " +
+          "write data carrying the columns instead")
+      // re-check per attempt: a racing widening commit may have landed
+      val existing = read(spark, dir, entries).schema.fieldNames
+        .map(_.toLowerCase).toSet
+      val clash = cols.map(_.name).filter(c => existing(c.toLowerCase))
+      require(clash.isEmpty,
+        s"addColumns on $dir: column(s) already exist: ${clash.mkString(", ")}")
+      // smallest live leaf = cheapest rows-preserving carrier
+      val (k, entry) = entries.minBy { case (_, e) =>
+        try fs.getContentSummary(new Path(leafPath(dir, e.leaf))).getLength
+        catch { case _: java.io.IOException => Long.MaxValue }
+      }
+      val widened = cols.foldLeft(
+        spark.read.parquet(leafPath(dir, entry.leaf)))(
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId/${PKey}=$k"
+      widened.write.parquet(s"$dir/$stageRel")
+      if (attempt == 1) beforeCommit()
+      if (tryPublish(spark, store, log, v, entries,
+          Map(k -> Entry(stageRel, entry.vhex)))) return
+      fs.delete(new Path(s"$dir/$DataDir/$commitId"), true): Unit
+    }
+    throw new IllegalStateException(
+      s"TxTable.addColumns lost the commit race $maxRetries times on $dir")
   }
 
   /** Roll the table back: publish a NEW commit whose state is exactly

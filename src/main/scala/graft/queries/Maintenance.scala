@@ -977,5 +977,103 @@ object Maintenance {
         |SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM m GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // The CATALOG lifecycle end-to-end (io/TxCatalog): a graft-tx table
+    // created through `saveAsTable`, written through SQL `INSERT INTO`
+    // (keyed latest-wins upsert, versioned by an explicit seq), widened
+    // through `ALTER TABLE ADD COLUMNS` (one rows-preserving commit +
+    // the metastore schema update), inventoried through
+    // `SHOW PARTITIONS` (manifest readout) and `DESCRIBE HISTORY`
+    // (commit-log readout), and read back from a NEW session through
+    // the shared catalog — the reference's populate_sources_dag
+    // information_schema-probe + ALTER flow as the SQL a warehouse
+    // operator types (populate_sources_dag.py:89-107). The oracle
+    // restates the final state from the batch algebra (seq3 > seq2 >
+    // seq1 priority) and pins the partition and commit counts the
+    // lifecycle determines.
+    "x_tx_catalog" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txcat").toString
+        val path = s"$base/fact"
+        val n = jdbcSeq.incrementAndGet()
+        val tbl = s"cat_fact_$n"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        // 1. CREATE via saveAsTable: the bootstrap commit binds catalog
+        // name to storage in one statement
+        ev.filter(col("day") < "2024-01-21").withColumn("seq", lit(1L))
+          .write.format("graft-tx").option("path", path)
+          .option("key", "event_id").option("version", "seq")
+          .option("partitionColumns", "day")
+          .saveAsTable(tbl)
+        // 2. SQL INSERT INTO = the keyed upsert; seq=2 wins the overlap
+        ev.filter(col("day") >= "2024-01-15")
+          .withColumn("value", col("value") * 3).withColumn("seq", lit(2L))
+          .createOrReplaceTempView(s"${tbl}_b1")
+        s.sql(s"INSERT INTO $tbl SELECT event_id, event_type, value, day, seq " +
+          s"FROM ${tbl}_b1")
+        // 3. ALTER TABLE ADD COLUMNS: storage + catalog widen together
+        graft.io.TxCatalog.sql(s, s"ALTER TABLE $tbl ADD COLUMNS (flag STRING)")
+        // 4. a post-evolution INSERT lands values into the new column
+        ev.filter(col("event_type") === "click" && col("day") >= "2024-01-28")
+          .withColumn("value", col("value") * 5).withColumn("seq", lit(3L))
+          .withColumn("flag", lit("late"))
+          .createOrReplaceTempView(s"${tbl}_b2")
+        s.sql(s"INSERT INTO $tbl SELECT event_id, event_type, value, day, seq, flag " +
+          s"FROM ${tbl}_b2")
+        // 5. management readouts: partition inventory + commit history
+        val nParts = graft.io.TxCatalog
+          .sql(s, s"SHOW PARTITIONS $tbl").count()
+        val nCommits = graft.io.TxCatalog
+          .sql(s, s"DESCRIBE HISTORY $tbl").count()
+        // 6. read back from a NEW session — the catalog, not the
+        // session, holds the binding
+        val out = s.newSession().sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+             |  COUNT(flag) AS n_flag
+             |FROM $tbl GROUP BY event_type""".stripMargin)
+          .withColumn("n_parts", lit(nParts))
+          .withColumn("n_commits", lit(nCommits))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        s.catalog.dropTempView(s"${tbl}_b1"): Unit
+        s.catalog.dropTempView(s"${tbl}_b2"): Unit
+        s.sql(s"DROP TABLE $tbl")
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |b1 AS (SELECT * FROM ev WHERE day < '2024-01-21'),
+        |b2 AS (SELECT event_id, event_type, value * 3 AS value, day FROM ev
+        |       WHERE day >= '2024-01-15'),
+        |b3 AS (SELECT event_id, event_type, value * 5 AS value, day FROM ev
+        |       WHERE event_type = 'click' AND day >= '2024-01-28'),
+        |final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id IN (SELECT event_id FROM b3)
+        |           THEN (SELECT value FROM b3 WHERE b3.event_id = ev.event_id)
+        |         WHEN event_id IN (SELECT event_id FROM b2)
+        |           THEN (SELECT value FROM b2 WHERE b2.event_id = ev.event_id)
+        |         ELSE value END AS value,
+        |    CASE WHEN event_id IN (SELECT event_id FROM b3)
+        |         THEN 'late' END AS flag
+        |  FROM ev
+        |  WHERE event_id IN (SELECT event_id FROM b1)
+        |     OR event_id IN (SELECT event_id FROM b2)),
+        |counts AS (
+        |  SELECT (SELECT COUNT(DISTINCT day) FROM final f
+        |            JOIN ev USING (event_id)) AS n_parts,
+        |         CAST(4 AS BIGINT) AS n_commits)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(flag) AS n_flag,
+        |  (SELECT n_parts FROM counts) AS n_parts,
+        |  (SELECT n_commits FROM counts) AS n_commits
+        |FROM final GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }

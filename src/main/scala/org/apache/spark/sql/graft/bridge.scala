@@ -48,6 +48,14 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.executePlan(plan).analyzed
 
+  /** The session's SessionCatalog (catalog-table metadata lookups and
+    * the ALTER-side schema update; `sessionState` is private[sql] —
+    * same visibility hop as above). */
+  def sessionCatalog(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.catalog.SessionCatalog =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+
   /** Register a function builder on a live session's FunctionRegistry
     * (`sessionState` is private[sql]; same visibility hop as above). */
   def registerFunction(

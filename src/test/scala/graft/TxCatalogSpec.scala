@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.io.{TxCatalog, TxTable}
+import org.apache.spark.sql.SparkSession
+
+/** The catalog face of graft-tx (io/TxCatalog): persistent `USING
+  * graft-tx` tables managed with CREATE TABLE / INSERT INTO / ALTER
+  * TABLE ADD COLUMNS / SHOW PARTITIONS / DESCRIBE HISTORY, resolving
+  * across sessions through the shared session catalog. */
+class TxCatalogSpec extends SparkTestBase {
+
+  private val seq = new AtomicInteger
+
+  private def freshName(prefix: String): String =
+    s"${prefix}_${seq.incrementAndGet()}"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_txcat").toString + "/t"
+
+  /** Extension-built sibling session on the shared context — the
+    * SqlExtensionsSpec pattern; restores the suite session on exit. */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("CREATE TABLE USING graft-tx + INSERT INTO + SELECT, across a new session") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_fact")
+    // bootstrap the storage first (a TxTable schema IS its data), then
+    // bind the catalog name to it
+    TxTable.upsert(spark, dir,
+      Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+    try {
+      // INSERT INTO through the catalog name: the keyed upsert
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 25.0, 2, 20240102), (3, 30.0, 2, 20240103)")
+      assert(spark.sql(s"SELECT id, price FROM $tbl ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+      // a NEW session sees the same binding through the shared catalog
+      val s2 = spark.newSession()
+      assert(s2.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) === 3L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("ALTER TABLE ADD COLUMNS widens storage AND catalog in one statement") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_evo")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        val vBefore = TxTable.latestVersion(s2, dir)
+        s2.sql(s"ALTER TABLE $tbl ADD COLUMNS (color STRING, rank INT)")
+        // one rows-preserving commit landed
+        assert(TxTable.latestVersion(s2, dir) === vBefore + 1)
+        assert(TxTable.diff(s2, dir, vBefore, vBefore + 1, "id").count() === 0L,
+          "ALTER ADD COLUMNS must be rows-preserving")
+        // both faces agree: catalog SELECT sees typed nulls immediately
+        val row = s2.sql(s"SELECT id, color, rank FROM $tbl WHERE id = 1").head()
+        assert(row.isNullAt(1) && row.isNullAt(2))
+        // and a write can now land values into the new columns
+        s2.sql(s"INSERT INTO $tbl VALUES (3, 30.0, 2, 20240103, 'red', 7)")
+        assert(s2.sql(s"SELECT color, rank FROM $tbl WHERE id = 3").head()
+          === org.apache.spark.sql.Row("red", 7))
+        // duplicate add refuses loudly
+        val ex = intercept[Exception] {
+          s2.sql(s"ALTER TABLE $tbl ADD COLUMNS (color STRING)")
+        }
+        assert(ex.getMessage.toLowerCase.contains("exist"))
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("SHOW PARTITIONS serves the manifest: hive-style rows ≡ partitionValues") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_parts")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 1.0, 1L, 20240101, "a"), (2L, 2.0, 1L, 20240102, "b"),
+        (3L, 3.0, 1L, 20240101, "b"))
+        .toDF("id", "price", "etl_seq", "date_id", "src"),
+      "id", "etl_seq", Seq("date_id", "src"))
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        val got = s2.sql(s"SHOW PARTITIONS $tbl")
+          .collect().map(_.getString(0)).toSeq.sorted
+        assert(got === Seq(
+          "date_id=20240101/src=a", "date_id=20240101/src=b",
+          "date_id=20240102/src=b"))
+        // ≡ the manifest readout, by construction
+        assert(got === TxTable.partitionValues(s2, dir)
+          .map(t => Seq("date_id", "src").zip(t)
+            .map { case (c, v) => s"$c=$v" }.mkString("/")).sorted)
+        // partial-spec filtering, the built-in command's contract
+        assert(s2.sql(s"SHOW PARTITIONS $tbl PARTITION (src='b')")
+          .collect().map(_.getString(0)).toSeq.sorted ===
+          Seq("date_id=20240101/src=b", "date_id=20240102/src=b"))
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("DESCRIBE HISTORY reads the commit log, by table name and by path") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_hist")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxTable.upsert(spark, dir,
+      Seq((2L, 2.0, 2L, 20240102)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        val byName = s2.sql(s"DESCRIBE HISTORY $tbl")
+          .select("version", "kind").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(byName === Seq((1L, "checkpoint"), (2L, "delta")))
+        val byPath = s2.sql(s"DESCRIBE HISTORY '$dir'")
+          .select("version", "kind").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(byPath === byName)
+        // live-session retrofit (no extensions): same statement
+        assert(TxCatalog.sql(spark, s"DESCRIBE HISTORY '$dir'")
+          .select("version").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+        // the wrapper parser is a superset: ordinary statements flow through
+        assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) === 2)
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("saveAsTable bootstraps a graft-tx table; modes behave honestly on an existing one") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_sat")
+    Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+      .toDF("id", "price", "etl_seq", "date_id")
+      .write.format("graft-tx")
+      .option("path", dir)
+      .option("key", "id").option("version", "etl_seq")
+      .option("partitionColumns", "date_id")
+      .saveAsTable(tbl)
+    try {
+      assert(spark.table(tbl).count() === 2L)
+      assert(TxTable.latestVersion(spark, dir) === 1L)
+      // append mode = the keyed upsert
+      Seq((2L, 25.0, 2L, 20240102)).toDF("id", "price", "etl_seq", "date_id")
+        .write.format("graft-tx").option("path", dir)
+        .mode("append").saveAsTable(tbl)
+      assert(spark.table(tbl).filter("id = 2").head().getDouble(1) === 25.0)
+      // ErrorIfExists on a live table refuses (path-level save too)
+      intercept[Exception] {
+        Seq((9L, 9.0, 9L, 20240109)).toDF("id", "price", "etl_seq", "date_id")
+          .write.format("graft-tx")
+          .option("key", "id").option("version", "etl_seq")
+          .option("partitionColumns", "date_id")
+          .save(dir)
+      }
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+}
