@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.DecimalType
 object Mining {
   private val Dec = DecimalType(18, 2)
   private val WeekUs = 604800000000L // 7 days in microseconds
-  private val DebounceGapUs = 43200000000L // 12 h cool-down
+  private[queries] val DebounceGapUs = 43200000000L // 12 h cool-down
   // 2^40 fixed-point scale for order-free summation of small doubles
   private val Q40 = "1099511627776.0"
 

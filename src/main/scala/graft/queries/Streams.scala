@@ -705,5 +705,237 @@ object Streams {
         |SELECT change_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM feed GROUP BY change_type
-        |ORDER BY change_type""".stripMargin))
+        |ORDER BY change_type""".stripMargin),
+
+    // Streaming windowed COUNT(DISTINCT) (streaming/StreamUniques):
+    // dedup-then-count — dropDuplicates on (user, window) collapses
+    // each user to one row per tumbling window, an ordinary windowed
+    // count above it counts survivors, append mode emits a window
+    // exactly once when the watermark passes its end. The oracle
+    // restates both the distinct count and WHICH windows emit (end ≤
+    // max event time − lateness), the t11 emission contract.
+    "t25_stream_uniques" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val src = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val name = s"t25_stream_uniques_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamUniques
+            .uniquesPerWindow(src, "15 minutes", "30 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name)
+          .withColumn("window_start",
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy("window_start")
+      },
+      """WITH t AS (
+        |  SELECT user_id, epoch_ms(ts) // 900000 AS b FROM events),
+        |wm AS (SELECT epoch_ms(MAX(ts)) - 30 * 60 * 1000 AS w FROM events)
+        |SELECT strftime(make_timestamp(b * 900000000), '%Y-%m-%d %H:%M:%S.%f')
+        |         AS window_start,
+        |       COUNT(DISTINCT user_id) AS uniq_users
+        |FROM t GROUP BY b
+        |HAVING (b + 1) * 900000 <= (SELECT w FROM wm)
+        |ORDER BY window_start""".stripMargin),
+
+    // Streaming first-touch funnel (streaming/FunnelStream): managed
+    // per-user state carries the four first-touch keys, a row emits
+    // whenever the user's stage CHANGES, and the latest change per user
+    // is the current truth (the operator's latest-wins change-log
+    // contract). Replayed in event-time order the final stage per user
+    // equals the batch a22 computation — the oracle restates first-touch
+    // times and counts users at each final stage.
+    "t26_stream_funnel" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val src = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("user_id"),
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "view", 2)
+              .when(col("event_type") === "click", 3)
+              .when(col("event_type") === "purchase", 4).as("step"),
+            format_string("%020d.%012d",
+              unix_micros(col("ts").cast("timestamp")), col("event_id")).as("k"))
+          .filter(col("step").isNotNull)
+        val name = s"t26_stream_funnel_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.FunnelStream.stageChanges(src)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max_by(col("stage"), col("change_seq")).as("stage"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t1,
+        |    MIN(CASE WHEN event_type = 'view'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t2,
+        |    MIN(CASE WHEN event_type = 'click'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t3,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN printf('%020d.%012d', epoch_us(ts), event_id) END) AS t4
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT user_id,
+        |  CASE WHEN t1 IS NULL THEN 0
+        |       WHEN t2 IS NULL OR t2 <= t1 THEN 1
+        |       WHEN t3 IS NULL OR t3 <= t2 THEN 2
+        |       WHEN t4 IS NULL OR t4 <= t3 THEN 3
+        |       ELSE 4 END AS stage FROM per)
+        |SELECT CAST(stage AS INT) AS stage, COUNT(*) AS n_users
+        |FROM st WHERE stage >= 1
+        |GROUP BY stage ORDER BY stage""".stripMargin),
+
+    // Streaming chained debounce (streaming/StreamDebounce): per key,
+    // keep an event iff it exceeds the last KEPT event by the cool-down
+    // gap — the recurrence reads the operator's own output, so the
+    // streaming form is managed keyed state. The event-time-ordered
+    // replay reproduces the batch t14 chain exactly; the oracle is the
+    // same recursive LATERAL walk (12 h gap, kept in lockstep with
+    // Mining.DebounceGapUs).
+    "t27_stream_debounce" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val src = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .select(col("user_id").as("k"),
+            unix_micros(col("ts").cast("timestamp")).as("ep"),
+            col("event_id").as("id"))
+        val name = s"t27_stream_debounce_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamDebounce.kept(src, Mining.DebounceGapUs)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        q.awaitTermination()
+        }
+        s.table(name)
+          .select(col("k").as("user_id"), col("ep"), col("id").as("event_id"),
+            col("keep_seq"))
+          .orderBy(col("user_id"), col("ep"))
+      },
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, epoch_us(ts) AS ep, event_id FROM events),
+         |r AS (
+         |  SELECT user_id, ep, event_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                                     ORDER BY ep, event_id) AS rn FROM e)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.ep, n.event_id
+         |  FROM r JOIN LATERAL (
+         |    SELECT user_id, ep, event_id FROM e
+         |    WHERE e.user_id = r.user_id AND e.ep > r.ep + ${Mining.DebounceGapUs}
+         |    ORDER BY ep, event_id LIMIT 1) n ON true)
+         |SELECT user_id, ep, event_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ep, event_id) AS INT)
+         |    AS keep_seq
+         |FROM r ORDER BY user_id, ep""".stripMargin),
+
+    // Streaming online anomaly detection (streaming/StreamAnomaly):
+    // per-key z-score against the 20 PRIOR events from a bounded state
+    // ring, exact decimal moments — replayed in event-time order the
+    // emissions equal the batch a28 trailing-window computation, z
+    // values bit-included (the buffer sums are the same scale-2/scale-4
+    // decimals the window casts produce). Oracle = the a28 window
+    // restated.
+    "t28_stream_anomaly" -> Q(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val src = s.readStream.schema(raw.schema)
+          .option("basePath", dir).parquet(s"$dir/events*.parquet")
+          .filter(col("value").isNotNull)
+          .select(col("user_id").as("k"),
+            unix_micros(col("ts").cast("timestamp")).as("ep"),
+            col("event_id").as("id"), col("value"))
+        val name = s"t28_stream_anomaly_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamAnomaly.anomalies(src)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name)
+          .select(col("k").as("user_id"), col("ep"), col("id").as("event_id"),
+            col("value"), col("n_prior"), col("mean_prior"),
+            col("std_prior"), col("z"))
+          .orderBy(col("user_id"), col("ep"), col("event_id"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id, ep, event_id, value,
+        |        COUNT(value) OVER w AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |             OVER w AS DOUBLE) AS sx2
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
+        |                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT *, sx / n AS mean_prior,
+        |         sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_prior
+        |       FROM m WHERE n >= 8),
+        |z AS (SELECT *, (value - mean_prior) / std_prior AS z
+        |      FROM sc WHERE std_prior > 0)
+        |SELECT user_id, ep, event_id, value, CAST(n AS INT) AS n_prior,
+        |       mean_prior, std_prior, z
+        |FROM z WHERE abs(z) > 3
+        |ORDER BY user_id, ep, event_id""".stripMargin),
+
+    // Streaming MinHash+LSH near-dedup (streaming/StreamNearDedup):
+    // band-bucket keyed state verifies each arriving document against
+    // the bucket's members — same shingles, signatures, bands and
+    // Jaccard threshold as the batch operator, so with every document
+    // inside the state horizon the emitted pair set (pair-deduped, the
+    // operator's documented downstream step) equals the batch
+    // x_dedup_minhash_lsh result, Jaccard values included. Oracle =
+    // the same verified-pairs CTE.
+    "t29_stream_neardedup" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_sneardedup").toString
+        val in = s"$base/in"
+        Text.corpus(s, dir)
+          .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+          .write.parquet(in)
+        val name = s"t29_stream_neardedup_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val src = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+          val q = graft.streaming.StreamNearDedup
+            .nearDupHits(src, "ts", "30 days", threshold = 0.5)
+            .dropDuplicates("a_id", "b_id")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.table(name)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      s"""WITH ${Text.minhashPairsCte}
+         |SELECT a_id, b_id, jaccard FROM pairsj
+         |ORDER BY a_id, b_id""".stripMargin))
 }

@@ -286,7 +286,7 @@ object Text {
   /** DuckDB CTE chain producing the same verified pairs as
     * [[minhashPairs]] (names: pairsj(a_id, b_id)). Kept in lockstep
     * with the Spark helper. */
-  private def minhashPairsCte: String =
+  private[queries] def minhashPairsCte: String =
     s"""$CorpusCte,
        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
        |sh AS (SELECT doc_id, $ShingleDuck AS sh FROM d),
