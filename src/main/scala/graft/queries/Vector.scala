@@ -677,6 +677,99 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // PERSISTENT IVF index, maintained incrementally (the x_ann_ivf
+    // plan with the index as a STORED artifact instead of a per-query
+    // recompute): cell assignments live in a graft-tx table partitioned
+    // BY CELL — the inverted file is literally the table's partition
+    // manifest. A new vector batch is admitted by assigning ONLY the
+    // batch against the broadcast codebook and upserting — an
+    // O(touched cells) commit, never a corpus re-assignment — and a
+    // query reads exactly its nprobe probed cells through the
+    // manifest-pruned snapshotPartitions path (at 100 TB: a query
+    // touches ~nprobe/k of the data and the index update touches only
+    // the cells the batch lands in). Assignment is per-vector
+    // independent, so incremental-build ≡ full-build and the oracle is
+    // the from-scratch recompute — the strongest statement of index
+    // maintenance correctness.
+    "x_ann_ivf_incremental" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_ivf").toString
+        val idx = s"$base/ivf"
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        def assign(batch: org.apache.spark.sql.DataFrame) = batch
+          .crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("embedding")))
+          .groupBy(col("vec_id"))
+          .agg(
+            first(col("embedding")).as("embedding"),
+            max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+        // 1. initial build: the base corpus becomes the stored index
+        graft.io.TxTable.upsert(s, idx,
+          assign(e.filter(col("vec_id") < 400)), "vec_id", "vec_id", "cell")
+        // 2. incremental admission: ONLY the new batch is assigned and
+        // upserted — the stored corpus is never re-read
+        graft.io.TxTable.upsert(s, idx,
+          assign(e.filter(col("vec_id") >= 400)), "vec_id", "vec_id", "cell")
+        // 3. query the STORED index: probe cells resolve against the
+        // codebook, then the manifest prunes the read to exactly the
+        // probed cells (nprobe=2 per query; the collect is probe-sized)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val byQc = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_c").desc, col("c_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("q_emb")))
+          .withColumn("prn", row_number().over(byQc))
+          .filter(col("prn") <= 2)
+          .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+          .localCheckpoint(true)
+        val cells = probes.select("cell").distinct()
+          .collect().map(r => lit(r.getLong(0))).toSeq
+        val stored = graft.io.TxTable.snapshotPartitions(s, idx, cells).get
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val out = stored.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      // the from-scratch recompute (x_ann_ivf's oracle): incremental
+      // index maintenance must be invisible in the result
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${dCos("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |cell AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |pr AS (
+         |  SELECT q.q_id, q.q_emb, c.c_id AS cell, ROW_NUMBER() OVER (
+         |    PARTITION BY q.q_id
+         |    ORDER BY ${dCos("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS prn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT q_id, q_emb, cell FROM pr WHERE prn <= 2),
+         |sc AS (
+         |  SELECT p.q_id, e.vec_id, ${dCos("p.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e
+         |  JOIN cell ce ON e.vec_id = ce.vec_id
+         |  JOIN probes p ON ce.cell = p.cell
+         |  WHERE e.vec_id != p.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
     // Embedding-cosine near-dup: candidate pairs from the signature
     // bucket self-join (the only shuffle key), exact cosine ≥ 0.9
     // verification. Scaled duplicates land in the same bucket by

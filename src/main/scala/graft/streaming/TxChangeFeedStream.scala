@@ -215,6 +215,49 @@ object TxChangeFeedStream {
     aged.size
   }
 
+  /** Re-fold an `_archive/` that has itself accumulated many files —
+    * the second-generation compaction a long-lived spool needs: each
+    * [[compactSpool]] round APPENDS one consolidated batch, so a year
+    * of monthly rounds is 12+ archive files (plus whatever a
+    * small-`targetBytes` round produced), and every [[replaySpool]]
+    * bootstrap pays the file-open count. This pass rewrites the whole
+    * archive into ceil(bytes/targetBytes) files in place.
+    *
+    * Crash-safety is [[compactSpool]]'s own discipline, one level down:
+    * consolidated files land (append) BEFORE the originals are deleted,
+    * so a crash leaves rows present twice and [[replaySpool]]'s
+    * exact-duplicate `distinct` still restores the exact feed; re-
+    * running completes the pass. The horizon does not move — content is
+    * preserved, only file identity changes — and no running stream ever
+    * reads `_archive/` (underscore-hidden), so there is no age contract
+    * here at all. No-op (returns 0) when the archive is already at or
+    * under the target file count. Returns the number of files folded. */
+  def compactArchive(
+      spark: SparkSession, spoolDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val arch = new Path(spoolDir, ArchiveDir)
+    val fs = arch.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(arch)) return 0
+    val files = fs.listStatus(arch).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val target = math.max(1L,
+      (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= target) return 0
+    // explicit file paths, not the directory: the scan's file list must
+    // not pick up the consolidated files this very pass appends
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*)
+      .coalesce(target).write.mode("append").parquet(arch.toString)
+    files.foreach { s =>
+      fs.delete(s.getPath, false): Unit
+      val crc = new Path(s.getPath.getParent, s".${s.getPath.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false): Unit
+    }
+    files.size
+  }
+
   /** The full feed as ONE batch frame: archive ∪ live, exact-duplicate
     * rows collapsed (only a crashed/re-run compaction produces them —
     * diff rows are unique per (commit, key), so `distinct` is identity

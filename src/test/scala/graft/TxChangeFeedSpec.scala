@@ -465,6 +465,51 @@ class TxChangeFeedSpec extends SparkTestBase {
       spark.read.parquet(s"$base/sink2").count() === 0L)
   }
 
+  test("compactArchive re-folds a many-file archive in place; replaySpool stays exact; horizon unmoved") {
+    import graft.streaming.TxChangeFeedStream
+    val target = freshTable()
+    val base = Files.createTempDirectory("graft_cf_arc").toString
+    val spool = s"$base/s"
+    // five per-commit spool rounds, each compacted SEPARATELY so the
+    // archive accumulates one consolidated file per round — the
+    // many-rounds shape the re-fold exists for
+    (1 to 5).foreach { i =>
+      commit(target, Seq((i.toLong, i * 1.0, i.toLong, 20240101)))
+      TxChangeFeedStream.spool(spark, target, "id", spool, fromVersion = i - 1L)
+      assert(TxChangeFeedStream.compactSpool(spark, spool, olderThanMs = 0L) === 1)
+    }
+    def archiveFiles(): Seq[java.io.File] = {
+      val fs = new java.io.File(s"$spool/_archive").listFiles()
+      if (fs == null) Seq.empty
+      else fs.toSeq.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    assert(archiveFiles().size >= 5, "each round must have appended a file")
+    val before = TxChangeFeedStream.replaySpool(spark, spool)
+      .collect().map(_.toString).toSet
+    val horizonBefore = TxChangeFeedStream.readHorizon(spark, spool)
+
+    val folded = TxChangeFeedStream.compactArchive(spark, spool)
+    assert(folded >= 5, s"expected all archive files folded, got $folded")
+    assert(archiveFiles().size === 1,
+      "tiny archive must re-fold to a single file")
+    // content and horizon are untouched — only file identity changed
+    assert(TxChangeFeedStream.replaySpool(spark, spool)
+      .collect().map(_.toString).toSet === before)
+    assert(TxChangeFeedStream.readHorizon(spark, spool) === horizonBefore)
+    // already-consolidated: the second pass is a no-op
+    assert(TxChangeFeedStream.compactArchive(spark, spool) === 0)
+    // and the pass composes with later rounds: a new commit, spool,
+    // fold, re-fold — replay still exact
+    commit(target, Seq((6L, 6.0, 6L, 20240102)))
+    TxChangeFeedStream.spool(spark, target, "id", spool, fromVersion = 5L)
+    TxChangeFeedStream.compactSpool(spark, spool, olderThanMs = 0L): Unit
+    TxChangeFeedStream.compactArchive(spark, spool): Unit
+    val after = TxChangeFeedStream.replaySpool(spark, spool)
+      .select("_commit_version").collect().map(_.getLong(0)).toSet
+    assert(after === (1L to 6L).toSet)
+  }
+
   test("vacuumSpool over an all-empty aged set keeps the horizon at zero (nothing replayable lost)") {
     import graft.streaming.TxChangeFeedStream
     val target = freshTable()

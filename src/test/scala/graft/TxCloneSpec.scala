@@ -136,6 +136,41 @@ class TxCloneSpec extends SparkTestBase {
     assert(TxTable.latestVersion(spark, dst) === v)
   }
 
+  test("clone-aware OPTIMIZE: one unscoped optimizeZOrderBy commit localizes AND clusters — no separate materialize") {
+    val s = spark; import s.implicits._
+    val src = seed("graft_clone_opt")
+    val dst = src.stripSuffix("/src") + "/dst"
+    TxTable.cloneShallow(spark, src, dst)
+    val stateBefore = state(dst)
+    val vBefore = TxTable.latestVersion(spark, dst)
+    // ONE maintenance commit: optimize stages every scoped leaf under
+    // the CLONE's data dir, so the unscoped form is materialize+optimize
+    // fused — two table rewrites collapse to one
+    TxTable.optimizeZOrderBy(spark, dst, "day", Seq("v", "id"))
+    assert(TxTable.latestVersion(spark, dst) === vBefore + 1,
+      "exactly one commit must land")
+    // rows-preserving: the diff across the commit is empty
+    assert(TxTable.diff(spark, dst, vBefore, vBefore + 1, "id").count() === 0L)
+    // every manifest entry is LOCAL now — the source dependency is cut
+    assert(TxTable.latest(spark, dst)._2.values.forall(!_.contains(src)))
+    // a follow-up materialize finds nothing foreign: publishes no version
+    TxTable.materialize(spark, dst, "day")
+    assert(TxTable.latestVersion(spark, dst) === vBefore + 1)
+    // destroying the source no longer matters; content identical
+    TxTable.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    rmrfDir(s"$src/data")
+    assert(state(dst) === stateBefore)
+  }
+
+  private def rmrfDir(dir: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(go)
+      f.delete(): Unit
+    }
+    go(new java.io.File(dir))
+  }
+
   test("refusals: occupied target, uncommitted source; clone-of-clone composes") {
     val s = spark; import s.implicits._
     val src = seed("graft_clone_ref")
