@@ -89,13 +89,34 @@ object TxCatalog {
     * surface). Statements needing no interception run exactly as
     * `spark.sql` would. */
   def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
-    sqlText match {
-      case GraftSqlParser.DescribeHistory(target) =>
-        bridge.ofRows(spark, TxDescribeHistoryCommand(target.trim))
-      case _ =>
+    GraftSqlParser.parseAdditive(sqlText) match {
+      case Some(cmd) => bridge.ofRows(spark, cmd)
+      case None =>
         val analyzed = bridge.analyze(spark, bridge.parsePlan(spark, sqlText))
         bridge.ofRows(spark, TxSqlDml.convert(Resolution(analyzed)))
     }
+
+  /** Resolve a statement target to a storage path: a single-quoted
+    * string is a literal path; anything else is a table identifier
+    * looked up in the session catalog. Run-time resolution, like every
+    * command — the parsed statement survives catalog changes between
+    * parse and execution. */
+  private[io] def resolvePath(spark: SparkSession, target: String): String =
+    if (target.startsWith("'") && target.endsWith("'") && target.length >= 2)
+      target.substring(1, target.length - 1)
+    else {
+      val ident = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseTableIdentifier(target)
+      pathOf(bridge.sessionCatalog(spark).getTableMetadata(ident))
+    }
+
+  /** Partition identity of a path-addressed table: the `_meta` record
+    * is the only authority (maintenance statements never carry one). */
+  private[io] def specOf(spark: SparkSession, path: String): PartitionSpec =
+    PartitionSpec(TxTable.partitionColumnsOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx table at $path records no partition columns in _meta — " +
+          "commit once through a write verb first")))
 
   /** The catalog record IF `ident` names a graft-tx table; None for
     * anything else (missing tables fall through to Spark's own error). */
@@ -191,33 +212,33 @@ case class TxDescribeHistoryCommand(target: String) extends LeafRunnableCommand 
     AttributeReference("kind", StringType, nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = true)(),
     AttributeReference("touched_entries", LongType, nullable = true)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val path =
-      if (target.startsWith("'") && target.endsWith("'") && target.length >= 2)
-        target.substring(1, target.length - 1)
-      else {
-        val ident = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseTableIdentifier(target)
-        TxCatalog.pathOf(bridge.sessionCatalog(spark).getTableMetadata(ident))
-      }
-    TxTable.historyFrame(spark, path).collect().toSeq
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.historyFrame(spark,
+      TxCatalog.resolvePath(spark, target)).collect().toSeq
 }
 
 /** Delegating parser (`SparkSessionExtensions.injectParser`) adding the
-  * ONE statement Spark's grammar lacks: `DESCRIBE HISTORY <target>` /
-  * `DESC HISTORY <target>` — the standard parser-extension move of the
-  * public table formats. Matched by a strict whole-statement pattern
-  * BEFORE delegating (the delegate would fail on it anyway, but
-  * pattern-first keeps error messages clean); every other method and
-  * every other statement routes to the delegate untouched. */
+  * maintenance statements Spark's grammar lacks — the standard
+  * parser-extension move of the public table formats, with a strict
+  * ADDITIVE-ONLY discipline: each statement is matched by a
+  * whole-statement pattern the stock grammar cannot parse at all, so
+  * the wrapper can never change the meaning of a statement Spark
+  * already accepts; everything unmatched routes to the delegate
+  * byte-identically. The added statements:
+  *
+  * {{{
+  *   DESCRIBE HISTORY <table | '/path'>
+  *   OPTIMIZE <t> [WHERE <partition pred>]                  -- bin-pack small files
+  *   OPTIMIZE <t> [WHERE <partition pred>] ZORDER BY (c, …) -- cluster rewrite
+  *   VACUUM <t> [RETAIN <n> VERSIONS]                       -- retention reclaim
+  *   RESTORE TABLE <t> TO VERSION AS OF <n>                 -- durable rollback
+  * }}}
+  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case GraftSqlParser.DescribeHistory(target) =>
-      TxDescribeHistoryCommand(target.trim)
-    case _ => delegate.parsePlan(sqlText)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseAdditive(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
@@ -230,7 +251,91 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  /** The one added statement, as a strict whole-statement pattern. */
+  /** The added statements, as strict whole-statement patterns. */
   private[io] val DescribeHistory =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+  private[io] val OptimizeZOrder =
+    """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*\z""".r
+  private[io] val Optimize =
+    """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*\z""".r
+  private[io] val Vacuum =
+    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
+  private[io] val RestoreTable =
+    """(?is)\A\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
+
+  /** Parse one of the added statements; None = not ours, delegate.
+    * ZORDER is matched before the bare form (its pattern is a superset
+    * of OPTIMIZE's). */
+  def parseAdditive(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case DescribeHistory(target) =>
+      Some(TxDescribeHistoryCommand(target.trim))
+    case OptimizeZOrder(target, pred, cols) =>
+      Some(TxOptimizeCommand(target.trim, Option(pred).map(_.trim),
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    case Optimize(target, pred) =>
+      Some(TxOptimizeCommand(target.trim, Option(pred).map(_.trim), Seq.empty))
+    case Vacuum(target, retain) =>
+      Some(TxVacuumCommand(target.trim,
+        Option(retain).map(_.toInt).getOrElse(1)))
+    case RestoreTable(target, version) =>
+      Some(TxRestoreCommand(target.trim, version.toLong))
+    case _ => None
+  }
+}
+
+/** `OPTIMIZE <t> [WHERE …] [ZORDER BY (…)]`: the bare form bin-packs
+  * small files ([[TxTable.compactFiles]] at its default leaf budget),
+  * the ZORDER form is the clustering rewrite
+  * ([[TxTable.optimizeZOrderBy]], 1–4 columns). WHERE bounds the
+  * rewrite set at the MANIFEST — the predicate may reference only
+  * partition columns (anything else fails resolution against the
+  * manifest-values frame, loudly), which is what makes OPTIMIZE
+  * operable at scale: scoped runs bound both transient storage and
+  * writer starvation. Returns the table's tip version after the run
+  * (unchanged when the pass was a no-op). */
+case class TxOptimizeCommand(
+    target: String, where: Option[String],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = TxCatalog.resolvePath(spark, target)
+    val spec = TxCatalog.specOf(spark, path)
+    val pred = where.map(w => bridge.column(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(w)))
+    if (zorderBy.nonEmpty)
+      TxTable.optimizeZOrderBy(spark, path, spec, zorderBy, where = pred)
+    else
+      TxTable.compactFiles(spark, path, spec, where = pred)
+    Seq(Row(TxTable.latestVersion(spark, path)))
+  }
+}
+
+/** `VACUUM <t> [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. The default
+  * (retain 1) is the verb's maintenance-window behavior: everything
+  * but the latest version is reclaimed and time travel is destroyed —
+  * state an explicit RETAIN to keep a travel window. */
+case class TxVacuumCommand(target: String, retain: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retain >= 1, s"VACUUM must retain at least 1 version, got $retain")
+    TxTable.vacuum(spark, TxCatalog.resolvePath(spark, target),
+      retainVersions = retain)
+    Seq.empty
+  }
+}
+
+/** `RESTORE TABLE <t> TO VERSION AS OF <n>` → [[TxTable.restore]]: a
+  * NEW commit whose state is exactly version n's — time travel made
+  * durable, history stays append-only, the change feed replays the
+  * reverted rows like any commit. Returns the new tip version. */
+case class TxRestoreCommand(target: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = TxCatalog.resolvePath(spark, target)
+    TxTable.restore(spark, path, version)
+    Seq(Row(TxTable.latestVersion(spark, path)))
+  }
 }

@@ -979,6 +979,61 @@ object Maintenance {
         |FROM m GROUP BY event_type
         |ORDER BY event_type""".stripMargin),
 
+    // SQL maintenance statements (io/TxCatalog + GraftSqlParser): the
+    // operational verbs driven purely as SQL text — RESTORE TABLE
+    // reverts a bad batch as a NEW commit (history append-only, feed
+    // replays it), OPTIMIZE … ZORDER BY re-clusters rows-preserving,
+    // VACUUM RETAIN 1 VERSIONS reclaims the travel window — and the
+    // final state still reads exactly. The oracle restates the surviving
+    // algebra: bootstrap ∪ post-restore batch, the reverted batch
+    // invisible. All statements Spark's grammar lacks (additive parser,
+    // the DESCRIBE HISTORY discipline).
+    "x_tx_sql_maintenance" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txmaint").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") < "2024-01-21").withColumn("seq", lit(1L)),
+          "event_id", "seq", "day")
+        // a bad batch lands (values ×100) — the incident RESTORE reverts
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-10").withColumn("value", col("value") * 100)
+            .withColumn("seq", lit(2L)),
+          "event_id", "seq", "day")
+        graft.io.TxCatalog.sql(s, s"RESTORE TABLE '$tbl' TO VERSION AS OF 1")
+        // recovery continues on top of the restored state
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-21").withColumn("seq", lit(3L)),
+          "event_id", "seq", "day")
+        val vOpt = graft.io.TxCatalog
+          .sql(s, s"OPTIMIZE '$tbl' ZORDER BY (event_id, value)")
+          .head().getLong(0)
+        require(vOpt >= 4L, s"OPTIMIZE must report the tip version, got $vOpt")
+        graft.io.TxCatalog.sql(s, s"VACUUM '$tbl' RETAIN 1 VERSIONS")
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |final AS (
+        |  SELECT event_type, value FROM ev WHERE day < '2024-01-21'
+        |  UNION ALL
+        |  SELECT event_type, value FROM ev WHERE day >= '2024-01-21')
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM final GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
     // The CATALOG lifecycle end-to-end (io/TxCatalog): a graft-tx table
     // created through `saveAsTable`, written through SQL `INSERT INTO`
     // (keyed latest-wins upsert, versioned by an explicit seq), widened

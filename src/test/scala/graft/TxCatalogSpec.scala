@@ -156,6 +156,46 @@ class TxCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("SQL maintenance statements: OPTIMIZE / VACUUM / RESTORE on catalog tables and quoted paths") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_maint")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 99.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")                          // the bad batch
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        // RESTORE by table name reverts the bad batch as a NEW commit
+        val v = s2.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 1")
+          .head().getLong(0)
+        assert(v === 3L)
+        assert(s2.sql(s"SELECT price FROM $tbl WHERE id = 1").head().getDouble(0) === 10.0)
+        // OPTIMIZE ZORDER is rows-preserving and reports the tip
+        val vOpt = s2.sql(s"OPTIMIZE $tbl ZORDER BY (id, price)").head().getLong(0)
+        assert(vOpt === 4L)
+        assert(TxTable.diff(s2, dir, 3L, 4L, "id").count() === 0L)
+        // bare OPTIMIZE (bin-packing) parses and runs; WHERE scopes at
+        // the manifest — a no-op pass publishes no version
+        val vPack = s2.sql(s"OPTIMIZE $tbl WHERE date_id = 20240101")
+          .head().getLong(0)
+        assert(vPack === 4L, "single-file leaves must not rewrite")
+        // VACUUM by quoted path reclaims the travel window; state exact
+        s2.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS").collect()
+        assert(TxTable.snapshotAt(s2, dir, 1L).isEmpty, "v1 must be reclaimed")
+        assert(s2.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) === 2L)
+        // refusals: RETAIN 0, and a target that is not a table
+        intercept[Exception](s2.sql(s"VACUUM '$dir' RETAIN 0 VERSIONS").collect())
+        // the additive parser never swallows stock statements
+        assert(s2.sql("SELECT 'optimize' AS x").head().getString(0) === "optimize")
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("saveAsTable bootstraps a graft-tx table; modes behave honestly on an existing one") {
     val s = spark; import s.implicits._
     val dir = freshDir()
