@@ -163,6 +163,15 @@ case class TxAddColumnsCommand(
     ident: TableIdentifier, path: String,
     cols: Seq[StructField]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // a DEFAULT clause rides in as StructField metadata; the storage
+    // commit writes typed NULLs, so accepting it would silently drop
+    // the default — refuse until defaults have an honest storage story
+    val defaulted = cols.filter(f =>
+      f.metadata.contains("CURRENT_DEFAULT") || f.metadata.contains("EXISTS_DEFAULT"))
+    require(defaulted.isEmpty,
+      "graft-tx ALTER TABLE ADD COLUMNS does not support DEFAULT values " +
+        s"(${defaulted.map(_.name).mkString(", ")}) — existing rows read " +
+        "the new column as NULL; backfill with UPDATE … SET instead")
     val catalog = bridge.sessionCatalog(spark)
     val ct = catalog.getTableMetadata(ident)
     TxTable.addColumns(spark, path, TxCatalog.partSpecOf(spark, ct), cols)
@@ -217,6 +226,51 @@ case class TxDescribeHistoryCommand(target: String) extends LeafRunnableCommand 
       TxCatalog.resolvePath(spark, target)).collect().toSeq
 }
 
+/** `DESCRIBE DETAIL <table-or-'/path'>` — the one-row operational
+  * summary the public table formats pair with DESCRIBE HISTORY:
+  * format, location, tip version, identity (partition columns / merge
+  * key / version column from `_meta`), live partition count, and the
+  * live data footprint (files and bytes — one listing per live leaf,
+  * O(partitions), never a data read). */
+case class TxDescribeDetailCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("partition_columns",
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      nullable = true)(),
+    AttributeReference("merge_key", StringType, nullable = true)(),
+    AttributeReference("version_column", StringType, nullable = true)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = TxCatalog.resolvePath(spark, target)
+    val (tip, leaves) = TxTable.latest(spark, path)
+    require(tip >= 1,
+      s"DESCRIBE DETAIL: $path holds no committed graft-tx table")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var files = 0L
+    var bytes = 0L
+    leaves.values.foreach { leaf =>
+      val p = new org.apache.hadoop.fs.Path(
+        if (leaf.startsWith("/") || leaf.contains(":/")) leaf else s"$path/$leaf")
+      try {
+        val cs = fs.getContentSummary(p)
+        files += cs.getFileCount
+        bytes += cs.getLength
+      } catch { case _: java.io.IOException => () }
+    }
+    Seq(Row("graft-tx", path, tip,
+      TxTable.partitionColumnsOf(spark, path).orNull,
+      TxTable.mergeKeyOf(spark, path).orNull,
+      TxTable.versionColumnOf(spark, path).orNull,
+      leaves.size.toLong, files, bytes))
+  }
+}
+
 /** Delegating parser (`SparkSessionExtensions.injectParser`) adding the
   * maintenance statements Spark's grammar lacks — the standard
   * parser-extension move of the public table formats, with a strict
@@ -228,11 +282,18 @@ case class TxDescribeHistoryCommand(target: String) extends LeafRunnableCommand 
   *
   * {{{
   *   DESCRIBE HISTORY <table | '/path'>
+  *   DESCRIBE DETAIL <table | '/path'>
   *   OPTIMIZE <t> [WHERE <partition pred>]                  -- bin-pack small files
   *   OPTIMIZE <t> [WHERE <partition pred>] ZORDER BY (c, …) -- cluster rewrite
   *   VACUUM <t> [RETAIN <n> VERSIONS]                       -- retention reclaim
   *   RESTORE TABLE <t> TO VERSION AS OF <n>                 -- durable rollback
   * }}}
+  *
+  * One narrow caveat to "cannot parse at all": stock `DESCRIBE x y`
+  * grammar could technically read `DESCRIBE HISTORY t` / `DESCRIBE
+  * DETAIL t` as describe-column-`t`-of-table-`HISTORY`/`DETAIL` — the
+  * same collision every public format's parser extension accepts, and
+  * only a table literally named history/detail could observe it.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -254,6 +315,8 @@ object GraftSqlParser {
   /** The added statements, as strict whole-statement patterns. */
   private[io] val DescribeHistory =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+  private[io] val DescribeDetail =
+    """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
   private[io] val OptimizeZOrder =
     """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*\z""".r
   private[io] val Optimize =
@@ -269,6 +332,8 @@ object GraftSqlParser {
   def parseAdditive(sqlText: String): Option[LogicalPlan] = sqlText match {
     case DescribeHistory(target) =>
       Some(TxDescribeHistoryCommand(target.trim))
+    case DescribeDetail(target) =>
+      Some(TxDescribeDetailCommand(target.trim))
     case OptimizeZOrder(target, pred, cols) =>
       Some(TxOptimizeCommand(target.trim, Option(pred).map(_.trim),
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))

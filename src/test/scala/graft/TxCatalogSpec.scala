@@ -156,6 +156,38 @@ class TxCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("DESCRIBE DETAIL is the one-row operational summary; a non-tx target refuses") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_detail")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 1.0, 1L, 20240101), (2L, 2.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        val row = s2.sql(s"DESCRIBE DETAIL $tbl").head()
+        assert(row.getString(0) === "graft-tx")
+        // the catalog normalizes the location to a scheme-qualified URI
+        assert(row.getString(1).stripPrefix("file:") === dir)
+        assert(row.getLong(2) === 1L)                          // tip
+        assert(row.getSeq[String](3) === Seq("date_id"))
+        assert(row.getString(4) === "id")                      // merge key
+        assert(row.getString(5) === "etl_seq")                 // version col
+        assert(row.getLong(6) === 2L)                          // partitions
+        assert(row.getLong(7) >= 2L)                           // files
+        assert(row.getLong(8) > 0L)                            // bytes
+        // quoted-path form agrees
+        assert(TxCatalog.sql(spark, s"DESCRIBE DETAIL '$dir'").head().getLong(6) === 2L)
+        // a path holding no committed table refuses, never fabricates
+        intercept[Exception] {
+          TxCatalog.sql(spark, s"DESCRIBE DETAIL '${dir}_nope'").collect()
+        }
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("SQL maintenance statements: OPTIMIZE / VACUUM / RESTORE on catalog tables and quoted paths") {
     val s = spark; import s.implicits._
     val dir = freshDir()
