@@ -770,6 +770,47 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // IVF codebook DRIFT detector — the maintenance readout that
+    // decides when the stored index (x_ann_ivf_incremental) needs its
+    // quantizer retrained: as the corpus drifts away from the codebook,
+    // assignments pile into few cells and probe cost degrades toward a
+    // scan. One cell-grain rollup over the stored assignments (never
+    // the vectors) → occupancy stats + the imbalance ratio
+    // (max cell / mean cell) an operator thresholds on. Exact decimal
+    // mean so the double compares bit-for-bit.
+    "x_ann_ivf_drift" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("embedding")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+        val perCell = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+        perCell.agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vectors"),
+          max(col("n")).as("max_cell"),
+          min(col("n")).as("min_cell"))
+          .withColumn("imbalance",
+            (col("max_cell") * col("n_cells")).cast("decimal(28,9)")
+              .cast("double") / col("n_vectors"))
+      },
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${dCos("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |pc AS (SELECT c_id AS cell, COUNT(*) AS n FROM asg WHERE rn = 1 GROUP BY 1)
+         |SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  MAX(n) AS max_cell, MIN(n) AS min_cell,
+         |  CAST(CAST(MAX(n) * COUNT(*) AS DECIMAL(28,9)) AS DOUBLE) / SUM(n)
+         |    AS imbalance
+         |FROM pc""".stripMargin),
+
     // Embedding-cosine near-dup: candidate pairs from the signature
     // bucket self-join (the only shuffle key), exact cosine ≥ 0.9
     // verification. Scaled duplicates land in the same bucket by

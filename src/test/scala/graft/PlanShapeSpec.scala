@@ -54,6 +54,9 @@ class PlanShapeSpec extends SparkTestBase {
     // a constant-size side; everything else must plan hash/sort-merge
     // joins.
     val allPairs = Set("x_ann_brute", "x_ann_ivf", "x_bm25",
+      // r13: the drift readout scores corpus × (broadcast) codebook,
+      // same deliberate all-pairs as x_ann_ivf
+      "x_ann_ivf_drift",
       // hybrid fusion: BM25-stats + 1-row query-vector broadcasts, and
       // the bounded k×k better-than rank join on the top-k frames
       "x_hybrid_retrieval",
