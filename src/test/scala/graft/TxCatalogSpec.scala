@@ -228,6 +228,40 @@ class TxCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("readStream.table on a graft-tx catalog table refuses; the path-form stream is the supported spelling") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_stream")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        // the V1 relation has no streaming face for table-name reads —
+        // the engine must refuse loudly, not fall back to a batch scan
+        // (probe evidence for the PLANS adjudication: streaming a
+        // catalog table by NAME needs the V2 seam; the supported
+        // spelling is readStream.format("graft-tx").load(path))
+        intercept[Exception] {
+          s2.readStream.table(tbl)
+            .writeStream.format("memory").queryName(s"${tbl}_q")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        // and the path form over the SAME table streams fine
+        val q = s2.readStream.format("graft-tx").option("key", "id").load(dir)
+          .writeStream.format("memory").queryName(s"${tbl}_ok")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        assert(s2.table(s"${tbl}_ok").count() === 1L)
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("saveAsTable bootstraps a graft-tx table; modes behave honestly on an existing one") {
     val s = spark; import s.implicits._
     val dir = freshDir()
