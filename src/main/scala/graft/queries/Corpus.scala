@@ -724,7 +724,37 @@ object Corpus {
          |      FROM k)
          |SELECT doc_id, lang, CAST(pos0 % 8 AS INT) AS shard,
          |       pos0 // 8 AS pos_in_shard
-         |FROM p ORDER BY shard, pos_in_shard""".stripMargin)
+         |FROM p ORDER BY shard, pos_in_shard""".stripMargin),
+
+    // Exact heavy hitters over an open key domain (token bigrams) —
+    // Misra-Gries candidate sweep + candidate-filtered exact recount
+    // (ops/HeavyHitters): both exchanges carry ≤m rows per partition
+    // regardless of how many distinct bigrams exist, where the naive
+    // GROUP BY would shuffle the whole distinct-bigram grain. The
+    // final cnt·(m+1) > N filter keeps exactly the keys the MG bound
+    // proves un-missable, so the result is an exact function of the
+    // input multiset — restated by the oracle as the plain
+    // GROUP BY / HAVING it replaces at scale.
+    "x_heavy_hitters" -> Q(
+      (s, dir) => {
+        val bi = Tables.documents(s, dir)
+          .withColumn("t", split(col("text"), " "))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(t) - 1),
+              |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))""".stripMargin))
+            .as("pair"))
+        graft.ops.HeavyHitters.exact(bi, "pair", m = 1024)
+          .orderBy(col("cnt").desc, col("pair"))
+      },
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT t[i] || ' ' || t[i + 1] AS pair
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d
+        |             WHERE len(t) >= 2)),
+        |tot AS (SELECT COUNT(*) AS n FROM bi)
+        |SELECT pair, COUNT(*) AS cnt FROM bi GROUP BY 1
+        |HAVING COUNT(*) * 1025 > (SELECT n FROM tot)
+        |ORDER BY cnt DESC, pair""".stripMargin)
   )
 
 }

@@ -83,6 +83,13 @@ object Text {
 
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
 
+  /** x_nb_classify's fixed-order per-document fold of the per-token
+    * class log-probs — the lmScores double-sum discipline: doubles only
+    * ever add left-to-right along the token sequence. */
+  private def sumInOrder(l: String): String =
+    s"""aggregate(transform(sort_array(collect_list(struct(pos, lp_$l))),
+       |  x -> x.lp_$l), 0D, (a, x) -> a + x)""".stripMargin
+
   /** Quality-feature fragments shared by x_text_stats and x_curation —
     * one definition per engine so the two queries and their oracles
     * cannot drift. `t` is the token-array column; the score references
@@ -406,6 +413,112 @@ object Text {
            |SELECT lang, predicted_lang, COUNT(*) AS n
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
+
+    // Model-BASED classification: a multinomial Naive Bayes language
+    // classifier trained and scored in one plan — the distributed form
+    // of the fastText-style model filters (CCNet, Wenzek et al.
+    // LREC'20) a curation pipeline runs after the x_lang_id-style
+    // heuristics. Training IS aggregation (per-(term, class) counts +
+    // one corpus-statistics row), which is why NB is the
+    // lake-scale-native classifier: no gradient iterations, one
+    // vocabulary-keyed exchange. Scoring joins the held-out fifth's
+    // tokens (doc_id % 5 = 0) against the vocabulary-sized,
+    // broadcast-able model, then per-document log-likelihoods fold in
+    // fixed token order (the lmScores discipline: doubles only ever
+    // sum left-to-right in a deterministic sequence, one final round),
+    // argmax with the CASE tie-break both engines share. Laplace
+    // add-one smoothing over the train vocabulary V:
+    // p(w|c) = (count(w,c) + 1) / (tokens(c) + V).
+    "x_nb_classify" -> Q(
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        val train = d.filter(col("doc_id") % 5 =!= 0)
+        val tok = train.select(col("lang"), explode(col("t")).as("w"))
+        val perLang = (p: String) =>
+          langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"${p}_$l"))
+        val model = tok.groupBy(col("w")).agg(perLang("c").head, perLang("c").tail: _*)
+        val stats = tok.agg(perLang("t").head,
+          (perLang("t").tail :+ countDistinct(col("w")).as("v")): _*)
+        val priors = train.agg(perLang("p").head,
+          (perLang("p").tail :+ count(lit(1)).as("n_train")): _*)
+        val tokTest = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang"), posexplode(col("t")))
+          .withColumnRenamed("col", "w")
+        val lp = langs.foldLeft(
+          tokTest.join(broadcast(model), Seq("w"), "left")
+            .crossJoin(broadcast(stats))) { (df, l) =>
+          df.withColumn(s"lp_$l",
+            expr(s"ln((coalesce(c_$l, 0L) + 1.0) / (t_$l + v))"))
+        }
+        val scored = lp.groupBy(col("doc_id"), col("lang"))
+          .agg(
+            expr(sumInOrder("de")).as("sum_de"),
+            langs.tail.map(l => expr(sumInOrder(l)).as(s"sum_$l")): _*)
+          .crossJoin(broadcast(priors))
+        val s5 = langs.foldLeft(scored) { (df, l) =>
+          df.withColumn(s"s_$l",
+            expr(s"round(ln(p_$l * 1.0 / n_train) + sum_$l, 6)"))
+        }
+        s5.withColumn("g", greatest(langs.map(l => col(s"s_$l")): _*))
+          .withColumn("predicted_lang",
+            expr("""CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+                   |     WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr'
+                   |     ELSE 'zh' END""".stripMargin))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      },
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |train AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |tok AS (SELECT lang, unnest(t) AS w FROM train),
+        |cw AS (SELECT w,
+        |         COUNT(*) FILTER (lang = 'de') AS c_de,
+        |         COUNT(*) FILTER (lang = 'en') AS c_en,
+        |         COUNT(*) FILTER (lang = 'es') AS c_es,
+        |         COUNT(*) FILTER (lang = 'fr') AS c_fr,
+        |         COUNT(*) FILTER (lang = 'zh') AS c_zh
+        |       FROM tok GROUP BY w),
+        |st AS (SELECT COUNT(*) FILTER (lang = 'de') AS t_de,
+        |              COUNT(*) FILTER (lang = 'en') AS t_en,
+        |              COUNT(*) FILTER (lang = 'es') AS t_es,
+        |              COUNT(*) FILTER (lang = 'fr') AS t_fr,
+        |              COUNT(*) FILTER (lang = 'zh') AS t_zh,
+        |              COUNT(DISTINCT w) AS v FROM tok),
+        |pr AS (SELECT COUNT(*) FILTER (lang = 'de') AS p_de,
+        |              COUNT(*) FILTER (lang = 'en') AS p_en,
+        |              COUNT(*) FILTER (lang = 'es') AS p_es,
+        |              COUNT(*) FILTER (lang = 'fr') AS p_fr,
+        |              COUNT(*) FILTER (lang = 'zh') AS p_zh,
+        |              COUNT(*) AS n_train FROM train),
+        |tt AS (SELECT doc_id, lang, CAST(i AS INT) AS pos, t[i] AS w
+        |       FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
+        |             FROM d WHERE doc_id % 5 = 0)),
+        |lps AS (SELECT tt.doc_id, tt.lang, tt.pos,
+        |          ln((coalesce(c_de, 0) + 1.0) / (t_de + v)) AS lp_de,
+        |          ln((coalesce(c_en, 0) + 1.0) / (t_en + v)) AS lp_en,
+        |          ln((coalesce(c_es, 0) + 1.0) / (t_es + v)) AS lp_es,
+        |          ln((coalesce(c_fr, 0) + 1.0) / (t_fr + v)) AS lp_fr,
+        |          ln((coalesce(c_zh, 0) + 1.0) / (t_zh + v)) AS lp_zh
+        |        FROM tt LEFT JOIN cw USING (w), st),
+        |sc AS (SELECT doc_id, lang,
+        |         round(ln(p_de * 1.0 / n_train) + list_reduce([CAST(0 AS DOUBLE)] || list(lp_de ORDER BY pos), (a, x) -> a + x), 6) AS s_de,
+        |         round(ln(p_en * 1.0 / n_train) + list_reduce([CAST(0 AS DOUBLE)] || list(lp_en ORDER BY pos), (a, x) -> a + x), 6) AS s_en,
+        |         round(ln(p_es * 1.0 / n_train) + list_reduce([CAST(0 AS DOUBLE)] || list(lp_es ORDER BY pos), (a, x) -> a + x), 6) AS s_es,
+        |         round(ln(p_fr * 1.0 / n_train) + list_reduce([CAST(0 AS DOUBLE)] || list(lp_fr ORDER BY pos), (a, x) -> a + x), 6) AS s_fr,
+        |         round(ln(p_zh * 1.0 / n_train) + list_reduce([CAST(0 AS DOUBLE)] || list(lp_zh ORDER BY pos), (a, x) -> a + x), 6) AS s_zh
+        |       FROM lps, pr
+        |       GROUP BY doc_id, lang, p_de, p_en, p_es, p_fr, p_zh, n_train),
+        |p AS (SELECT lang,
+        |        CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |             ELSE 'zh' END AS predicted_lang
+        |      FROM sc)
+        |SELECT lang, predicted_lang, COUNT(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Document fingerprinting: whole-text md5, minimum shingle hash
     // (1-permutation MinHash), and a token-level polynomial rolling hash

@@ -75,7 +75,12 @@ class PlanShapeSpec extends SparkTestBase {
       "x_label_confusion_exact", "w10_lorenz",
       // r8: RFM quintiles join the 1-row user-count frame into each
       // user-grain rank frame
-      "a31_rfm")
+      "a31_rfm",
+      // r13: NB scoring crosses the token frame with the ONE-ROW
+      // corpus-statistics frame and the per-doc score frame with the
+      // ONE-ROW priors frame — both constant-size broadcasts (the
+      // vocabulary-sized model itself rides a BroadcastHashJoin)
+      "x_nb_classify")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
