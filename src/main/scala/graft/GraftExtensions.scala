@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark has no grammar for it (graft.io.GraftSqlParser delegates
     // every other statement byte-identically)
     extensions.injectResolutionRule(_ => graft.io.TxCatalog.Resolution)
+    // ANSI CHECK-constraint statements over graft-tx tables: the
+    // builtin analyzer refuses them for V1 tables inside the MAIN
+    // resolution batch, before injected resolution rules run, so the
+    // interception rides the hint batch (runs first) and resolves the
+    // target through the session catalog itself (graft.io.TxConstraints)
+    extensions.injectHintResolutionRule(_ => graft.io.TxConstraints.Interception)
     extensions.injectParser((_, delegate) => new graft.io.GraftSqlParser(delegate))
   }
 }

@@ -92,8 +92,16 @@ object TxCatalog {
     GraftSqlParser.parseAdditive(sqlText) match {
       case Some(cmd) => bridge.ofRows(spark, cmd)
       case None =>
-        val analyzed = bridge.analyze(spark, bridge.parsePlan(spark, sqlText))
-        bridge.ofRows(spark, TxSqlDml.convert(Resolution(analyzed)))
+        val parsed = bridge.parsePlan(spark, sqlText)
+        // ANSI constraint statements divert on the PARSED plan — the
+        // builtin analyzer refuses them for V1 tables before any
+        // injected resolution rule runs (TxConstraints' scaladoc)
+        val pre = TxConstraints.Interception(parsed)
+        if (pre ne parsed) bridge.ofRows(spark, pre)
+        else {
+          val analyzed = bridge.analyze(spark, parsed)
+          bridge.ofRows(spark, TxSqlDml.convert(Resolution(analyzed)))
+        }
     }
 
   /** Resolve a statement target to a storage path: a single-quoted
@@ -120,7 +128,7 @@ object TxCatalog {
 
   /** The catalog record IF `ident` names a graft-tx table; None for
     * anything else (missing tables fall through to Spark's own error). */
-  private def txTable(ident: TableIdentifier): Option[CatalogTable] = {
+  private[io] def txTable(ident: TableIdentifier): Option[CatalogTable] = {
     val spark = SparkSession.active
     try {
       val ct = bridge.sessionCatalog(spark).getTableMetadata(ident)
@@ -287,6 +295,7 @@ case class TxDescribeDetailCommand(target: String) extends LeafRunnableCommand {
   *   OPTIMIZE <t> [WHERE <partition pred>] ZORDER BY (c, …) -- cluster rewrite
   *   VACUUM <t> [RETAIN <n> VERSIONS]                       -- retention reclaim
   *   RESTORE TABLE <t> TO VERSION AS OF <n>                 -- durable rollback
+  *   SHOW CONSTRAINTS <t>                                   -- CHECK-constraint readout
   * }}}
   *
   * One narrow caveat to "cannot parse at all": stock `DESCRIBE x y`
@@ -325,6 +334,8 @@ object GraftSqlParser {
     """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
   private[io] val RestoreTable =
     """(?is)\A\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
+  private[io] val ShowConstraints =
+    """(?is)\A\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*\z""".r
 
   /** Parse one of the added statements; None = not ours, delegate.
     * ZORDER is matched before the bare form (its pattern is a superset
@@ -344,6 +355,8 @@ object GraftSqlParser {
         Option(retain).map(_.toInt).getOrElse(1)))
     case RestoreTable(target, version) =>
       Some(TxRestoreCommand(target.trim, version.toLong))
+    case ShowConstraints(target) =>
+      Some(TxShowConstraintsCommand(target.trim))
     case _ => None
   }
 }

@@ -124,7 +124,7 @@ object PartitionSpec {
   */
 object TxTable {
 
-  private val LogDir = "_graft_log"
+  private[io] val LogDir = "_graft_log"
   private val DataDir = "data"
   private val PKey = "__p" // internal partition-key column, dropped by partitionBy
   private val Header = "#" // manifest body header marker (first tab field)
@@ -156,7 +156,7 @@ object TxTable {
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.get("spark.graft.tx.checkpointInterval", "10").toInt
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[io] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** One manifest entry: the data leaf holding the partition's current
@@ -170,12 +170,12 @@ object TxTable {
     * by predicate pruning. */
   private case class Entry(leaf: String, vhex: Option[String])
 
-  private def vhexOf(engineString: String): String =
+  private[io] def vhexOf(engineString: String): String =
     if (engineString == null) "N"
     else "V" + engineString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map("%02x".format(_)).mkString
 
-  private def vdecode(f: String): String =
+  private[io] def vdecode(f: String): String =
     if (f == "N") null
     else new String(f.drop(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       java.nio.charset.StandardCharsets.UTF_8)
@@ -719,6 +719,10 @@ object TxTable {
     val touched = touchedOf(batch, partitionCol)
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return
+    // constraint gate on the upserting changes only — D-rows carry no
+    // new values (Merge.applyCdc's null-op-is-upsert convention)
+    TxConstraints.enforce(spark, targetDir,
+      batch.filter(col(opCol).isNull || col(opCol) =!= "D"), "applyCdc")
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -896,11 +900,17 @@ object TxTable {
       // ONE select = SQL UPDATE's simultaneous-assignment semantics:
       // every right-hand side evaluates against the OLD row, never a
       // previous assignment's output
-      rows.select(rows.columns.toIndexedSeq.map { c =>
+      val out = rows.select(rows.columns.toIndexedSeq.map { c =>
         assigned.get(c)
           .map(value => when(p, value).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
+      // constraint gate on the rows the assignments actually touch —
+      // untouched rows ride through by identity and were validated
+      // when each constraint was added
+      TxConstraints.enforce(rows.sparkSession, targetDir,
+        out.filter(p), "updateWhere")
+      out
     }
   }
 
@@ -1053,6 +1063,10 @@ object TxTable {
           padded.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
         padded.select((named :+ PKey).map(col): _*)
       }
+      // constraint gate on the merge OUTPUT (update/insert clause values
+      // are computed here, not in the source) — per attempt, since a
+      // lost race re-merges against the winner's snapshot
+      TxConstraints.enforce(spark, targetDir, merged, "merge")
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
       writeLaidOut(merged, layout, s"$targetDir/$stageRel")
@@ -1285,6 +1299,9 @@ object TxTable {
       s"cloneShallow target $targetDir already holds a committed TxTable")
     readMetaAll(srcFs, sourceDir).foreach(m =>
       ensureSpec(fs, targetDir, PartitionSpec(m.partCols), m.key, m.version))
+    // the clone inherits the source's CHECK constraints: a branch of
+    // the data is a branch of its quality contract
+    TxConstraints.cloneInto(spark, sourceDir, targetDir)
     require(store.tryCommit(log, 1L, render("checkpoint", absolute)),
       s"cloneShallow lost a creation race on $targetDir")
   }
@@ -1354,6 +1371,10 @@ object TxTable {
     val touched = touchedOf(batch, partitionCol)
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return // empty batch: a no-op, not a failure
+    // CHECK-constraint gate on the incoming rows (existing rows were
+    // validated when each constraint was added): one O(batch) pass,
+    // skipped entirely on constraint-less tables
+    TxConstraints.enforce(spark, targetDir, batch, op)
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -1791,6 +1812,7 @@ object TxTable {
       // the table's immutable partition-spec record.
       if (st.getPath.getName != CommitStore.TipHint &&
           st.getPath.getName != CommitStore.MetaFile &&
+          st.getPath.getName != TxConstraints.constraintsDirName &&
           !liveBodies.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         fs.delete(st.getPath, false): Unit

@@ -1130,5 +1130,91 @@ object Maintenance {
         |  (SELECT n_parts FROM counts) AS n_parts,
         |  (SELECT n_commits FROM counts) AS n_commits
         |FROM final GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // CHECK constraints end-to-end (io/TxConstraints): ADD CONSTRAINT
+    // validates the snapshot and arms the write-side gate; a violating
+    // upsert and a violating SQL UPDATE both refuse their WHOLE commit
+    // (nothing half-lands — the requires in the query body pin the
+    // refusals); passing writes flow through the armed gate; DROP
+    // CONSTRAINT lifts it and the late correction batch (a negative
+    // sentinel the gate would have stopped) lands. The oracle restates
+    // only the surviving algebra — bootstrap, doubled tail, click
+    // increment, sentinel overwrite — because the refused attempts,
+    // by the constraint contract, must leave zero trace.
+    "x_tx_constraints" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_txcons").toString
+        val tbl = s"$base/fact"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") < "2024-01-21").withColumn("seq", lit(1L)),
+          "event_id", "seq", "day")
+        graft.io.TxConstraints.add(s, tbl, "value_sane", "value >= 0")
+        // violating batch: refused whole, zero rows land
+        val refusedUpsert =
+          try {
+            graft.io.TxTable.upsert(s, tbl,
+              ev.filter(col("day") >= "2024-01-21")
+                .withColumn("value", -col("value") - lit(1.0))
+                .withColumn("seq", lit(2L)),
+              "event_id", "seq", "day")
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("value_sane") }
+        require(refusedUpsert, "violating upsert must refuse on value_sane")
+        // passing batch flows through the armed gate
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-21")
+            .withColumn("value", col("value") * 2).withColumn("seq", lit(2L)),
+          "event_id", "seq", "day")
+        val v = s"txcons_v_${jdbcSeq.incrementAndGet()}"
+        s.sql(s"CREATE TEMPORARY VIEW $v USING `graft-tx` OPTIONS (path '$tbl')")
+        // gated SQL UPDATE: a passing assignment lands…
+        graft.io.TxSqlDml.sql(s,
+          s"UPDATE $v SET value = value + 1 WHERE event_type = 'click'")
+        // …a violating one refuses and changes nothing
+        val refusedUpdate =
+          try {
+            graft.io.TxSqlDml.sql(s,
+              s"UPDATE $v SET value = -1.0 WHERE event_type = 'view'")
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("value_sane") }
+        require(refusedUpdate, "violating UPDATE must refuse on value_sane")
+        // DROP lifts the gate: the sentinel correction now lands
+        graft.io.TxConstraints.drop(s, tbl, "value_sane")
+        graft.io.TxTable.upsert(s, tbl,
+          ev.filter(col("day") >= "2024-01-28" && col("event_type") === "view")
+            .withColumn("value", lit(-5.0)).withColumn("seq", lit(3L)),
+          "event_id", "seq", "day")
+        val out = graft.io.TxTable.snapshot(s, tbl).get
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+        s.catalog.dropTempView(v): Unit
+        rmrf(base)
+        out
+      },
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |u AS (SELECT event_id, event_type, day,
+        |        CASE WHEN day < '2024-01-21' THEN value ELSE value * 2 END AS v0
+        |      FROM ev),
+        |c AS (SELECT event_id, event_type, day,
+        |        CASE WHEN event_type = 'click' THEN v0 + 1 ELSE v0 END AS v1
+        |      FROM u),
+        |f AS (SELECT event_type,
+        |        CASE WHEN day >= '2024-01-28' AND event_type = 'view'
+        |             THEN -5.0 ELSE v1 END AS value
+        |      FROM c)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM f GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 }
