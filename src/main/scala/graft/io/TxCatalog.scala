@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, LeafRunnableCommand, ShowPartitionsCommand}
+import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, AnalyzeColumnCommand, AnalyzeTableCommand, LeafRunnableCommand, ShowPartitionsCommand}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
@@ -75,6 +75,14 @@ object TxCatalog {
       case ShowPartitionsCommand(ident, output, spec) =>
         txTable(ident).map(ct =>
           TxShowPartitionsCommand(pathOf(ct), output, spec): LogicalPlan)
+          .getOrElse(plan)
+      case AnalyzeTableCommand(ident, noScan) =>
+        txTable(ident).map(ct =>
+          TxAnalyzeTableCommand(ident, pathOf(ct), noScan): LogicalPlan)
+          .getOrElse(plan)
+      case a @ AnalyzeColumnCommand(ident, _, _) =>
+        txTable(ident).map(ct =>
+          TxAnalyzeColumnsCommand(a, pathOf(ct)): LogicalPlan)
           .getOrElse(plan)
       case other => other
     }
@@ -146,6 +154,29 @@ object TxCatalog {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"graft-tx catalog table ${ct.identifier} records no location"))
+
+  /** Live data footprint of a committed table: (files, bytes) across
+    * the tip manifest's leaves — one content-summary listing per live
+    * leaf, O(partitions), never a data read. Shared by DESCRIBE DETAIL
+    * and ANALYZE TABLE (the two statements that report/record size). */
+  private[io] def liveFootprint(
+      spark: SparkSession, path: String,
+      leaves: Iterable[String]): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var files = 0L
+    var bytes = 0L
+    leaves.foreach { leaf =>
+      val p = new org.apache.hadoop.fs.Path(
+        if (leaf.startsWith("/") || leaf.contains(":/")) leaf else s"$path/$leaf")
+      try {
+        val cs = fs.getContentSummary(p)
+        files += cs.getFileCount
+        bytes += cs.getLength
+      } catch { case _: java.io.IOException => () }
+    }
+    (files, bytes)
+  }
 
   /** Partition identity: the table's own `_meta` record, falling back
     * to the cataloged `partitionColumns` option (pre-meta tables). */
@@ -258,19 +289,7 @@ case class TxDescribeDetailCommand(target: String) extends LeafRunnableCommand {
     val (tip, leaves) = TxTable.latest(spark, path)
     require(tip >= 1,
       s"DESCRIBE DETAIL: $path holds no committed graft-tx table")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    var files = 0L
-    var bytes = 0L
-    leaves.values.foreach { leaf =>
-      val p = new org.apache.hadoop.fs.Path(
-        if (leaf.startsWith("/") || leaf.contains(":/")) leaf else s"$path/$leaf")
-      try {
-        val cs = fs.getContentSummary(p)
-        files += cs.getFileCount
-        bytes += cs.getLength
-      } catch { case _: java.io.IOException => () }
-    }
+    val (files, bytes) = TxCatalog.liveFootprint(spark, path, leaves.values)
     Seq(Row("graft-tx", path, tip,
       TxTable.partitionColumnsOf(spark, path).orNull,
       TxTable.mergeKeyOf(spark, path).orNull,
@@ -415,5 +434,68 @@ case class TxRestoreCommand(target: String, version: Long)
     val path = TxCatalog.resolvePath(spark, target)
     TxTable.restore(spark, path, version)
     Seq(Row(TxTable.latestVersion(spark, path)))
+  }
+}
+
+/** `ANALYZE TABLE <tx> COMPUTE STATISTICS [NOSCAN]` — the CBO feed,
+  * with the SIZE computed from the table's live manifest leaves
+  * instead of the catalog location. The builtin command's
+  * `calculateTotalSize` walks the metastore location, which for a
+  * graft-tx table is an empty warehouse stub (the data lives under the
+  * `path` option, addressed through the manifest) — so it records
+  * sizeInBytes = 0, and catalog stats OVERRIDE the relation's own
+  * conservative sizing in the optimizer: after one innocent ANALYZE,
+  * every join against the table sees a 0-byte side and broadcasts it
+  * regardless of its true size — at lake scale, a driver OOM wired up
+  * by a metadata command. This command records the true footprint
+  * (one content-summary per live leaf, O(partitions)) and, unless
+  * NOSCAN, the exact snapshot row count; existing column stats ride
+  * through untouched. */
+case class TxAnalyzeTableCommand(
+    ident: TableIdentifier, path: String,
+    noScan: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (tip, leaves) = TxTable.latest(spark, path)
+    require(tip >= 1,
+      s"ANALYZE TABLE: $path holds no committed graft-tx table")
+    val (_, bytes) = TxCatalog.liveFootprint(spark, path, leaves.values)
+    val rowCount =
+      if (noScan) None
+      else TxTable.snapshot(spark, path).map(s => BigInt(s.count()))
+    val catalog = bridge.sessionCatalog(spark)
+    val old = catalog.getTableMetadata(ident).stats
+    catalog.alterTableStats(ident, Some(
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(bytes),
+        rowCount = rowCount.orElse(old.flatMap(_.rowCount)),
+        colStats = old.map(_.colStats).getOrElse(Map.empty))))
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
+  }
+}
+
+/** `ANALYZE TABLE <tx> COMPUTE STATISTICS FOR [ALL] COLUMNS …` — the
+  * builtin column-stats scan runs unchanged (it reads through the
+  * relation, so min/max/ndv/nullCount are correct), then the table
+  * SIZE it recorded from the empty metastore location is repaired to
+  * the manifest footprint, preserving the column stats and row count
+  * the builtin just wrote. */
+case class TxAnalyzeColumnsCommand(
+    inner: AnalyzeColumnCommand, path: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    inner.run(spark)
+    val (tip, leaves) = TxTable.latest(spark, path)
+    require(tip >= 1,
+      s"ANALYZE TABLE: $path holds no committed graft-tx table")
+    val (_, bytes) = TxCatalog.liveFootprint(spark, path, leaves.values)
+    val catalog = bridge.sessionCatalog(spark)
+    val written = catalog.getTableMetadata(inner.tableIdent).stats
+    catalog.alterTableStats(inner.tableIdent, Some(
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(bytes),
+        rowCount = written.flatMap(_.rowCount),
+        colStats = written.map(_.colStats).getOrElse(Map.empty))))
+    spark.catalog.refreshTable(inner.tableIdent.quotedString)
+    Seq.empty
   }
 }

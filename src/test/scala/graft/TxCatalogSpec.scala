@@ -291,4 +291,54 @@ class TxCatalogSpec extends SparkTestBase {
       }
     } finally spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("ANALYZE TABLE records the manifest footprint, not the empty metastore stub") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_stats")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102),
+          (3L, 30.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        // full scan: exact row count AND the true manifest-leaf bytes —
+        // the builtin would have recorded sizeInBytes = 0 from the empty
+        // warehouse stub, making a 100 TB table look broadcastable
+        s2.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        val ct = graft.io.TxCatalog.sql(s2, s"DESCRIBE DETAIL '$dir'").head()
+        val realBytes = ct.getLong(8)
+        assert(realBytes > 0L)
+        val stats = s2.table(tbl).queryExecution.optimizedPlan.stats
+        assert(stats.sizeInBytes === BigInt(realBytes),
+          s"plan stats must carry the manifest footprint, got ${stats.sizeInBytes}")
+        // plan stats surface rowCount only under CBO; the catalog
+        // record is the durable readout
+        def catalogStats(): String =
+          s2.sql(s"DESCRIBE EXTENDED $tbl").collect()
+            .find(_.getString(0).contains("Statistics")).fold("")(_.getString(1))
+        assert(catalogStats().contains(s"$realBytes bytes") &&
+          catalogStats().contains("3 rows"), catalogStats())
+        // column stats ride the builtin scan; the size repair keeps them
+        s2.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+        val stats2 = s2.table(tbl).queryExecution.optimizedPlan.stats
+        assert(stats2.sizeInBytes === BigInt(realBytes))
+        assert(catalogStats().contains("3 rows"), catalogStats())
+        assert(s2.sql(s"DESCRIBE EXTENDED $tbl price").collect()
+          .exists(r => r.getString(0) == "distinct_count" && r.getString(1) == "3"),
+          "FOR ALL COLUMNS must land column stats")
+        // NOSCAN refreshes size without paying a row-count scan
+        TxTable.upsert(s2, dir,
+          Seq((4L, 40.0, 2L, 20240103)).toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id")
+        s2.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS NOSCAN")
+        val grown = graft.io.TxCatalog.sql(s2, s"DESCRIBE DETAIL '$dir'")
+          .head().getLong(8)
+        val stats3 = s2.table(tbl).queryExecution.optimizedPlan.stats
+        assert(grown > realBytes && stats3.sizeInBytes === BigInt(grown))
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
