@@ -292,6 +292,35 @@ class TxCatalogSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("CTAS bootstraps storage and catalog in one statement") {
+    val dir = freshDir()
+    val tbl = freshName("cat_ctas")
+    // CREATE TABLE … USING graft-tx … AS SELECT rides the V1
+    // CreatableRelationProvider seam: the query's rows land as the
+    // bootstrap upsert commit and the catalog binds the name — one
+    // statement, no pre-created storage
+    spark.sql(
+      s"""CREATE TABLE $tbl USING `graft-tx`
+         |OPTIONS (path '$dir', key 'id', version 'etl_seq',
+         |         partitionColumns 'date_id')
+         |AS SELECT id, CAST(price AS DOUBLE) AS price, etl_seq, date_id
+         |FROM VALUES
+         |  (1L, 10.0, 1L, 20240101), (2L, 20.0, 1L, 20240102)
+         |  AS t(id, price, etl_seq, date_id)""".stripMargin)
+    try {
+      assert(spark.sql(s"SELECT id, price FROM $tbl ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((1L, 10.0), (2L, 20.0)))
+      // the bootstrap recorded the identity: follow-up INSERT upserts
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 25.0, 2, 20240102)")
+      assert(spark.sql(s"SELECT price FROM $tbl WHERE id = 2").head().getDouble(0) === 25.0)
+      // and a NEW session reads the binding
+      assert(spark.newSession().sql(s"SELECT count(*) AS n FROM $tbl")
+        .head().getLong(0) === 2L)
+      assert(TxTable.latestVersion(spark, dir) === 2L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("ANALYZE TABLE records the manifest footprint, not the empty metastore stub") {
     val s = spark; import s.implicits._
     val dir = freshDir()
