@@ -114,6 +114,14 @@ object Corpus {
     * every sf. */
   private val YieldThresholds = Seq(-3.45, -3.42, -3.39, -3.36, -3.33)
 
+  /** x_retrieval_eval's per-(query, doc, term) BM25 contribution —
+    * shared verbatim by both engines (references SELECT-level aliases
+    * tf, df, dl, total_tokens, n_docs; same pre-folded k1/b constants
+    * as [[Bm25Score]]). Declared above `all` (object-init order). */
+  private val TermScore =
+    "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)" +
+      " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tokens / n_docs)))"
+
   val all: Map[String, Q] = Map(
 
     // Context-window chunking — the shard-preparation step that splits
@@ -725,6 +733,132 @@ object Corpus {
          |SELECT doc_id, lang, CAST(pos0 % 8 AS INT) AS shard,
          |       pos0 // 8 AS pos_in_shard
          |FROM p ORDER BY shard, pos_in_shard""".stripMargin),
+
+    // Retrieval-quality evaluation — the metrics pass every RAG/search
+    // pipeline runs after building an index: per query, precision@10,
+    // MRR and nDCG@10 against ground-truth relevance. The evaluation is
+    // CLOSED-LOOP over the corpus: each language's query is its top-3
+    // most DISTINCTIVE terms (per-language tf share over corpus tf
+    // share, rounded ratio, alphabetical tie-break — the fixed marker
+    // lists don't exist in this vocabulary, so the queries must be
+    // derived, exactly as a real eval harness derives queries from
+    // held-out data), and relevance = "document's lang matches the
+    // query's" — labels the corpus carries, so the whole evaluation is
+    // deterministic and oracle-checkable. Scoring is the x_bm25 formula
+    // per (query, doc); per-pair sums and the DCG folds run in fixed
+    // order (the lmScores double-sum discipline), ranks break ties by
+    // doc_id in both engines, and ideal DCG truncates at
+    // min(k, |relevant|). Plan shape: term statistics are
+    // vocabulary-bounded aggregates, the derived query set is a
+    // broadcast, and the only windows partition by language/query —
+    // per-query top-k, never a global sort.
+    "x_retrieval_eval" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+        // -- query derivation: top-3 distinctive terms per language
+        val lt = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        val ltot = lt.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+        val ct = lt.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+        val ctotF = ct.agg(sum(col("cc")).as("ctot"))
+        val qterms = lt.join(ltot, "lang").join(broadcast(ct), "w")
+          .crossJoin(broadcast(ctotF))
+          .withColumn("r", expr(
+            "round((CAST(c AS DOUBLE) / tot) / (CAST(cc AS DOUBLE) / ctot), 9)"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("r").desc, col("w"))))
+          .filter(col("rn") <= 3)
+          .select(col("lang").as("qlang"), col("w"))
+        // -- BM25 scoring of every (query, doc) pair sharing a term
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val tf = toks.join(broadcast(qterms.select(col("w")).distinct()), Seq("w"), "leftsemi")
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        val stats = toks.agg(count(lit(1)).as("total_tokens"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        val pair = tf.join(broadcast(dfT), "w").join(broadcast(qterms), "w")
+          .join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("ts", expr(TermScore))
+        val scored = pair.groupBy(col("qlang"), col("doc_id"))
+          .agg(expr("""round(aggregate(
+            |  transform(sort_array(collect_list(struct(w, ts))), x -> x.ts),
+            |  0D, (a, x) -> a + x), 6)""".stripMargin).as("score"))
+        // -- per-query top-10 and the three metrics
+        val ranked = scored.join(docs, "doc_id")
+          .withColumn("rank", row_number().over(Window.partitionBy(col("qlang"))
+            .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .withColumn("rel", when(col("lang") === col("qlang"), 1L).otherwise(0L))
+          .withColumn("g", col("rel") * expr("round(1.0D / log2(rank + 1), 9)"))
+        val relTotals = docs.groupBy(col("lang").as("qlang"))
+          .agg(count(lit(1)).as("n_rel"))
+        ranked.groupBy(col("qlang"))
+          .agg(
+            expr("round(sum(rel) / 10.0D, 6)").as("p_at_10"),
+            expr("coalesce(round(max(CASE WHEN rel = 1 THEN 1.0D / rank END), 6), 0D)")
+              .as("mrr"),
+            expr("""aggregate(
+              |  transform(sort_array(collect_list(struct(rank, g))), x -> x.g),
+              |  0D, (a, x) -> a + x)""".stripMargin).as("dcg"))
+          .join(broadcast(relTotals), "qlang")
+          .withColumn("idcg", expr(
+            """aggregate(transform(sequence(1, least(10L, n_rel)),
+              |  i -> round(1.0D / log2(i + 1), 9)), 0D, (a, x) -> a + x)""".stripMargin))
+          .select(col("qlang"), col("p_at_10"), col("mrr"),
+            expr("round(dcg / idcg, 6)").as("ndcg_at_10"))
+          .orderBy(col("qlang"))
+      },
+      s"""WITH docs AS (SELECT doc_id, lang FROM documents),
+         |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |         FROM documents),
+         |lt AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |ltot AS (SELECT lang, SUM(c) AS tot FROM lt GROUP BY 1),
+         |ct AS (SELECT w, SUM(c) AS cc FROM lt GROUP BY 1),
+         |ctotf AS (SELECT SUM(cc) AS ctot FROM ct),
+         |qterms AS (SELECT lang AS qlang, w FROM (
+         |    SELECT lang, w,
+         |      round((CAST(c AS DOUBLE) / tot) / (CAST(cc AS DOUBLE) / ctot), 9) AS r
+         |    FROM lt JOIN ltot USING (lang) JOIN ct USING (w), ctotf)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r DESC, w) <= 3),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+         |       WHERE w IN (SELECT w FROM qterms) GROUP BY 1, 2),
+         |dft AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT COUNT(*) FROM toks) AS total_tokens,
+         |              (SELECT COUNT(*) FROM documents) AS n_docs),
+         |pair AS (SELECT qlang, doc_id, w,
+         |           $TermScore AS ts
+         |         FROM tf JOIN dft USING (w) JOIN qterms USING (w)
+         |              JOIN dl USING (doc_id), st),
+         |scored AS (SELECT qlang, doc_id,
+         |             round(list_reduce([CAST(0 AS DOUBLE)] || list(ts ORDER BY w),
+         |                               (a, x) -> a + x), 6) AS score
+         |           FROM pair GROUP BY 1, 2),
+         |ranked AS (SELECT qlang, doc_id, score, lang,
+         |             ROW_NUMBER() OVER (PARTITION BY qlang
+         |                                ORDER BY score DESC, doc_id) AS rank
+         |           FROM scored JOIN docs USING (doc_id)),
+         |top AS (SELECT *,
+         |          CASE WHEN lang = qlang THEN 1 ELSE 0 END AS rel,
+         |          (CASE WHEN lang = qlang THEN 1 ELSE 0 END)
+         |            * round(1.0 / log2(rank + 1), 9) AS g
+         |        FROM ranked WHERE rank <= 10),
+         |reltot AS (SELECT lang AS qlang, COUNT(*) AS n_rel FROM docs GROUP BY 1),
+         |m AS (SELECT qlang,
+         |        round(SUM(rel) / 10.0, 6) AS p_at_10,
+         |        COALESCE(round(MAX(CASE WHEN rel = 1 THEN 1.0 / rank END), 6), 0.0) AS mrr,
+         |        list_reduce([CAST(0 AS DOUBLE)] || list(g ORDER BY rank),
+         |                    (a, x) -> a + x) AS dcg
+         |      FROM top GROUP BY 1)
+         |SELECT qlang, p_at_10, mrr,
+         |  round(dcg / list_reduce([CAST(0 AS DOUBLE)] ||
+         |    list_transform(range(1, CAST(least(10, n_rel) AS BIGINT) + 1),
+         |                   i -> round(1.0 / log2(i + 1), 9)),
+         |    (a, x) -> a + x), 6) AS ndcg_at_10
+         |FROM m JOIN reltot USING (qlang)
+         |ORDER BY qlang""".stripMargin),
 
     // Exact heavy hitters over an open key domain (token bigrams) —
     // Misra-Gries candidate sweep + candidate-filtered exact recount

@@ -74,8 +74,9 @@ object Text {
     "list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
 
   /** Marker stopwords per language for the n-gram/stopword language-ID
-    * heuristic. Alphabetical tie-break, all-zero → 'und'. */
-  private val Markers = Seq(
+    * heuristic (alphabetical tie-break, all-zero → 'und') — shared with
+    * Corpus.x_retrieval_eval as its fixed query set. */
+  private[queries] val Markers = Seq(
     "de" -> Seq("der", "die", "und", "das", "ein", "mit"),
     "en" -> Seq("the", "a", "of", "and", "to", "is"),
     "es" -> Seq("el", "los", "y", "las", "una", "por"),

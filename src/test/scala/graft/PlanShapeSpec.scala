@@ -80,7 +80,10 @@ class PlanShapeSpec extends SparkTestBase {
       // corpus-statistics frame and the per-doc score frame with the
       // ONE-ROW priors frame — both constant-size broadcasts (the
       // vocabulary-sized model itself rides a BroadcastHashJoin)
-      "x_nb_classify")
+      "x_nb_classify",
+      // r13: the eval crosses vocabulary/tf frames with ONE-ROW corpus
+      // totals (ctot; total_tokens × n_docs) — constant-size broadcasts
+      "x_retrieval_eval")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
