@@ -101,4 +101,34 @@ class TxPredicateDmlSpec extends SparkTestBase {
       Set((1L, 10.0), (2L, 200.0), (3L, 30.0), (6L, 60.0), (7L, 70.0)))
     assert(TxTable.latestVersion(spark, dir) === 3L)
   }
+
+  test("right-to-be-forgotten: delete + vacuum leaves zero physical trace") {
+    val dir = seed("graft_dml_rtbf")
+    // logical delete first: the row disappears from every read...
+    TxTable.deleteWhere(spark, dir, "day", col("id") === 2L)
+    assert(!state(dir).exists(_._1 == 2L))
+    // ...but the PRE-delete leaf is still on disk (time travel serves
+    // it) until retention reclaims it — that file is what a compliance
+    // delete must also destroy
+    def allParquet(): Seq[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(root).forEach(p =>
+        if (p.toString.endsWith(".parquet")) out += p.toString: Unit)
+      out.toSeq
+    }
+    def idsOnDisk(): Set[Long] =
+      allParquet().flatMap(f =>
+        spark.read.parquet(f).select("id").collect().map(_.getLong(0))).toSet
+    assert(idsOnDisk().contains(2L),
+      "pre-vacuum, the old leaf must still hold the row (travel window)")
+    // vacuum to the tip: every superseded leaf is reclaimed, and with
+    // it the last physical copy of the forgotten row
+    TxTable.vacuum(spark, dir, retainVersions = 1)
+    assert(!idsOnDisk().contains(2L),
+      "post-vacuum, no parquet file under the table may hold the row")
+    // the surviving rows still read exactly
+    assert(state(dir) ===
+      Set((1L, 10.0), (3L, 30.0), (4L, 400.0), (5L, 500.0), (6L, 60.0)))
+  }
 }
