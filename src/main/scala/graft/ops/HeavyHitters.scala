@@ -91,8 +91,15 @@ object HeavyHitters {
     * > N/(m+1), with their EXACT counts — MG candidate sweep, then a
     * candidate-filtered exact count (both exchanges ≤m rows per
     * partition). Unordered; callers add their presentation sort. */
-  def exact(keys: DataFrame, keyCol: String, m: Int): DataFrame = {
-    val mg = summarize(keys, keyCol, m)
+  def exact(keys: DataFrame, keyCol: String, m: Int): DataFrame =
+    exactGiven(keys, keyCol, m, summarize(keys, keyCol, m))
+
+  /** The recount stage alone, against a caller-supplied summary — the
+    * incremental path: summaries persist per ingestion batch, merge
+    * associatively (mergeable-summaries theory preserves the N/(m+1)
+    * guarantee across merges), and ONE recount over the union serves
+    * the merged summary (q:x_heavy_hitters_incremental's shape). */
+  def exactGiven(keys: DataFrame, keyCol: String, m: Int, mg: Mg): DataFrame = {
     val cand = mg.counts.keySet.toSeq
     if (cand.isEmpty)
       keys.select(col(keyCol)).limit(0).withColumn("cnt", lit(0L))
@@ -104,4 +111,7 @@ object HeavyHitters {
         // un-missable are claimed (exact long arithmetic, no division)
         .filter(col("cnt") * (m + 1L) > mg.total)
   }
+
+  /** Associative summary merge, exposed for the incremental path. */
+  def mergeSummaries(m: Int, a: Mg, b: Mg): Mg = new MisraGries(m).merge(a, b)
 }

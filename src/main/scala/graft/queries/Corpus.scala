@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.HeavyHitters
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,6 +122,29 @@ object Corpus {
   private val TermScore =
     "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)" +
       " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (total_tokens / n_docs)))"
+
+  /** The token-bigram frame the heavy-hitter queries count over — one
+    * definition so the one-shot and incremental forms cannot drift. */
+  private def bigramPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))""".stripMargin))
+        .as("pair"))
+
+  /** One oracle for both heavy-hitter queries: the incremental form
+    * must equal the one-shot GROUP BY / HAVING exactly. */
+  private val HeavyHittersSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bi AS (SELECT t[i] || ' ' || t[i + 1] AS pair
+      |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d
+      |             WHERE len(t) >= 2)),
+      |tot AS (SELECT COUNT(*) AS n FROM bi)
+      |SELECT pair, COUNT(*) AS cnt FROM bi GROUP BY 1
+      |HAVING COUNT(*) * 1025 > (SELECT n FROM tot)
+      |ORDER BY cnt DESC, pair""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -871,24 +895,52 @@ object Corpus {
     // GROUP BY / HAVING it replaces at scale.
     "x_heavy_hitters" -> Q(
       (s, dir) => {
-        val bi = Tables.documents(s, dir)
-          .withColumn("t", split(col("text"), " "))
-          .filter(size(col("t")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(t) - 1),
-              |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))""".stripMargin))
-            .as("pair"))
+        val bi = bigramPairs(Tables.documents(s, dir))
         graft.ops.HeavyHitters.exact(bi, "pair", m = 1024)
           .orderBy(col("cnt").desc, col("pair"))
       },
-      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
-        |bi AS (SELECT t[i] || ' ' || t[i + 1] AS pair
-        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d
-        |             WHERE len(t) >= 2)),
-        |tot AS (SELECT COUNT(*) AS n FROM bi)
-        |SELECT pair, COUNT(*) AS cnt FROM bi GROUP BY 1
-        |HAVING COUNT(*) * 1025 > (SELECT n FROM tot)
-        |ORDER BY cnt DESC, pair""".stripMargin)
+      HeavyHittersSql),
+
+    // The incremental form — how a lake maintains corpus statistics
+    // ACROSS ingestion batches without ever reprocessing history: each
+    // batch's Misra-Gries summary persists like any daily stats table
+    // (here: written to parquet and read back, proving the round-trip),
+    // summaries MERGE associatively (Agarwal et al.'s trim keeps the
+    // N/(m+1) guarantee intact across merges — same m, same bound), and
+    // one candidate-filtered recount over the union serves the merged
+    // summary. The oracle is x_heavy_hitters' one-shot GROUP BY /
+    // HAVING verbatim: incremental and one-shot must agree EXACTLY, by
+    // construction, not approximately.
+    "x_heavy_hitters_incremental" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val m = 1024
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_hh_incr").toString
+        val docs = Tables.documents(s, dir)
+        // two "ingestion days", split by doc parity
+        val day1 = HeavyHitters.summarize(
+          bigramPairs(docs.filter(col("doc_id") % 2 === 0)), "pair", m)
+        // persist day-1's summary like a stats table and reload it
+        day1.counts.toSeq.toDF("pair", "cnt")
+          .withColumn("total", lit(day1.total))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/mg")
+        val rows = s.read.parquet(s"$base/mg").collect()
+        val loaded = HeavyHitters.Mg(
+          if (rows.isEmpty) 0L else rows.head.getAs[Long]("total"),
+          rows.map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap)
+        // day 2 arrives: summarize the new batch only, merge summaries
+        val day2 = HeavyHitters.summarize(
+          bigramPairs(docs.filter(col("doc_id") % 2 =!= 0)), "pair", m)
+        val merged = HeavyHitters.mergeSummaries(m, loaded, day2)
+        val out = HeavyHitters
+          .exactGiven(bigramPairs(docs), "pair", m, merged)
+          .orderBy(col("cnt").desc, col("pair"))
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      HeavyHittersSql)
   )
 
 }

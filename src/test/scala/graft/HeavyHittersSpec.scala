@@ -59,6 +59,25 @@ class HeavyHittersSpec extends SparkTestBase {
     }
   }
 
+  test("incremental ≡ one-shot: summaries merged across batches yield the exact same answer") {
+    val m = 16
+    val df = skewed
+    val expected = HeavyHitters.exact(df, "k", m)
+      .orderBy(col("cnt").desc, col("k")).as[(String, Long)].collect().toSeq
+    // split into three "days", summarize each independently, merge —
+    // the trim path runs on every merge at m=16 vs 3005 keys
+    val parts = Seq(
+      df.filter(length(col("k")) % 3 === 0),
+      df.filter(length(col("k")) % 3 === 1),
+      df.filter(length(col("k")) % 3 === 2))
+    val merged = parts.map(p => HeavyHitters.summarize(p, "k", m))
+      .reduce(HeavyHitters.mergeSummaries(m, _, _))
+    assert(merged.total == 6000L)
+    val got = HeavyHitters.exactGiven(df, "k", m, merged)
+      .orderBy(col("cnt").desc, col("k")).as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("degenerate inputs: empty frame and all-one-key") {
     val empty = HeavyHitters.exact(Seq.empty[String].toDF("k"), "k", 4)
     assert(empty.collect().isEmpty)

@@ -321,6 +321,37 @@ class TxCatalogSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("SQL DML verbs address catalog tables by NAME, not just USING views") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val tbl = freshName("cat_dml")
+    TxTable.upsert(spark, dir,
+      Seq((1L, 10.0, 1L, 20240101), (2L, 200.0, 1L, 20240102),
+          (3L, 30.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    withExtSession { s2 =>
+      s2.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$dir')")
+      try {
+        s2.sql(s"DELETE FROM $tbl WHERE price > 100")
+        s2.sql(s"UPDATE $tbl SET price = price + 1 WHERE id = 1")
+        s2.sql("SELECT 3L AS id, CAST(99.0 AS DOUBLE) AS price, " +
+            "2L AS etl_seq, 20240102 AS date_id")
+          .createOrReplaceTempView(s"${tbl}_src")
+        s2.sql(
+          s"""MERGE INTO $tbl t USING ${tbl}_src s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET price = s.price
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(s2.sql(s"SELECT id, price FROM $tbl ORDER BY id").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+          Seq((1L, 11.0), (3L, 99.0)))
+      } finally {
+        s2.catalog.dropTempView(s"${tbl}_src"): Unit
+        s2.sql(s"DROP TABLE $tbl")
+      }
+    }
+  }
+
   test("ANALYZE TABLE records the manifest footprint, not the empty metastore stub") {
     val s = spark; import s.implicits._
     val dir = freshDir()
