@@ -177,6 +177,34 @@ class TxConstraintsSpec extends SparkTestBase {
       "id", "etl_seq", "date_id"))
   }
 
+  test("the streaming sink inherits the gate: a violating micro-batch fails the query, nothing lands") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = freshDir()
+    boot(dir)
+    TxConstraints.add(spark, dir, "price_pos", "price > 0")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long, Int)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cons_ck").toString
+    val q = in.toDF().toDF("id", "price", "etl_seq", "date_id")
+      .writeStream.format("graft-tx")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir) // key/version/partitions come from _meta
+    try {
+      in.addData((7L, -3.0, 2L, 20240105))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("price_pos"))), e.getMessage)
+      assert(TxTable.snapshot(spark, dir).get.count() === 2L,
+        "the violating micro-batch must leave no trace")
+    } finally q.stop()
+  }
+
   test("TxCatalog.sql retrofit entry intercepts constraint statements on a plain session") {
     val dir = freshDir()
     boot(dir)
