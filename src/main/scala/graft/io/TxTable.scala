@@ -1245,6 +1245,14 @@ object TxTable {
     val restored = resolveAt(store, log, version).getOrElse(
       throw new IllegalStateException(
         s"version $version of $dir is not restorable (vacuumed or never committed)"))
+    // constraint gate on the RESTORED state: restore is a row-writing
+    // verb in effect (it republishes version n's rows as the tip), so a
+    // table with an armed CHECK contract must not be able to resurrect
+    // pre-constraint violations through it. One snapshot-at-version
+    // pass, only when constraints exist; drop the constraint first to
+    // deliberately restore a violating state.
+    if (TxConstraints.of(spark, dir).nonEmpty && restored.nonEmpty)
+      TxConstraints.enforce(spark, dir, read(spark, dir, restored), "restore")
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1

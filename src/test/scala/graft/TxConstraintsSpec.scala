@@ -205,6 +205,31 @@ class TxConstraintsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RESTORE cannot resurrect pre-constraint violations; DROP re-opens the path") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    // v1 holds a row the future constraint forbids
+    TxTable.upsert(spark, dir,
+      Seq((1L, -5.0, 1L, 20240101), (2L, 20.0, 1L, 20240102))
+        .toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    // v2 repairs it, which is what lets the constraint arm
+    TxTable.upsert(spark, dir,
+      Seq((1L, 5.0, 2L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    TxConstraints.add(spark, dir, "price_pos", "price > 0")
+    // restoring v1 would republish the violating row — refused
+    val e = intercept[Exception](TxTable.restore(spark, dir, 1L))
+    assert(e.getMessage.contains("price_pos"))
+    assert(TxTable.snapshot(spark, dir).get
+      .filter(col("price") < 0).count() === 0L)
+    // an operator who MEANS it drops the constraint first
+    TxConstraints.drop(spark, dir, "price_pos")
+    TxTable.restore(spark, dir, 1L)
+    assert(TxTable.snapshot(spark, dir).get
+      .filter(col("price") < 0).count() === 1L)
+  }
+
   test("TxCatalog.sql retrofit entry intercepts constraint statements on a plain session") {
     val dir = freshDir()
     boot(dir)
