@@ -677,6 +677,90 @@ object Vector {
          |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // PRODUCT-QUANTIZATION ANN (Jégou et al., "Product quantization
+    // for nearest neighbor search", TPAMI'11) — the MEMORY-bound scale
+    // path, structurally different from both LSH (hash buckets) and
+    // IVF (coarse cells): the vector space splits into m=4 independent
+    // 16-dim subspaces, each with its own k=8-code codebook; a vector
+    // compresses to m code ids (4 small ints standing in for 256 bytes
+    // of floats — the compression that lets a 100 TB corpus's index
+    // live in RAM), and a query scores the WHOLE corpus from a
+    // (m × k)-entry distance table without touching raw vectors
+    // (asymmetric distance: Σ_j ⟨q_j, codeword(x, j)⟩ = ⟨q, reconstruct
+    // x⟩). Codebooks here are deterministic sub-slices of the first 8
+    // vectors so the oracle can replay the build (the x_ann_ivf
+    // discipline — a trained codebook drops into the same plan
+    // unchanged). Encode = one broadcast pass, m·k dots per vector;
+    // ADC = a (j, code)-keyed broadcast join against the 32-row
+    // distance table; per-vector sums fold in fixed subspace order.
+    "x_ann_pq" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val codes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val ip = (a: String, b: String) =>
+          s"""aggregate(zip_with(slice($a, j * 16 + 1, 16),
+             |                   slice($b, j * 16 + 1, 16),
+             |                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             |          0D, (acc, v) -> acc + v)""".stripMargin
+        // encode: per (vector, subspace), the max-inner-product code
+        val enc = e.select(col("vec_id"), col("embedding"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .crossJoin(broadcast(codes))
+          .withColumn("d", expr(ip("embedding", "c_emb")))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(max_by(col("c_id"), struct(col("d"), -col("c_id"))).as("code"))
+        // the query-side (subspace, code) distance table: 8q × 4j × 8c
+        val dtab = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .crossJoin(broadcast(codes))
+          .withColumn("d", expr(ip("q_emb", "c_emb")))
+          .select(col("q_id"), col("j").as("qj"), col("c_id"), col("d"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_score").desc, col("vec_id").asc)
+        enc.join(broadcast(dtab),
+            enc("j") === dtab("qj") && enc("code") === dtab("c_id"))
+          .groupBy(col("vec_id"), col("q_id"))
+          .agg(expr("""round(aggregate(
+            |  transform(sort_array(collect_list(struct(qj, d))), x -> x.d),
+            |  0D, (a, x) -> a + x), 6)""".stripMargin).as("adc_score"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc_score")
+          .orderBy("q_id", "rnk")
+      }, {
+        def dIp(a: String, b: String) =
+          s"list_reduce(list_transform(range(j * 16 + 1, j * 16 + 17), " +
+            s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+           |           WHERE vec_id < 8),
+           |js AS (SELECT unnest(range(0, 4)) AS j),
+           |encx AS (
+           |  SELECT e.vec_id, js.j, c.c_id, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id, js.j
+           |    ORDER BY ${dIp("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS rn
+           |  FROM embeddings e CROSS JOIN js CROSS JOIN c),
+           |enc AS (SELECT vec_id, j, c_id AS code FROM encx WHERE rn = 1),
+           |dt AS (
+           |  SELECT q.vec_id AS q_id, js.j, c.c_id,
+           |         ${dIp("q.embedding", "c.c_emb")} AS d
+           |  FROM embeddings q CROSS JOIN js CROSS JOIN c
+           |  WHERE q.vec_id < 8),
+           |adc AS (
+           |  SELECT e.vec_id, d.q_id,
+           |    round(list_reduce([CAST(0 AS DOUBLE)] || list(d.d ORDER BY d.j),
+           |                      (a, x) -> a + x), 6) AS adc_score
+           |  FROM enc e JOIN dt d ON e.j = d.j AND e.code = d.c_id
+           |  GROUP BY e.vec_id, d.q_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY q_id ORDER BY adc_score DESC, vec_id ASC) AS rnk
+           |      FROM adc WHERE vec_id != q_id)
+           |SELECT q_id, rnk, vec_id, adc_score FROM r WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // PERSISTENT IVF index, maintained incrementally (the x_ann_ivf
     // plan with the index as a STORED artifact instead of a per-query
     // recompute): cell assignments live in a graft-tx table partitioned

@@ -91,6 +91,18 @@ class AnnSpec extends SparkTestBase {
     assert(agreement >= 0.60, f"LSH top-1 agreement $agreement%.3f below floor 0.60")
   }
 
+  test("PQ (asymmetric-distance) recall@5 vs brute force holds its floor") {
+    val brute5 = hits("x_ann_brute", 5)
+    val pq5 = hits("x_ann_pq", 5)
+    val r = recall(pq5, brute5)
+    info(f"PQ recall@5 = $r%.3f")
+    // 4 subspaces x 8 codes is a coarse quantizer, but ADC ranking
+    // must still beat chance by a wide margin; a slicing/encoding bug
+    // (wrong subspace offsets, argmin/argmax flip) collapses recall
+    // toward the random-5-of-2000 baseline ~0.0025
+    assert(r >= 0.15, f"PQ recall@5 $r%.3f below floor 0.15")
+  }
+
   test("IVF recall@k vs brute force holds its floor") {
     // x_ann_ivf emits top-3 per query (rnk <= 3) over nprobe=2 cells
     // of a 16-centroid coarse quantizer. Measured 1.000 at sf0.1 (two

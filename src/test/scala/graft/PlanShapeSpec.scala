@@ -83,7 +83,10 @@ class PlanShapeSpec extends SparkTestBase {
       "x_nb_classify",
       // r13: the eval crosses vocabulary/tf frames with ONE-ROW corpus
       // totals (ctot; total_tokens × n_docs) — constant-size broadcasts
-      "x_retrieval_eval")
+      "x_retrieval_eval",
+      // r13: PQ encode/distance-table stages score corpus × (broadcast)
+      // 8-row codebook — the same deliberate all-pairs as x_ann_ivf
+      "x_ann_pq")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
