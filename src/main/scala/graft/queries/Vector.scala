@@ -761,6 +761,122 @@ object Vector {
            |ORDER BY q_id, rnk""".stripMargin
       }),
 
+    // IVF+PQ composed — the production ANN index shape (FAISS IVFPQ):
+    // the coarse quantizer bounds WHICH vectors a query considers
+    // (nprobe=2 cells of 16, ~1/8 of the corpus) and PQ bounds WHAT is
+    // read per considered vector (m code ids, never the raw floats) —
+    // memory and compute bounded independently, which is why this is
+    // the shape a RAM-resident 100 TB index actually takes. Both
+    // stages reuse the family's deterministic codebooks (IVF cells:
+    // vec_id < 16 via max-cosine; PQ codes: vec_id < 8 sub-slices via
+    // max-IP), so the composed oracle replays the whole build; scoring
+    // is pure ADC inside probed cells, fixed-order subspace folds.
+    "x_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cc_id"), col("embedding").as("cc_emb"))
+        val codes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val ip = (a: String, b: String) =>
+          s"""aggregate(zip_with(slice($a, j * 16 + 1, 16),
+             |                   slice($b, j * 16 + 1, 16),
+             |                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             |          0D, (acc, v) -> acc + v)""".stripMargin
+        // coarse assignment: one cell per vector (the IVF stage)
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("cc_emb"), col("embedding")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cc_id"), struct(col("cos_c"), -col("cc_id"))).as("cell"))
+        // fine codes: m per vector (the PQ stage)
+        val enc = e.select(col("vec_id"), col("embedding"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .crossJoin(broadcast(codes))
+          .withColumn("d", expr(ip("embedding", "c_emb")))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(max_by(col("c_id"), struct(col("d"), -col("c_id"))).as("code"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        // query probes its nprobe=2 nearest cells
+        val byQc = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_c").desc, col("cc_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorOps.cosine(col("cc_emb"), col("q_emb")))
+          .withColumn("prn", row_number().over(byQc))
+          .filter(col("prn") <= 2)
+          .select(col("q_id").as("pq_id"), col("cc_id").as("cell"))
+        // query-side distance table (identical to x_ann_pq's)
+        val dtab = q.select(col("q_id"), col("q_emb"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .crossJoin(broadcast(codes))
+          .withColumn("d", expr(ip("q_emb", "c_emb")))
+          .select(col("q_id"), col("j").as("qj"), col("c_id"), col("d"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_score").desc, col("vec_id").asc)
+        // ADC over probed cells only: cell-join bounds the candidates,
+        // then the (subspace, code) join prices them from the table
+        cells.join(broadcast(probes), Seq("cell"))
+          .join(enc, Seq("vec_id"))
+          .join(broadcast(dtab),
+            enc("j") === dtab("qj") && enc("code") === dtab("c_id") &&
+              col("pq_id") === dtab("q_id"))
+          .groupBy(col("vec_id"), col("q_id"))
+          .agg(expr("""round(aggregate(
+            |  transform(sort_array(collect_list(struct(qj, d))), x -> x.d),
+            |  0D, (a, x) -> a + x), 6)""".stripMargin).as("adc_score"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc_score")
+          .orderBy("q_id", "rnk")
+      }, {
+        def dIp(a: String, b: String) =
+          s"list_reduce(list_transform(range(j * 16 + 1, j * 16 + 17), " +
+            s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        s"""WITH cc AS (SELECT vec_id AS cc_id, embedding AS cc_emb FROM embeddings
+           |            WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+           |      WHERE vec_id < 8),
+           |js AS (SELECT unnest(range(0, 4)) AS j),
+           |cellx AS (
+           |  SELECT e.vec_id, cc.cc_id, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dCos("cc.cc_emb", "e.embedding")} DESC, cc.cc_id ASC) AS rn
+           |  FROM embeddings e CROSS JOIN cc),
+           |cells AS (SELECT vec_id, cc_id AS cell FROM cellx WHERE rn = 1),
+           |encx AS (
+           |  SELECT e.vec_id, js.j, c.c_id, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id, js.j
+           |    ORDER BY ${dIp("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS rn
+           |  FROM embeddings e CROSS JOIN js CROSS JOIN c),
+           |enc AS (SELECT vec_id, j, c_id AS code FROM encx WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |      WHERE vec_id < 8),
+           |prx AS (
+           |  SELECT q.q_id, cc.cc_id AS cell, ROW_NUMBER() OVER (
+           |    PARTITION BY q.q_id
+           |    ORDER BY ${dCos("cc.cc_emb", "q.q_emb")} DESC, cc.cc_id ASC) AS prn
+           |  FROM q CROSS JOIN cc),
+           |probes AS (SELECT q_id, cell FROM prx WHERE prn <= 2),
+           |dt AS (
+           |  SELECT q.q_id, js.j, c.c_id, ${dIp("q.q_emb", "c.c_emb")} AS d
+           |  FROM q CROSS JOIN js CROSS JOIN c),
+           |adc AS (
+           |  SELECT e.vec_id, d.q_id,
+           |    round(list_reduce([CAST(0 AS DOUBLE)] || list(d.d ORDER BY d.j),
+           |                      (a, x) -> a + x), 6) AS adc_score
+           |  FROM cells ce
+           |  JOIN probes p ON ce.cell = p.cell
+           |  JOIN enc e ON e.vec_id = ce.vec_id
+           |  JOIN dt d ON d.q_id = p.q_id AND d.j = e.j AND d.c_id = e.code
+           |  GROUP BY e.vec_id, d.q_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY q_id ORDER BY adc_score DESC, vec_id ASC) AS rnk
+           |      FROM adc WHERE vec_id != q_id)
+           |SELECT q_id, rnk, vec_id, adc_score FROM r WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // PERSISTENT IVF index, maintained incrementally (the x_ann_ivf
     // plan with the index as a STORED artifact instead of a per-query
     // recompute): cell assignments live in a graft-tx table partitioned

@@ -103,6 +103,18 @@ class AnnSpec extends SparkTestBase {
     assert(r >= 0.15, f"PQ recall@5 $r%.3f below floor 0.15")
   }
 
+  test("IVFPQ recall@5 vs brute force holds its floor") {
+    val brute5 = hits("x_ann_brute", 5)
+    val ivfpq5 = hits("x_ann_ivfpq", 5)
+    val r = recall(ivfpq5, brute5)
+    info(f"IVFPQ recall@5 = $r%.3f")
+    // the composed index prunes (nprobe=2 of 16 cells) AND compresses
+    // (4x8 PQ codes); chance is ~0.0025 — a bug in either stage or in
+    // their composition (cell join keyed wrong, code table mispriced)
+    // collapses toward it
+    assert(r >= 0.10, f"IVFPQ recall@5 $r%.3f below floor 0.10")
+  }
+
   test("IVF recall@k vs brute force holds its floor") {
     // x_ann_ivf emits top-3 per query (rnk <= 3) over nprobe=2 cells
     // of a 16-centroid coarse quantizer. Measured 1.000 at sf0.1 (two

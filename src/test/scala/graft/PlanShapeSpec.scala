@@ -86,7 +86,10 @@ class PlanShapeSpec extends SparkTestBase {
       "x_retrieval_eval",
       // r13: PQ encode/distance-table stages score corpus × (broadcast)
       // 8-row codebook — the same deliberate all-pairs as x_ann_ivf
-      "x_ann_pq")
+      "x_ann_pq",
+      // r13: the composed index reuses both tiny-broadcast build stages
+      // (16-row coarse centroids, 8-row PQ codebook)
+      "x_ann_ivfpq")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
