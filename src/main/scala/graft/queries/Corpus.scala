@@ -921,14 +921,23 @@ object Corpus {
         // two "ingestion days", split by doc parity
         val day1 = HeavyHitters.summarize(
           bigramPairs(docs.filter(col("doc_id") % 2 === 0)), "pair", m)
-        // persist day-1's summary like a stats table and reload it
-        day1.counts.toSeq.toDF("pair", "cnt")
-          .withColumn("total", lit(day1.total))
+        // persist day-1's summary like a stats table and reload it. The
+        // total rides a pair=NULL sentinel row (bigram keys are never
+        // null), NOT a column on candidate rows: the decrement-all path
+        // can empty the candidate map while total keeps counting, and a
+        // candidate-carried total would round-trip that summary to
+        // total=0, corrupting the cnt*(m+1) > N exactness threshold.
+        (day1.counts.toSeq :+ ((null: String) -> day1.total))
+          .toDF("pair", "cnt")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/mg")
         val rows = s.read.parquet(s"$base/mg").collect()
+        val (sentinel, cand) = rows.partition(_.isNullAt(0))
+        require(sentinel.length == 1,
+          s"persisted MG summary must carry exactly one total sentinel, " +
+            s"got ${sentinel.length}")
         val loaded = HeavyHitters.Mg(
-          if (rows.isEmpty) 0L else rows.head.getAs[Long]("total"),
-          rows.map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap)
+          sentinel.head.getAs[Long]("cnt"),
+          cand.map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap)
         // day 2 arrives: summarize the new batch only, merge summaries
         val day2 = HeavyHitters.summarize(
           bigramPairs(docs.filter(col("doc_id") % 2 =!= 0)), "pair", m)
