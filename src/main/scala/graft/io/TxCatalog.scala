@@ -315,6 +315,7 @@ case class TxDescribeDetailCommand(target: String) extends LeafRunnableCommand {
   *   VACUUM <t> [RETAIN <n> VERSIONS]                       -- retention reclaim
   *   RESTORE TABLE <t> TO VERSION AS OF <n>                 -- durable rollback
   *   SHOW CONSTRAINTS <t>                                   -- CHECK-constraint readout
+  *   REPARTITION TABLE <t> BY (c, …)                        -- partition-spec evolution
   * }}}
   *
   * One narrow caveat to "cannot parse at all": stock `DESCRIBE x y`
@@ -355,6 +356,8 @@ object GraftSqlParser {
     """(?is)\A\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
   private[io] val ShowConstraints =
     """(?is)\A\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*\z""".r
+  private[io] val RepartitionTable =
+    """(?is)\A\s*REPARTITION\s+TABLE\s+(.+?)\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*\z""".r
 
   /** Parse one of the added statements; None = not ours, delegate.
     * ZORDER is matched before the bare form (its pattern is a superset
@@ -376,7 +379,42 @@ object GraftSqlParser {
       Some(TxRestoreCommand(target.trim, version.toLong))
     case ShowConstraints(target) =>
       Some(TxShowConstraintsCommand(target.trim))
+    case RepartitionTable(target, cols) =>
+      Some(TxRepartitionTableCommand(target.trim,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case _ => None
+  }
+}
+
+/** `REPARTITION TABLE <t> BY (c, …)` → [[TxTable.repartitionTable]]:
+  * the partition-spec evolution verb (full rows-preserving re-key as
+  * one checkpoint commit; see the verb's scaladoc for the crash-safe
+  * two-step `_meta` protocol). For a CATALOGED table whose CREATE
+  * carried a `partitionColumns` option, the option updates in lockstep
+  * — relation resolution cross-checks it against `_meta`, and a stale
+  * value would refuse every subsequent read. Returns the new tip. */
+case class TxRepartitionTableCommand(target: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = TxCatalog.resolvePath(spark, target)
+    TxTable.repartitionTable(spark, path, PartitionSpec(cols))
+    if (!target.startsWith("'")) {
+      val ident = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseTableIdentifier(target)
+      TxCatalog.txTable(ident).foreach { ct =>
+        if (ct.storage.properties.keys.exists(_.equalsIgnoreCase("partitioncolumns"))) {
+          val props = ct.storage.properties
+            .filterNot(_._1.equalsIgnoreCase("partitioncolumns")) +
+            ("partitionColumns" -> cols.mkString(","))
+          bridge.sessionCatalog(spark).alterTable(
+            ct.copy(storage = ct.storage.copy(properties = props)))
+          spark.catalog.refreshTable(ident.quotedString)
+        }
+      }
+    }
+    Seq(Row(TxTable.latestVersion(spark, path)))
   }
 }
 
@@ -464,10 +502,16 @@ case class TxAnalyzeTableCommand(
       else TxTable.snapshot(spark, path).map(s => BigInt(s.count()))
     val catalog = bridge.sessionCatalog(spark)
     val old = catalog.getTableMetadata(ident).stats
+    // on NOSCAN the old row count survives only while the recorded size
+    // is unchanged (the builtin compareAndGetNewStats contract): a size
+    // change means data moved, and pairing the new size with a stale
+    // row count would feed CBO a wrong rows/byte density
+    val carriedRowCount = old.filter(_.sizeInBytes == BigInt(bytes))
+      .flatMap(_.rowCount)
     catalog.alterTableStats(ident, Some(
       org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
         sizeInBytes = BigInt(bytes),
-        rowCount = rowCount.orElse(old.flatMap(_.rowCount)),
+        rowCount = rowCount.orElse(carriedRowCount),
         colStats = old.map(_.colStats).getOrElse(Map.empty))))
     spark.catalog.refreshTable(ident.quotedString)
     Seq.empty

@@ -36,10 +36,37 @@ import org.apache.spark.sql.types.StringType
   * `<table>/_graft_log/_constraints/`, updated through the same
   * [[CommitStore]] primitives as data commits — concurrent ADDs race
   * on the slot and the loser re-reads and retries, exactly like
-  * writers. Maintenance rewrites (OPTIMIZE / compaction / RESTORE /
-  * materialize) are rows-preserving and skip the gate by design;
-  * RESTORE can therefore resurrect pre-constraint rows — the documented
-  * trade for keeping restore a manifest-level operation.
+  * writers. Maintenance rewrites (OPTIMIZE / compaction / materialize)
+  * are rows-preserving and skip the gate by design; RESTORE is gated —
+  * it enforces the constraint set on the restored snapshot, so a
+  * restore that would resurrect violating rows refuses until the
+  * constraint is dropped first.
+  *
+  * ==ADD vs concurrent writers==
+  *
+  * The constraint log is CAS-separate from the data log, so ADD and an
+  * in-flight writer need a serialization point or a writer that read
+  * the pre-ADD (empty) set could land violating rows after ADD's
+  * validation — an armed constraint silently violated. The protocol
+  * closes this with a write BARRIER through the data log:
+  *
+  *  1. ADD validates the existing snapshot (tip v0), publishes the
+  *     constraint, then takes an EMPTY commit in the DATA log (the
+  *     barrier, version m).
+  *  2. Every writer re-probes the constraint log tip on each commit
+  *     attempt, AFTER reading the data tip it will CAS against
+  *     ([[Gate]]), re-enforcing when the set moved.
+  *
+  * A writer committing at a slot > m read a data tip ≥ m, which is only
+  * visible after the barrier — itself after the publish — so its probe
+  * saw the new constraint and its batch was gated. A writer at a slot
+  * < m is re-validated: when commits interleaved between v0 and the
+  * barrier (m > v0+1), ADD re-validates the snapshot and on violation
+  * REMOVES the constraint and refuses — the writer's commit stands, the
+  * ADD fails, and the constraint never half-holds. (Residual crash
+  * window: an ADD process dying between publish and re-validation
+  * leaves the constraint armed with up to the interleaved commits
+  * unvalidated — the sidecar-log trade, bounded to that one window.)
   *
   * SQL integration: Spark 4 PARSES the ANSI constraint statements but
   * its analyzer refuses them for V1 session-catalog tables inside the
@@ -79,45 +106,102 @@ object TxConstraints {
     cs.map { case (n, c) => s"${TxTable.vhexOf(n)}\t${TxTable.vhexOf(c)}" }
 
   /** ADD: guard the expression (no subqueries — the gate re-evaluates
-    * under CAS retries and per batch; non-determinism is caught on the
-    * snapshot's analyzed plan), validate every EXISTING row, then CAS
-    * the new set. Duplicate names refuse, case-insensitively. */
-  def add(spark: SparkSession, dir: String, name: String, condition: String): Unit = {
+    * under CAS retries and per batch; non-determinism is caught on an
+    * analyzed plan over the table's schema), validate every EXISTING
+    * row, CAS the new set, then serialize against in-flight writers
+    * through a data-log barrier (see the object scaladoc) — when
+    * commits interleaved with the validation, the snapshot re-validates
+    * and a violation un-publishes the constraint and refuses. Duplicate
+    * names refuse, case-insensitively.
+    *
+    * On a table with no committed snapshot the checks run against
+    * `schemaHint` (the cataloged schema, passed by the SQL face); with
+    * neither a snapshot nor a hint there is NOTHING to validate column
+    * references or determinism against, and the ADD refuses loudly — a
+    * typo'd column would otherwise pass vacuously on every future batch
+    * and the constraint would silently never enforce.
+    *
+    * @param beforeBarrier test seam: runs between the constraint
+    *   publish and the data-log barrier — the race window a concurrent
+    *   writer's commit can land in. */
+  def add(spark: SparkSession, dir: String, name: String, condition: String,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      beforeBarrier: () => Unit = () => ()): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
     val parsed = CatalystSqlParser.parseExpression(condition)
     require(!parsed.exists(_.isInstanceOf[SubqueryExpression]),
       s"CHECK ($condition): subqueries are not supported in constraints " +
         "(the gate re-evaluates per incoming batch)")
-    TxTable.snapshot(spark, dir).foreach { snap =>
+    // tip BEFORE the validation snapshot: any commit past v0 is either
+    // re-validated below or provably gated (see the barrier protocol)
+    val v0 = TxTable.latestVersion(spark, dir)
+    def validate(frame: DataFrame, countRows: Boolean): Unit = {
       val refs = parsed.collect { case u: UnresolvedAttribute => u.nameParts.head }
-      val missing = refs.filterNot(r => snap.columns.exists(_.equalsIgnoreCase(r)))
+      val missing = refs.filterNot(r => frame.columns.exists(_.equalsIgnoreCase(r)))
       require(missing.isEmpty,
         s"CHECK ($condition) references column(s) the table does not " +
           s"have: ${missing.distinct.mkString(", ")}")
-      val proj = snap.select(expr(condition).as("c"))
+      val proj = frame.select(expr(condition).as("c"))
       require(proj.queryExecution.analyzed.expressions.forall(_.deterministic),
         s"CHECK ($condition) is non-deterministic — the gate re-evaluates " +
           "it per batch and under commit retries")
-      // violation = condition IS FALSE (NULL passes, the SQL contract)
-      val bad = snap.filter(expr(condition) === lit(false)).count()
-      require(bad == 0L,
-        s"cannot ADD CONSTRAINT $name CHECK ($condition): $bad existing " +
-          s"row(s) of $dir violate it")
+      if (countRows) {
+        // violation = condition IS FALSE (NULL passes, the SQL contract)
+        val bad = frame.filter(expr(condition) === lit(false)).count()
+        require(bad == 0L,
+          s"cannot ADD CONSTRAINT $name CHECK ($condition): $bad existing " +
+            s"row(s) of $dir violate it")
+      }
+    }
+    TxTable.snapshot(spark, dir) match {
+      case Some(snap) => validate(snap, countRows = true)
+      case None => schemaHint match {
+        case Some(schema) =>
+          validate(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema), countRows = false)
+        case None => throw new IllegalArgumentException(
+          s"cannot ADD CONSTRAINT $name on $dir: the table has no " +
+            "committed snapshot and no cataloged schema to validate " +
+            "against — commit once first, or create the table through " +
+            "the catalog so the constraint's column references can be " +
+            "checked (an unchecked typo would silently never enforce)")
+      }
     }
     val log = logOf(dir)
     val store = CommitStore.forPath(TxTable.fsOf(spark, dir), log)
     var attempt = 0
-    while (attempt < 10) {
+    var published = false
+    while (!published && attempt < 10) {
       attempt += 1
       val (v, lines) = store.latest(log)
       val cur = if (v == 0) Seq.empty else parseLines(lines)
       require(!cur.exists(_._1.equalsIgnoreCase(name)),
         s"constraint $name already exists on $dir")
-      if (store.tryCommit(log, v + 1, render(cur :+ (name -> condition)))) return
+      published = store.tryCommit(log, v + 1, render(cur :+ (name -> condition)))
     }
-    throw new IllegalStateException(
+    if (!published) throw new IllegalStateException(
       s"ADD CONSTRAINT lost the update race 10 times on $dir")
+    beforeBarrier()
+    // barrier: after this empty data-log commit wins version m, any
+    // writer landing a later slot provably probed the published set
+    val m = TxTable.barrierCommit(spark, dir)
+    if (m > v0 + 1) {
+      // commits interleaved between validation and the barrier — they
+      // enforced the PRE-add set, so the armed constraint must be
+      // re-proven against the current snapshot; a violation means a
+      // writer legitimately raced the ADD: the commit stands, the ADD
+      // un-publishes and fails
+      val bad = TxTable.snapshot(spark, dir)
+        .map(_.filter(expr(condition) === lit(false)).count()).getOrElse(0L)
+      if (bad > 0L) {
+        drop(spark, dir, name, ifExists = true)
+        throw new IllegalArgumentException(
+          s"cannot ADD CONSTRAINT $name CHECK ($condition): a concurrent " +
+            s"commit landed $bad violating row(s) on $dir during the add — " +
+            "the commit stands, the constraint was not added")
+      }
+    }
   }
 
   /** DROP: CAS the set minus `name`; absent + !ifExists refuses. */
@@ -164,7 +248,35 @@ object TxConstraints {
     * of the (usually absent) constraints log. */
   private[io] def enforce(
       spark: SparkSession, dir: String, batch: DataFrame, verb: String): Unit = {
-    val cs = of(spark, dir)
+    val log = logOf(dir)
+    val store = CommitStore.forPath(TxTable.fsOf(spark, dir), log)
+    val (v, lines) = store.latest(log)
+    enforceSet(if (v == 0) Seq.empty else parseLines(lines), batch, dir, verb)
+  }
+
+  /** Tracks the constraints-log version a batch was last enforced at,
+    * so a commit loop can cheaply re-probe per CAS attempt and only pay
+    * the O(batch) aggregate again when the set actually MOVED (an ADD
+    * or DROP raced the commit — the barrier protocol's writer half).
+    * Call [[ensure]] once before staging (fail-fast) and once per
+    * attempt AFTER reading the data tip the attempt will CAS against —
+    * that ordering is what the barrier proof relies on. */
+  private[io] final class Gate(
+      spark: SparkSession, dir: String, verb: String) {
+    private var enforcedAt = -1L
+    def ensure(batch: DataFrame): Unit = {
+      val log = logOf(dir)
+      val store = CommitStore.forPath(TxTable.fsOf(spark, dir), log)
+      val (v, lines) = store.latest(log)
+      if (v != enforcedAt) {
+        enforceSet(if (v == 0) Seq.empty else parseLines(lines), batch, dir, verb)
+        enforcedAt = v
+      }
+    }
+  }
+
+  private def enforceSet(cs: Seq[(String, String)],
+      batch: DataFrame, dir: String, verb: String): Unit = {
     if (cs.isEmpty) return
     val cols = batch.columns
     val applicable = cs.filter { case (_, cond) =>
@@ -198,26 +310,31 @@ object TxConstraints {
   object Interception extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case a: AddCheckConstraint =>
-        withTxPath(a.child) { path =>
+        withTxTable(a.child) { ct =>
           val characteristic = a.checkConstraint.userProvidedCharacteristic
           require(!characteristic.enforced.contains(false),
             "graft-tx CHECK constraints are always ENFORCED — " +
               "NOT ENFORCED is not supported")
-          TxAddConstraintCommand(path,
-            a.checkConstraint.name, a.checkConstraint.condition)
+          // the cataloged schema validates column references even on a
+          // never-committed table (where there is no snapshot to check)
+          TxAddConstraintCommand(TxCatalog.pathOf(ct),
+            a.checkConstraint.name, a.checkConstraint.condition,
+            Some(ct.schema).filter(_.nonEmpty))
         }.getOrElse(plan)
       case d: DropConstraint =>
-        withTxPath(d.table)(path =>
-          TxDropConstraintCommand(path, d.name, d.ifExists)).getOrElse(plan)
+        withTxTable(d.table)(ct =>
+          TxDropConstraintCommand(TxCatalog.pathOf(ct), d.name, d.ifExists))
+          .getOrElse(plan)
       case other => other
     }
 
-    /** The statement's target table, IF it is a graft-tx catalog table
-      * (the child is still unresolved — AddCheckConstraint carries
+    /** The statement's target table record, IF it is a graft-tx catalog
+      * table (the child is still unresolved — AddCheckConstraint carries
       * Spark's validation scan over an UnresolvedRelation, DropConstraint
       * an UnresolvedTable). */
-    private def withTxPath(child: LogicalPlan)(
-        f: String => LogicalPlan): Option[LogicalPlan] =
+    private def withTxTable(child: LogicalPlan)(
+        f: org.apache.spark.sql.catalyst.catalog.CatalogTable => LogicalPlan)
+        : Option[LogicalPlan] =
       child.collectFirst {
         case u: UnresolvedRelation => u.multipartIdentifier
         case t: UnresolvedTable => t.multipartIdentifier
@@ -227,16 +344,19 @@ object TxConstraints {
         case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
           Some(TableIdentifier(t, Some(db)))
         case _ => None
-      }.flatMap(TxCatalog.txTable).map(ct => f(TxCatalog.pathOf(ct)))
+      }.flatMap(TxCatalog.txTable).map(f)
   }
 }
 
 /** `ALTER TABLE <tx> ADD CONSTRAINT <name> CHECK (<cond>)` →
-  * [[TxConstraints.add]] (validates the existing snapshot, then CAS). */
+  * [[TxConstraints.add]] (validates the existing snapshot — or the
+  * cataloged schema on a never-committed table — then CAS + barrier). */
 case class TxAddConstraintCommand(
-    path: String, name: String, condition: String) extends LeafRunnableCommand {
+    path: String, name: String, condition: String,
+    schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+  extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    TxConstraints.add(spark, path, name, condition)
+    TxConstraints.add(spark, path, name, condition, schemaHint)
     Seq.empty
   }
 }

@@ -49,6 +49,7 @@ import org.apache.spark.sql.types.StructType
   */
 class TxDataSource
     extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider
     with StreamSourceProvider
     with StreamSinkProvider
@@ -170,8 +171,26 @@ class TxDataSource
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   override def createRelation(
-      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val p = lower(parameters)
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
+    relationOf(sqlContext, lower(parameters), providedSchema = None)
+
+  /** The [[SchemaRelationProvider]] face — what lets `CREATE TABLE t
+    * (cols…) USING graft-tx` succeed on a NEVER-COMMITTED path: Spark
+    * validates a schema-ful CREATE (and resolves every later catalog
+    * read) through this seam, and without it the relation would have to
+    * throw "no committed TxTable" before the first INSERT could ever
+    * bootstrap the table. On a committed table the snapshot schema
+    * remains the authority; the provided schema is checked against it
+    * loosely (names + types, nullability-insensitive — the same
+    * divergence Spark's own RelationProvider path refuses). */
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    relationOf(sqlContext, lower(parameters), providedSchema = Some(schema))
+
+  private def relationOf(
+      sqlContext: SQLContext, p: Map[String, String],
+      providedSchema: Option[StructType]): BaseRelation = {
     val path = pathOf(p)
     val spark = sqlContext.sparkSession
     // changesFrom: the BATCH change-feed read (the public formats'
@@ -205,7 +224,8 @@ class TxDataSource
       case (Some(r), _) => r
       case (None, e) => e // pre-meta table: the option is all we have
     }
-    TxRelation(spark, path, parts, p.get("versionasof").map(_.toLong))
+    TxRelation(spark, path, parts, p.get("versionasof").map(_.toLong),
+      providedSchema, p.get("key"), p.get("version"))
   }
 
   override def createRelation(
@@ -266,7 +286,9 @@ class TxDataSource
 
 private[io] case class TxRelation(
     spark: SparkSession, path: String,
-    partCols: Seq[String], versionAsOf: Option[Long])
+    partCols: Seq[String], versionAsOf: Option[Long],
+    providedSchema: Option[StructType] = None,
+    keyOpt: Option[String] = None, verOpt: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** `INSERT INTO <view/table>` — a keyed latest-wins UPSERT (the only
@@ -298,16 +320,19 @@ private[io] case class TxRelation(
       "INSERT INTO a graft-tx table needs its partition columns " +
         "recorded in _meta (commit once through a write verb)")
     val id = TxTable.identityOf(spark, path) // one _meta read for both
-    val key = id.flatMap(_._2).getOrElse(
+    // _meta is the authority; the relation's own key/version OPTIONS
+    // (a schema-ful CREATE's) stand in before the first commit, which
+    // is what lets INSERT bootstrap a declared-but-empty table
+    val key = id.flatMap(_._2).orElse(keyOpt).getOrElse(
       throw new IllegalArgumentException(
         "INSERT INTO a graft-tx table needs its merge key recorded in " +
-          "_meta — bootstrap through a keyed verb, or use " +
-          "df.write.format(\"graft-tx\") with explicit options"))
-    val version = id.flatMap(_._3).getOrElse(
+          "_meta or the 'key' option — bootstrap through a keyed verb, " +
+          "or use df.write.format(\"graft-tx\") with explicit options"))
+    val version = id.flatMap(_._3).orElse(verOpt).getOrElse(
       throw new IllegalArgumentException(
         "INSERT INTO a graft-tx table needs its version column recorded " +
-          "in _meta — bootstrap through upsert, or use " +
-          "df.write.format(\"graft-tx\") with explicit options"))
+          "in _meta or the 'version' option — bootstrap through upsert, " +
+          "or use df.write.format(\"graft-tx\") with explicit options"))
     TxTable.upsert(spark, path,
       data.toDF(schema.fieldNames.toIndexedSeq: _*),
       key, version, PartitionSpec(partCols))
@@ -323,17 +348,39 @@ private[io] case class TxRelation(
     case Some(v) => TxTable.snapshotAt(spark, path, v).getOrElse(
       throw new IllegalArgumentException(
         s"graft-tx: version $v of $path is not readable (vacuumed or never committed)"))
-    case None => TxTable.snapshot(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-tx: $path holds no committed TxTable"))
+    case None => TxTable.snapshot(spark, path).getOrElse {
+      // a declared-but-empty table (schema-ful CREATE before the first
+      // commit, or a table whose every row was deleted) reads as zero
+      // rows of the declared schema — never as an error
+      providedSchema.map(s =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-tx: $path holds no committed TxTable"))
+    }
   }
 
   // one mergeSchema footer pass on FIRST ACCESS — the same resolution
   // a snapshot read performs. Lazy, not eager: the write path returns
   // this relation after an append, and an EMPTY append to a fresh path
   // is a documented no-op that must not crash on "no committed
-  // TxTable" just because the relation was constructed.
-  override lazy val schema: StructType = snap.schema
+  // TxTable" just because the relation was constructed. When BOTH a
+  // snapshot and a catalog-provided schema exist, the snapshot is the
+  // authority and the two must agree (names + types, nullability
+  // aside) — the check Spark's RelationProvider path performs, kept
+  // through the SchemaRelationProvider seam.
+  override lazy val schema: StructType = {
+    val actual = snap.schema
+    for (declared <- providedSchema if TxTable.latestVersion(spark, path) > 0) {
+      def shape(s: StructType): Seq[(String, String)] =
+        s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.simpleString))
+      require(shape(actual) == shape(declared),
+        s"graft-tx: the declared schema of $path " +
+          s"(${declared.simpleString}) does not match the table's " +
+          s"committed schema (${actual.simpleString}) — evolve cataloged " +
+          "tables through ALTER TABLE ADD COLUMNS, which commits both sides")
+    }
+    actual
+  }
 
   // Spark re-applies EVERY predicate above this scan: pushdown here is
   // a cost optimization (manifest pruning + inner parquet skipping),

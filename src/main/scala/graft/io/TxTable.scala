@@ -257,6 +257,37 @@ object TxTable {
     CommitStore.forPath(fsOf(spark, dir), log).latest(log)._1
   }
 
+  /** Publish an EMPTY commit — a write barrier: wins a version in the
+    * data log without changing the table (an empty delta folds to a
+    * no-op; readers, the change feed and the stream source all see a
+    * zero-row commit). Constraint ADD uses it to serialize against
+    * in-flight writers: a commit landing a slot AFTER the barrier
+    * provably read the data tip — and therefore probed the constraint
+    * log — after the barrier was taken ([[TxConstraints]] scaladoc).
+    * Returns the barrier's version. */
+  private[io] def barrierCommit(
+      spark: SparkSession, dir: String, maxRetries: Int = 10): Long = {
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fsOf(spark, dir), log)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val (v, _) = store.latest(log)
+      val next = v + 1
+      // respect the checkpoint cadence — a slot on the cadence must
+      // carry the full folded map or later resolves walk past it
+      val body =
+        if (next == 1 || next % checkpointInterval(spark) == 0)
+          render("checkpoint", resolveAt(store, log, v).getOrElse(
+            throw new IllegalStateException(
+              s"manifest chain for version $v is broken")))
+        else render("delta", Map.empty)
+      if (store.tryCommit(log, next, body)) return next
+    }
+    throw new IllegalStateException(
+      s"barrier commit lost the race $maxRetries times on $dir")
+  }
+
   /** The partition columns recorded in the table's `_meta` slot — None
     * for tables created before the slot existed (or whose first commit
     * raced a filesystem that refused the create). The names are
@@ -296,7 +327,8 @@ object TxTable {
     * adding a field never breaks an older reader (it simply doesn't
     * look for it) and older slots read as None for the newer fields. */
   private case class TableMeta(
-      partCols: Seq[String], key: Option[String], version: Option[String])
+      partCols: Seq[String], key: Option[String], version: Option[String],
+      specPending: Boolean = false, specSince: Option[Long] = None)
 
   private def readMeta(fs: FileSystem, dir: String): Option[Seq[String]] =
     readMetaAll(fs, dir).map(_.partCols)
@@ -315,9 +347,30 @@ object TxTable {
       field("partitionColumns").map { parts =>
         TableMeta(vhexSplit(parts),
           field("mergeKey").map(vdecode),
-          field("versionColumn").map(vdecode))
+          field("versionColumn").map(vdecode),
+          field("specPending").contains("1"),
+          field("specSince").flatMap(_.toLongOption))
       }
     } catch { case _: java.io.IOException => None } // advisory slot
+  }
+
+  /** Overwrite the `_meta` slot — ONLY [[repartitionTable]] does this
+    * (the slot is otherwise create-once): first to the transitional
+    * record (new spec + specPending, which refuses writers and disables
+    * manifest pruning until the re-keyed manifest lands), then to the
+    * final record. */
+  private def writeMeta(
+      fs: FileSystem, dir: String, partCols: Seq[String],
+      key: Option[String], version: Option[String],
+      specPending: Boolean, specSince: Option[Long] = None): Unit = {
+    val body = s"partitionColumns\t${vhexJoin(partCols)}\n" +
+      key.fold("")(k => s"mergeKey\t${vhexOf(k)}\n") +
+      version.fold("")(v => s"versionColumn\t${vhexOf(v)}\n") +
+      (if (specPending) "specPending\t1\n" else "") +
+      specSince.fold("")(v => s"specSince\t$v\n")
+    val out = fs.create(metaPath(dir), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Enforce (and on first contact record) the table's partition spec:
@@ -332,6 +385,14 @@ object TxTable {
       fs: FileSystem, dir: String, spec: PartitionSpec,
       key: Option[String] = None, version: Option[String] = None): Unit = {
     def verify(meta: TableMeta, note: String): Unit = {
+      // a half-done partition respec (crash between the transitional
+      // _meta and the re-keyed manifest commit) must refuse writers:
+      // a commit keyed on EITHER spec against the mixed state would
+      // double-key or split row identities
+      require(!meta.specPending,
+        s"TxTable $dir has a partition respec in progress (specPending) — " +
+          s"rerun repartitionTable(${meta.partCols.mkString("(", ", ", ")")}) " +
+          "to complete it before writing")
       require(meta.partCols == spec.cols,
         s"TxTable $dir is partitioned by ${meta.partCols.mkString("(", ", ", ")")} " +
           s"but this writer passed ${spec.cols.mkString("(", ", ", ")")}$note — " +
@@ -424,7 +485,11 @@ object TxTable {
     // (or a single-column call on a multi-column table) computes keys
     // in the WRONG ENCODING and would silently return the empty frame —
     // the same loud failure the write verbs give a mismatched spec
-    readMeta(fsOf(spark, dir), dir).foreach { recorded =>
+    val recordedMeta = readMetaAll(fsOf(spark, dir), dir)
+    // mid-respec the manifest keys may still be the OLD derivation —
+    // pruning against them would silently miss rows; read conservatively
+    if (recordedMeta.exists(_.specPending)) return snapshot(spark, dir)
+    recordedMeta.map(_.partCols).foreach { recorded =>
       values.find(_.size != recorded.size).foreach { bad =>
         throw new IllegalArgumentException(
           s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
@@ -457,7 +522,7 @@ object TxTable {
       .flatMap(_.vhex)
       .map(vhexSplit)
       .filter(t => arity.forall(_ == t.size))
-      .sortBy(_.mkString(" "))
+      .sortBy(_.mkString("\u0000"))
   }
 
   /** Zero-row frame carrying the FULL snapshot schema: a no-hit pruned
@@ -493,7 +558,12 @@ object TxTable {
     // one (swapped order, wrong names) would bind the stored values to
     // the wrong columns and prune WRONG (missing rows, not just
     // unpruned) — so the mismatch fails loudly like the write verbs
-    readMeta(fsOf(spark, dir), dir).foreach(recorded =>
+    val recordedMeta = readMetaAll(fsOf(spark, dir), dir)
+    // mid-respec the manifest values may still be the OLD derivation —
+    // same-arity respecs would bind them to the wrong columns and prune
+    // wrong, so pruning disables until the re-keyed manifest lands
+    if (recordedMeta.exists(_.specPending)) return snapshot(spark, dir)
+    recordedMeta.map(_.partCols).foreach(recorded =>
       require(recorded == partitionCol.cols,
         s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
           s"but this read passed ${partitionCol.cols.mkString("(", ", ", ")")} — " +
@@ -697,6 +767,157 @@ object TxTable {
       maxRetries, beforeCommit, "replaceWindow")(
       (existing, batch) => existing.filter(!windowPred).unionByName(batch))
 
+  /** Replace the ENTIRE table content as ONE commit — the whole-table
+    * form of [[replaceWindow]] (S11's truncate/overwrite family): the
+    * committed body is a CHECKPOINT holding exactly the staged
+    * partitions, so partitions absent from `incoming` cease to exist at
+    * the new version (no per-partition tombstones needed) and a reader
+    * sees the old table or the new one, never a mix. Prior versions
+    * stay time-travelable until vacuum. An EMPTY `incoming` is the
+    * transactional TRUNCATE.
+    *
+    * Full replacement is a POINT-IN-TIME statement about the table, so
+    * a concurrent commit does NOT retry-and-clobber: the CAS is
+    * attempted once and a lost race throws — the caller recomputes its
+    * replacement against the new tip and reruns (the REPLACE-conflict
+    * semantics of the public lake formats). This is the atomic-swap
+    * primitive index rebuilds ride (q:x_ann_ivf_refresh): stage the new
+    * index in full, land it as one version, queries never observe a
+    * half-built index. */
+  def replaceAll(
+      spark: SparkSession, targetDir: String, incoming: DataFrame,
+      partitionCol: PartitionSpec, layout: Layout = Layout.none,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val batch = incoming.withColumn(PKey, keyExpr(partitionCol))
+      .localCheckpoint(true)
+    val touched = touchedOf(batch, partitionCol)
+    val gate = new TxConstraints.Gate(spark, targetDir, "replaceAll")
+    gate.ensure(batch)
+    val fs = fsOf(spark, targetDir)
+    val log = s"$targetDir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    ensureSpec(fs, targetDir, partitionCol)
+    val (v, _) = store.latest(log)
+    gate.ensure(batch)
+    val commitId = UUID.randomUUID().toString
+    val stageRel = s"$DataDir/$commitId"
+    val staged: Map[String, Entry] =
+      if (touched.isEmpty) Map.empty // truncate: an empty checkpoint
+      else {
+        writeLaidOut(batch, layout, s"$targetDir/$stageRel")
+        fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith(PKey + "="))
+          .map { leaf =>
+            val k = leaf.stripPrefix(PKey + "=")
+            k -> Entry(s"$stageRel/$leaf", touched.get(k))
+          }.toMap
+      }
+    beforeCommit()
+    if (!store.tryCommit(log, v + 1, render("checkpoint", staged))) {
+      fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
+      throw new IllegalStateException(
+        s"TxTable.replaceAll lost to a concurrent commit on $targetDir — " +
+          "a full replacement is point-in-time: recompute it against the " +
+          "new tip and rerun")
+    }
+  }
+
+  /** Partition-SPEC evolution — re-key the table on different partition
+    * columns: a FULL rows-preserving rewrite landing as one checkpoint
+    * commit, with history preserved (old versions stay readable under
+    * their old keys; [[diff]] across the rewrite is row-empty because
+    * every row survives). The `_meta` record is otherwise immutable
+    * ([[ensureSpec]]); this is the one maintenance verb that rewrites
+    * it, in two steps with a crash-safe ordering:
+    *
+    *  1. the TRANSITIONAL record (new columns + `specPending`) lands
+    *     first — from that instant writers REFUSE (a commit keyed on
+    *     either spec against the mixed state would double-key) and
+    *     manifest pruning DISABLES (old-keyed entries would bind their
+    *     values to the new column names and prune wrong); full reads
+    *     are unaffected, because reading never depends on keys.
+    *  2. the snapshot re-stages under the new key derivation and
+    *     commits as one checkpoint (CAS loop: a straggler writer that
+    *     passed its spec check before step 1 folds in on retry), then
+    *     the final record (pending cleared) lands.
+    *
+    * A crash between the steps leaves the table readable and loudly
+    * write-refusing; rerunning `repartitionTable` with the same spec
+    * completes the evolution (idempotent). Calling it with the spec the
+    * table already has (and no pending respec) is a no-op. */
+  def repartitionTable(
+      spark: SparkSession, dir: String, newSpec: PartitionSpec,
+      layout: Layout = Layout.none, maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    require(newSpec.cols.nonEmpty, "repartitionTable needs partition columns")
+    val fs = fsOf(spark, dir)
+    val meta = readMetaAll(fs, dir).getOrElse(throw new IllegalArgumentException(
+      s"TxTable $dir records no _meta — commit once through a write verb " +
+        "before evolving its partition spec"))
+    if (meta.partCols == newSpec.cols && !meta.specPending) return
+    require(!meta.specPending || meta.partCols == newSpec.cols,
+      s"TxTable $dir has a respec to ${meta.partCols.mkString("(", ", ", ")")} " +
+        s"in progress — complete it (rerun with that spec) before evolving to " +
+        s"${newSpec.cols.mkString("(", ", ", ")")}")
+    val log = s"$dir/$LogDir"
+    val store = CommitStore.forPath(fs, log)
+    // validate the new columns against the current schema before any
+    // state changes (an empty table has no rows to re-key — just move
+    // the record)
+    snapshot(spark, dir) match {
+      case None =>
+        // no rows to re-key, but HISTORY may hold old-keyed versions —
+        // specSince fences restore from crossing back into them
+        writeMeta(fs, dir, newSpec.cols, meta.key, meta.version,
+          specPending = false, specSince = Some(store.latest(log)._1))
+        return
+      case Some(snap0) =>
+        val missing = newSpec.cols.filterNot(c =>
+          snap0.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"repartitionTable: $dir has no column(s) ${missing.mkString(", ")}")
+    }
+    // step 1: the transitional record — writers refuse, pruning off
+    writeMeta(fs, dir, newSpec.cols, meta.key, meta.version,
+      specPending = true, specSince = meta.specSince)
+    // step 2: full re-keyed rewrite, one checkpoint commit
+    var committedAt = 0L
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"repartitionTable lost the commit race $maxRetries times on $dir " +
+            "(the respec stays pending — rerun to complete)")
+      val (v, _) = store.latest(log)
+      val entries = resolveAt(store, log, v).getOrElse(
+        throw new IllegalStateException(s"manifest chain for version $v is broken"))
+      val batch = read(spark, dir, entries).withColumn(PKey, keyExpr(newSpec))
+      val touched = touchedOf(batch, newSpec)
+      val commitId = UUID.randomUUID().toString
+      val stageRel = s"$DataDir/$commitId"
+      writeLaidOut(batch, layout, s"$dir/$stageRel")
+      val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(PKey + "="))
+        .map { leaf =>
+          val k = leaf.stripPrefix(PKey + "=")
+          k -> Entry(s"$stageRel/$leaf", touched.get(k))
+        }.toMap
+      if (attempt == 1) beforeCommit()
+      if (store.tryCommit(log, v + 1, render("checkpoint", staged))) {
+        committed = true
+        committedAt = v + 1
+      } else fs.delete(new Path(s"$dir/$stageRel"), true): Unit
+    }
+    // the final record: restore is fenced at the rewrite version — a
+    // target below it is keyed under the old spec
+    writeMeta(fs, dir, newSpec.cols, meta.key, meta.version,
+      specPending = false, specSince = Some(committedAt))
+  }
+
   /** Transactional CDC APPLY — a change log (key, op ∈ I/U/D, seq,
     * payload…) lands as ONE commit: upserts and deletes together,
     * atomically, which two separate upsert+delete commits cannot give a
@@ -720,9 +941,11 @@ object TxTable {
     val touchedKeys = touched.keys.toIndexedSeq
     if (touchedKeys.isEmpty) return
     // constraint gate on the upserting changes only — D-rows carry no
-    // new values (Merge.applyCdc's null-op-is-upsert convention)
-    TxConstraints.enforce(spark, targetDir,
-      batch.filter(col(opCol).isNull || col(opCol) =!= "D"), "applyCdc")
+    // new values (Merge.applyCdc's null-op-is-upsert convention); the
+    // Gate re-probes per CAS attempt (barrier protocol, writer half)
+    val upserting = batch.filter(col(opCol).isNull || col(opCol) =!= "D")
+    val gate = new TxConstraints.Gate(spark, targetDir, "applyCdc")
+    gate.ensure(upserting)
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -731,6 +954,9 @@ object TxTable {
     while (attempt < maxRetries) {
       attempt += 1
       val (v, _) = store.latest(log)
+      gate.ensure(upserting) // probe after the data-tip read
+      // stale-spec retries refuse (the commitLoop discipline)
+      if (attempt > 1) ensureSpec(fs, targetDir, partitionCol, Some(key))
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
@@ -1033,6 +1259,8 @@ object TxTable {
     while (attempt < maxRetries) {
       attempt += 1
       val (v, _) = store.latest(log)
+      // stale-spec retries refuse (the commitLoop discipline)
+      if (attempt > 1) ensureSpec(fs, targetDir, partitionCol, Some(key))
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct
@@ -1242,6 +1470,21 @@ object TxTable {
       maxRetries: Int = 10): Unit = {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
+    // a restore must not cross a partition respec backwards: the target
+    // manifest is keyed under the OLD spec, and republishing it under
+    // the new `_meta` identity would double-key every future commit.
+    // Roll the spec back first (repartitionTable to the old columns),
+    // then restore — each step stays internally consistent.
+    readMetaAll(fsOf(spark, dir), dir).foreach { meta =>
+      require(!meta.specPending,
+        s"TxTable $dir has a partition respec in progress — complete it " +
+          "(rerun repartitionTable) before restoring")
+      meta.specSince.foreach(since => require(version >= since,
+        s"cannot restore $dir to version $version: the partition spec " +
+          s"changed at version $since and the target manifest is keyed " +
+          "under the old spec — repartitionTable back to the old columns " +
+          "first, then restore"))
+    }
     val restored = resolveAt(store, log, version).getOrElse(
       throw new IllegalStateException(
         s"version $version of $dir is not restorable (vacuumed or never committed)"))
@@ -1291,6 +1534,19 @@ object TxTable {
     val srcStore = CommitStore.forPath(srcFs, srcLog)
     val v = versionAsOf.getOrElse(srcStore.latest(srcLog)._1)
     require(v >= 1, s"cloneShallow source $sourceDir holds no committed TxTable")
+    // the restore fence, applied to branching: a clone of a pending
+    // respec (or of a pre-respec version) would pair an old-keyed
+    // manifest with the new-spec `_meta` — inconsistent from birth
+    readMetaAll(srcFs, sourceDir).foreach { m =>
+      require(!m.specPending,
+        s"cloneShallow: $sourceDir has a partition respec in progress — " +
+          "complete it (rerun repartitionTable) before cloning")
+      m.specSince.foreach(since => require(v >= since,
+        s"cloneShallow: version $v of $sourceDir predates its partition " +
+          s"respec (version $since) and is keyed under the old spec — " +
+          "clone a post-respec version, or repartition the clone's spec " +
+          "back by hand"))
+    }
     val entries = resolveAt(srcStore, srcLog, v).getOrElse(
       throw new IllegalStateException(
         s"version $v of $sourceDir is not cloneable (vacuumed or never committed)"))
@@ -1381,8 +1637,12 @@ object TxTable {
     if (touchedKeys.isEmpty) return // empty batch: a no-op, not a failure
     // CHECK-constraint gate on the incoming rows (existing rows were
     // validated when each constraint was added): one O(batch) pass,
-    // skipped entirely on constraint-less tables
-    TxConstraints.enforce(spark, targetDir, batch, op)
+    // skipped entirely on constraint-less tables. The Gate re-probes
+    // the constraint log per CAS attempt below (a one-file read) and
+    // re-runs the aggregate only when the set moved — the writer half
+    // of the ADD-vs-writer barrier protocol (TxConstraints scaladoc).
+    val gate = new TxConstraints.Gate(spark, targetDir, op)
+    gate.ensure(batch) // fail-fast before any staging cost
     val fs = fsOf(spark, targetDir)
     val log = s"$targetDir/$LogDir"
     val store = CommitStore.forPath(fs, log)
@@ -1396,6 +1656,13 @@ object TxTable {
         throw new IllegalStateException(
           s"TxTable.$op lost the commit race $maxRetries times on $targetDir")
       val (v, _) = store.latest(log)
+      // probe AFTER the data-tip read the attempt will CAS against —
+      // the ordering the barrier proof needs
+      gate.ensure(batch)
+      // re-verify the spec per attempt: a repartitionTable that won the
+      // race re-keyed the manifest, and a stale-spec retry would
+      // double-key the table — refuse loudly instead
+      if (attempt > 1) ensureSpec(fs, targetDir, partitionCol, key, version)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       val existingDirs = touchedKeys.flatMap(entries.get).map(_.leaf).distinct

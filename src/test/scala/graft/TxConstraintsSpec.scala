@@ -230,6 +230,138 @@ class TxConstraintsSpec extends SparkTestBase {
       .filter(col("price") < 0).count() === 1L)
   }
 
+  test("ADD racing an in-flight writer: the barrier forces the writer to re-enforce") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    boot(dir)
+    // the writer stages a VIOLATING batch; in the window between its
+    // staging and its CAS (the beforeCommit seam), the constraint
+    // publishes and takes its barrier — the writer's CAS loses to the
+    // barrier, re-probes the constraint log on retry, re-enforces with
+    // the new set, and refuses. The old validate-then-publish protocol
+    // let exactly this batch land unvalidated.
+    val e = intercept[Exception](TxTable.upsert(spark, dir,
+      Seq((7L, -3.0, 2L, 20240105)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id",
+      beforeCommit = () =>
+        TxConstraints.add(spark, dir, "price_pos", "price > 0")))
+    assert(e.getMessage.contains("price_pos"))
+    // the constraint is armed and the violating batch left no trace
+    assert(TxConstraints.of(spark, dir) === Seq(("price_pos", "price > 0")))
+    assert(TxTable.snapshot(spark, dir).get.count() === 2L)
+    // the symmetric case: a CONFORMING racing batch retries and lands
+    val dir2 = freshDir()
+    boot(dir2)
+    TxTable.upsert(spark, dir2,
+      Seq((8L, 99.0, 2L, 20240105)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id",
+      beforeCommit = () =>
+        TxConstraints.add(spark, dir2, "price_pos", "price > 0"))
+    assert(TxTable.snapshot(spark, dir2).get.count() === 3L)
+    assert(TxConstraints.of(spark, dir2).map(_._1) === Seq("price_pos"))
+  }
+
+  test("a commit landing between publish and barrier fails the ADD, not the writer") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    boot(dir)
+    // deterministic build of the one interleaving the barrier cannot
+    // forbid: the writer probed the (empty) constraint set BEFORE the
+    // publish and wins its CAS before the barrier is taken. The ADD
+    // must then re-validate, find the violating row, un-publish and
+    // refuse — the writer's commit stands.
+    val published = new java.util.concurrent.CountDownLatch(1)
+    val writerDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var addError: Option[Throwable] = None
+    val adder = new Thread(() => {
+      try TxConstraints.add(spark, dir, "price_pos", "price > 0",
+        beforeBarrier = () => { published.countDown(); writerDone.await() })
+      catch { case t: Throwable => addError = Some(t) }
+    })
+    try {
+      TxTable.upsert(spark, dir,
+        Seq((9L, -4.0, 2L, 20240106)).toDF("id", "price", "etl_seq", "date_id"),
+        "id", "etl_seq", "date_id",
+        // the writer has already staged and gate-probed (empty set);
+        // now let the ADD validate + publish, then commit before its barrier
+        beforeCommit = () => { adder.start(); published.await() })
+    } finally writerDone.countDown()
+    adder.join()
+    // the writer's commit stands — it raced legitimately
+    assert(TxTable.snapshot(spark, dir).get
+      .filter(col("id") === 9L && col("price") === -4.0).count() === 1L)
+    // the ADD detected it, un-published, and refused
+    assert(addError.exists(t =>
+      Option(t.getMessage).exists(_.contains("concurrent commit"))),
+      s"expected the ADD to refuse on the interleaved commit, got $addError")
+    assert(TxConstraints.of(spark, dir).isEmpty,
+      "a failed ADD must not leave the constraint half-armed")
+  }
+
+  test("ADD on a never-committed table: cataloged schema validates, no schema refuses") {
+    // path-only empty table: nothing to validate against — refused
+    // loudly (an unchecked typo would silently never enforce)
+    val bare = freshDir()
+    val e = intercept[Exception](
+      TxConstraints.add(spark, bare, "c0", "price > 0"))
+    assert(e.getMessage.contains("no committed snapshot"))
+    assert(TxConstraints.of(spark, bare).isEmpty)
+    // catalog-created empty table: the cataloged schema stands in for
+    // the snapshot — typos and non-determinism refuse, valid adds arm
+    withExtSession { s2 =>
+      import s2.implicits._
+      val dir = freshDir()
+      val tbl = freshName("cons_fresh")
+      s2.sql(
+        s"""CREATE TABLE $tbl (id BIGINT, price DOUBLE, etl_seq BIGINT, date_id INT)
+           |USING `graft-tx`
+           |OPTIONS (path '$dir', key 'id', version 'etl_seq',
+           |         partitionColumns 'date_id')""".stripMargin)
+      try {
+        assert(intercept[Exception](s2.sql(
+          s"ALTER TABLE $tbl ADD CONSTRAINT c1 CHECK (nope > 0)"))
+          .getMessage.contains("does not have"))
+        assert(intercept[Exception](s2.sql(
+          s"ALTER TABLE $tbl ADD CONSTRAINT c2 CHECK (rand() > 0.5)"))
+          .getMessage.contains("non-deterministic"))
+        s2.sql(s"ALTER TABLE $tbl ADD CONSTRAINT c3 CHECK (price > 0)")
+        // and the armed constraint gates the table's FIRST data commit
+        val ei = intercept[Exception](TxTable.upsert(s2, dir,
+          Seq((1L, -1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id"))
+        assert(ei.getMessage.contains("c3"))
+        TxTable.upsert(s2, dir,
+          Seq((1L, 1.0, 1L, 20240101)).toDF("id", "price", "etl_seq", "date_id"),
+          "id", "etl_seq", "date_id")
+        assert(TxTable.snapshot(s2, dir).get.count() === 1L)
+      } finally s2.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("the ADD barrier commit is invisible to readers, diff and the change feed") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    boot(dir) // v1
+    TxConstraints.add(spark, dir, "price_pos", "price > 0") // barrier -> v2
+    assert(TxTable.latestVersion(spark, dir) === 2L,
+      "the ADD must leave exactly one barrier commit")
+    // snapshot across the barrier is unchanged, and v2 resolves
+    assert(TxTable.snapshot(spark, dir).get.count() === 2L)
+    assert(TxTable.snapshotAt(spark, dir, 2L).get.count() === 2L)
+    // row-level diff across the barrier is empty
+    assert(TxTable.diff(spark, dir, 1L, 2L, "id").count() === 0L)
+    // the batch change feed reads the barrier as zero rows
+    assert(spark.read.format("graft-tx").option("changesFrom", "1")
+      .load(dir).count() === 0L)
+    // and commits keep landing normally after it
+    TxTable.upsert(spark, dir,
+      Seq((3L, 7.0, 2L, 20240103)).toDF("id", "price", "etl_seq", "date_id"),
+      "id", "etl_seq", "date_id")
+    assert(TxTable.latestVersion(spark, dir) === 3L)
+    assert(spark.read.format("graft-tx").option("changesFrom", "1")
+      .load(dir).count() === 1L)
+  }
+
   test("TxCatalog.sql retrofit entry intercepts constraint statements on a plain session") {
     val dir = freshDir()
     boot(dir)
