@@ -67,9 +67,19 @@ object KMeans {
     val spark = data.sparkSession
     require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
 
+    // materialized ONCE, deliberately: the assignment fold below reads
+    // `v` via element_at O(k x dim) times per row, and higher-order
+    // folds run interpreted (no codegen) — if the caller's vector
+    // column is itself a computed projection (e.g. a fixed-point
+    // quantization transform), Catalyst's CollapseProject would inline
+    // that computation INTO every element access, turning a linear pass
+    // into k x dim re-evaluations per row (observed: 500 rows x 16
+    // cells stuck for minutes on inlined round()). The checkpoint also
+    // pays the upstream plan once instead of iters+1 times.
     val vecs = data.select(
       col(idCol).cast("long").as("id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint(true)
 
     var centroids: Array[Array[Double]] =
       if (init.nonEmpty) init.toArray

@@ -40,6 +40,67 @@ object Vector {
        | / (sqrt(list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
        |  * sqrt(list_reduce(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
 
+  // ---- DuckDB replay of fixed-point k-means training ------------------
+  // (the x_ann_*_trained oracles). Vectors quantize to 2^20 integers
+  // FIRST (the x_pca_power discipline), so every Lloyd-update sum is an
+  // integer-valued double — exact at ANY accumulation order — and each
+  // centroid is one deterministic DOUBLE/BIGINT division; assignment
+  // distances then fold in index order. That is what makes ops/KMeans'
+  // distributed training replayable bit-for-bit by unrolled SQL.
+
+  /** Squared-L2 between two list columns, index-order fold (matches
+    * KMeans.fit's `aggregate(sequence(…))` spelling exactly). */
+  private def dDist(v: String, c: String, dim: Int): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (a, x) -> a + x)"
+
+  /** Argmin-cell assignment of `sv` (vec_id, j, v) against centroids
+    * `cent` (j, cell, cent) — ties to the smaller cell, KMeans.fit's
+    * strict-< fold contract. Emits rn=1 as the assignment. */
+  private def dAssign(sv: String, cent: String, dim: Int): String =
+    s"""SELECT s.vec_id, s.j, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY s.vec_id, s.j
+       |    ORDER BY ${dDist("s.v", "c.cent", dim)} ASC, c.cell ASC) AS rn
+       |  FROM $sv s JOIN $cent c USING (j)""".stripMargin
+
+  /** One Lloyd iteration: assignment `a` against `prev`, then the
+    * per-(j, cell, dim) mean as the next codebook `c` — empty cells
+    * keep their previous centroid (KMeans.fit's contract). */
+  private def dLloyd(sv: String, prev: String, a: String, c: String, dim: Int): String =
+    s"""$a AS MATERIALIZED (
+       |  SELECT vec_id, j, cell FROM (
+       |  ${dAssign(sv, prev, dim)}) WHERE rn = 1),
+       |$c AS MATERIALIZED (
+       |  SELECT p.j, p.cell, COALESCE(u.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT t.j, t.cell, list(t.sx / t.n ORDER BY t.d) AS cent
+       |    FROM (
+       |      SELECT aa.j, aa.cell, ds.d, SUM(s.v[ds.d]) AS sx, COUNT(*) AS n
+       |      FROM $a aa JOIN $sv s ON s.vec_id = aa.vec_id AND s.j = aa.j
+       |      CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d) ds
+       |      GROUP BY 1, 2, 3) t
+       |    GROUP BY 1, 2) u USING (j, cell))""".stripMargin
+
+  /** The shared PQ-training CTE chain: 2^20-quantized 16-dim slices
+    * (4 subspaces), k=8 codebooks seeded from the first 8 vectors'
+    * slices, TWO unrolled Lloyd iterations, final per-subspace codes.
+    * Produces CTEs: js, sv, pc0, pa1, pc1, pa2, pc2, enc. */
+  private def dPqTrainCtes: String =
+    s"""js AS (SELECT unnest(range(0, 4)) AS j),
+       |sv AS MATERIALIZED (
+       |  SELECT e.vec_id, js.j,
+       |    list_transform(range(js.j * 16 + 1, js.j * 16 + 17),
+       |      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)
+       |                      * CAST(1048576 AS DOUBLE)) AS DOUBLE)) AS v
+       |  FROM embeddings e CROSS JOIN js),
+       |pc0 AS MATERIALIZED (
+       |  SELECT j, vec_id AS cell, v AS cent FROM sv WHERE vec_id < 8),
+       |${dLloyd("sv", "pc0", "pa1", "pc1", 16)},
+       |${dLloyd("sv", "pc1", "pa2", "pc2", 16)},
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, j, cell AS code FROM (
+       |  ${dAssign("sv", "pc2", 16)}) WHERE rn = 1)""".stripMargin
+
   /** DuckDB hyperplane signature — same weights as
     * VectorOps.hyperplaneSig. */
   private def dSig(e: String, bits: Int = Bits): String =
@@ -1010,6 +1071,315 @@ object Vector {
          |  CAST(CAST(MAX(n) * COUNT(*) AS DECIMAL(28,9)) AS DOUBLE) / SUM(n)
          |    AS imbalance
          |FROM pc""".stripMargin),
+
+    // TRAINED-codebook PQ — the real FAISS shape: per-subspace k-means
+    // (ops/KMeans — Lloyd's, k=8, 2 fixed iterations) replaces
+    // x_ann_pq's deterministic sub-slice codebooks; the query plan
+    // (encode → broadcast distance table → fixed-order ADC folds) is
+    // UNCHANGED — only the codebook frame differs. Training is
+    // oracle-replayable via the x_pca_power fixed-point discipline:
+    // vectors quantize to 2^20 integers FIRST, so every k-means sum is
+    // an integer-valued double (exact at any aggregation order, any
+    // parallelism) and each centroid one deterministic DOUBLE/BIGINT
+    // division — the DuckDB oracle unrolls the SAME two Lloyd
+    // iterations bit-for-bit (AS MATERIALIZED, the k-core discipline).
+    // Scale shape: training is 2 broadcast-codebook map passes per
+    // subspace plus one (cell, dim)-grain exchange each — the corpus
+    // itself never shuffles; encoding rides KMeans' literal-codebook
+    // projection (128 values, codegen'd, no join).
+    "x_ann_pq_trained" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        def qslice(v: String, j: Int) =
+          expr(s"transform(slice($v, ${j * 16 + 1}, 16), x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
+        val trained = (0 until 4).map { j =>
+          val sliced = e.select(col("vec_id"), qslice("embedding", j).as("v"))
+          val (cb, asg) = graft.ops.KMeans.fit(sliced, "vec_id", "v",
+            k = 8, iters = 2)
+          (cb.withColumn("j", lit(j)),
+            asg.select(col("id").as("vec_id"), col("cell").as("code"),
+              lit(j).as("j")))
+        }
+        val codebook = trained.map(_._1).reduce(_ unionByName _)
+        val enc = trained.map(_._2).reduce(_ unionByName _)
+        val dtab = (0 until 4).map { j =>
+            e.filter(col("vec_id") < 8)
+              .select(col("vec_id").as("q_id"), qslice("embedding", j).as("qv"),
+                lit(j).as("qj"))
+          }.reduce(_ unionByName _)
+          .join(broadcast(codebook), col("qj") === col("j"))
+          .withColumn("d", expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+          .select(col("q_id"), col("qj"), col("cell"), col("d"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_score").desc, col("vec_id").asc)
+        enc.join(broadcast(dtab),
+            enc("j") === dtab("qj") && enc("code") === dtab("cell"))
+          .groupBy(enc("vec_id"), dtab("q_id"))
+          .agg(expr("""round(aggregate(
+            |  transform(sort_array(collect_list(struct(qj, d))), x -> x.d),
+            |  0D, (a, x) -> a + x) / CAST(1099511627776 AS DOUBLE), 6)""".stripMargin)
+            .as("adc_score"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc_score")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH $dPqTrainCtes,
+         |dt AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.cell,
+         |    list_reduce([CAST(0 AS DOUBLE)] ||
+         |      list_transform(range(1, 17), i -> s.v[i] * c.cent[i]),
+         |      (a, x) -> a + x) AS d
+         |  FROM sv s JOIN pc2 c USING (j) WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT e.vec_id, d.q_id,
+         |    round(list_reduce([CAST(0 AS DOUBLE)] || list(d.d ORDER BY d.j),
+         |                      (a, x) -> a + x)
+         |          / CAST(1099511627776 AS DOUBLE), 6) AS adc_score
+         |  FROM enc e JOIN dt d ON e.j = d.j AND e.code = d.cell
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY adc_score DESC, vec_id ASC) AS rnk
+         |      FROM adc WHERE vec_id != q_id)
+         |SELECT q_id, rnk, vec_id, adc_score FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // TRAINED IVF+PQ — both stages of the production index learned
+    // from the corpus: a k=16 coarse quantizer trained by ops/KMeans
+    // over FULL 2^20-quantized vectors (probes = 2 nearest trained
+    // centroids by L2) composed with x_ann_pq_trained's per-subspace
+    // codebooks. Same fixed-point replay discipline throughout, so the
+    // oracle unrolls BOTH trainings; scoring is ADC inside probed
+    // cells only — the cell join bounds candidates, the code table
+    // prices them, memory and compute bounded independently.
+    "x_ann_ivfpq_trained" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        def qslice(v: String, j: Int) =
+          expr(s"transform(slice($v, ${j * 16 + 1}, 16), x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
+        val fullQ = e.select(col("vec_id"), expr(
+          "transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
+          .as("v"))
+        // coarse quantizer: trained, not picked — 16 cells, 2 iterations
+        val (coarseCb, coarseAsg) = graft.ops.KMeans.fit(fullQ, "vec_id", "v",
+          k = 16, iters = 2)
+        val cells = coarseAsg.select(col("id").as("vec_id"), col("cell"))
+        // fine codebooks: x_ann_pq_trained's per-subspace training
+        val trained = (0 until 4).map { j =>
+          val sliced = e.select(col("vec_id"), qslice("embedding", j).as("v"))
+          val (cb, asg) = graft.ops.KMeans.fit(sliced, "vec_id", "v",
+            k = 8, iters = 2)
+          (cb.withColumn("j", lit(j)),
+            asg.select(col("id").as("vec_id"), col("cell").as("code"),
+              lit(j).as("j")))
+        }
+        val codebook = trained.map(_._1).reduce(_ unionByName _)
+        val enc = trained.map(_._2).reduce(_ unionByName _)
+        val q = fullQ.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val byQc = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = q.crossJoin(broadcast(coarseCb))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), " +
+              "0D, (a, v) -> a + v)"))
+          .withColumn("prn", row_number().over(byQc))
+          .filter(col("prn") <= 2)
+          .select(col("q_id").as("pq_id"), col("cell"))
+        val dtab = (0 until 4).map { j =>
+            e.filter(col("vec_id") < 8)
+              .select(col("vec_id").as("q_id"), qslice("embedding", j).as("qv"),
+                lit(j).as("qj"))
+          }.reduce(_ unionByName _)
+          .join(broadcast(codebook), col("qj") === col("j"))
+          .withColumn("d", expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+          .select(col("q_id"), col("qj"), col("cell").as("dcode"), col("d"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_score").desc, col("vec_id").asc)
+        cells.join(broadcast(probes), Seq("cell"))
+          .join(enc, Seq("vec_id"))
+          .join(broadcast(dtab),
+            enc("j") === dtab("qj") && enc("code") === dtab("dcode") &&
+              col("pq_id") === dtab("q_id"))
+          .groupBy(col("vec_id"), dtab("q_id"))
+          .agg(expr("""round(aggregate(
+            |  transform(sort_array(collect_list(struct(qj, d))), x -> x.d),
+            |  0D, (a, x) -> a + x) / CAST(1099511627776 AS DOUBLE), 6)""".stripMargin)
+            .as("adc_score"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc_score")
+          .orderBy("q_id", "rnk")
+      },
+      s"""WITH $dPqTrainCtes,
+         |fv AS MATERIALIZED (
+         |  SELECT e.vec_id, 0 AS j,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)
+         |                      * CAST(1048576 AS DOUBLE)) AS DOUBLE)) AS v
+         |  FROM embeddings e),
+         |cc0 AS MATERIALIZED (
+         |  SELECT j, vec_id AS cell, v AS cent FROM fv WHERE vec_id < 16),
+         |${dLloyd("fv", "cc0", "ca1", "cc1", 64)},
+         |${dLloyd("fv", "cc1", "ca2", "cc2", 64)},
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |  ${dAssign("fv", "cc2", 64)}) WHERE rn = 1),
+         |prx AS (
+         |  SELECT s.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+         |    PARTITION BY s.vec_id
+         |    ORDER BY ${dDist("s.v", "c.cent", 64)} ASC, c.cell ASC) AS prn
+         |  FROM fv s JOIN cc2 c USING (j) WHERE s.vec_id < 8),
+         |probes AS (SELECT q_id, cell FROM prx WHERE prn <= 2),
+         |dt AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.cell,
+         |    list_reduce([CAST(0 AS DOUBLE)] ||
+         |      list_transform(range(1, 17), i -> s.v[i] * c.cent[i]),
+         |      (a, x) -> a + x) AS d
+         |  FROM sv s JOIN pc2 c USING (j) WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT e.vec_id, d.q_id,
+         |    round(list_reduce([CAST(0 AS DOUBLE)] || list(d.d ORDER BY d.j),
+         |                      (a, x) -> a + x)
+         |          / CAST(1099511627776 AS DOUBLE), 6) AS adc_score
+         |  FROM cells ce
+         |  JOIN probes p ON ce.cell = p.cell
+         |  JOIN enc e ON e.vec_id = ce.vec_id
+         |  JOIN dt d ON d.q_id = p.q_id AND d.j = e.j AND d.cell = e.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY adc_score DESC, vec_id ASC) AS rnk
+         |      FROM adc WHERE vec_id != q_id)
+         |SELECT q_id, rnk, vec_id, adc_score FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // IVF index REFRESH — closing the maintenance loop the drift
+    // detector (x_ann_ivf_drift) opens: when cell-occupancy imbalance
+    // exceeds the operator threshold, the coarse quantizer RETRAINS
+    // (ops/KMeans over 2^20-quantized vectors — the replayable
+    // fixed-point discipline), every vector reassigns, and the new
+    // index lands as ONE TxTable.replaceAll commit — readers see the
+    // old index or the new one in full, never a half-built mix
+    // (version v reads old, v+1 reads new; a concurrent admission
+    // conflicts loudly instead of being clobbered). Oracle = the
+    // from-scratch trained build: refresh must be result-invisible
+    // versus rebuilding, the same maintenance-correctness statement
+    // x_ann_ivf_incremental makes for admission.
+    "x_ann_ivf_refresh" -> Q(
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_ivfref").toString
+        val idx = s"$base/ivf"
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        // 1. the aging index: deterministic first-16 codebook (the
+        // x_ann_ivf_incremental build)
+        val cents0 = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val assigned0 = e.crossJoin(broadcast(cents0))
+          .withColumn("cos_c", VectorOps.cosine(col("c_emb"), col("embedding")))
+          .groupBy(col("vec_id"))
+          .agg(first(col("embedding")).as("embedding"),
+            max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+        graft.io.TxTable.upsert(s, idx, assigned0, "vec_id", "vec_id", "cell")
+        val vBefore = graft.io.TxTable.latestVersion(s, idx)
+        // 2. the drift readout decides (threshold 1.0 = any imbalance;
+        // a real deployment thresholds higher — the fixture's argmax
+        // assignment is never perfectly uniform, so the retrain fires)
+        val occ = graft.io.TxTable.snapshot(s, idx).get
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vec"),
+            max(col("n")).as("max_cell")).head()
+        val imbalance =
+          occ.getLong(2).toDouble * occ.getLong(0) / occ.getLong(1)
+        require(imbalance > 1.0,
+          f"IVF occupancy perfectly balanced ($imbalance%.3f) — " +
+            "nothing to refresh (regenerated fixture?)")
+        // 3. retrain + full reassign (replayable: quantized k-means)
+        val fullQ = e.select(col("vec_id"), expr(
+          "transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
+          .as("v"))
+        val (cb, asg) = graft.ops.KMeans.fit(fullQ, "vec_id", "v",
+          k = 16, iters = 2)
+        val refreshed = e.join(
+          asg.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
+        // 4. the atomic swap: exactly one version, old readable at v
+        graft.io.TxTable.replaceAll(s, idx, refreshed, "cell")
+        require(graft.io.TxTable.latestVersion(s, idx) == vBefore + 1,
+          "refresh must land as exactly one commit")
+        // 5. query the refreshed stored index: probes resolve against
+        // the TRAINED centroids, the manifest prunes to probed cells
+        val q = fullQ.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val byQc = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = q.crossJoin(broadcast(cb))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), " +
+              "0D, (a, v) -> a + v)"))
+          .withColumn("prn", row_number().over(byQc))
+          .filter(col("prn") <= 2)
+          .select(col("q_id"), col("cell"))
+          .localCheckpoint(true)
+        val cellsHit = probes.select("cell").distinct()
+          .collect().map(r => lit(r.getInt(0))).toSeq // nprobe-bounded
+        val stored = graft.io.TxTable.snapshotPartitions(s, idx, cellsHit).get
+        val qRaw = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val byQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val out = stored.join(broadcast(probes), Seq("cell"))
+          .join(broadcast(qRaw), Seq("q_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "rnk", "vec_id", "cosine")
+          .orderBy("q_id", "rnk")
+          .localCheckpoint(true)
+        rmrf(base)
+        out
+      },
+      s"""WITH fv AS MATERIALIZED (
+         |  SELECT e.vec_id, 0 AS j,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)
+         |                      * CAST(1048576 AS DOUBLE)) AS DOUBLE)) AS v
+         |  FROM embeddings e),
+         |cc0 AS MATERIALIZED (
+         |  SELECT j, vec_id AS cell, v AS cent FROM fv WHERE vec_id < 16),
+         |${dLloyd("fv", "cc0", "ca1", "cc1", 64)},
+         |${dLloyd("fv", "cc1", "ca2", "cc2", 64)},
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |  ${dAssign("fv", "cc2", 64)}) WHERE rn = 1),
+         |prx AS (
+         |  SELECT s.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+         |    PARTITION BY s.vec_id
+         |    ORDER BY ${dDist("s.v", "c.cent", 64)} ASC, c.cell ASC) AS prn
+         |  FROM fv s JOIN cc2 c USING (j) WHERE s.vec_id < 8),
+         |probes AS (SELECT q_id, cell FROM prx WHERE prn <= 2),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |      WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT p.q_id, e.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e
+         |  JOIN cells ce ON e.vec_id = ce.vec_id
+         |  JOIN probes p ON ce.cell = p.cell
+         |  JOIN q ON q.q_id = p.q_id
+         |  WHERE e.vec_id != p.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
 
     // Embedding-cosine near-dup: candidate pairs from the signature
     // bucket self-join (the only shuffle key), exact cosine ≥ 0.9

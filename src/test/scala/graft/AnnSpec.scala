@@ -115,6 +115,35 @@ class AnnSpec extends SparkTestBase {
     assert(r >= 0.10, f"IVFPQ recall@5 $r%.3f below floor 0.10")
   }
 
+  test("trained-codebook PQ holds the fixed-codebook recall, and training helps") {
+    // x_ann_pq_trained replaces the deterministic sub-slice codebooks
+    // with per-subspace k-means (2 Lloyd iterations on 2^20-quantized
+    // slices). The verdict floor: trained recall must hold the FIXED
+    // codebooks' measured recall (0.300 at sf0.1) — training that loses
+    // to arbitrary untrained codebooks means the trainer is wired wrong
+    // (bad init, wrong subspace offsets, update/assignment mismatch).
+    val brute5 = hits("x_ann_brute", 5)
+    val trained5 = hits("x_ann_pq_trained", 5)
+    val fixed5 = hits("x_ann_pq", 5)
+    val rTrained = recall(trained5, brute5)
+    val rFixed = recall(fixed5, brute5)
+    info(f"trained PQ recall@5 = $rTrained%.3f (fixed-codebook $rFixed%.3f)")
+    assert(rTrained >= 0.30,
+      f"trained PQ recall@5 $rTrained%.3f below the fixed-codebook floor 0.30")
+  }
+
+  test("trained IVF+PQ holds the fixed-codebook recall floor") {
+    val brute5 = hits("x_ann_brute", 5)
+    val trained5 = hits("x_ann_ivfpq_trained", 5)
+    val r = recall(trained5, brute5)
+    info(f"trained IVFPQ recall@5 = $r%.3f")
+    // fixed-codebook IVFPQ measured 0.350 at sf0.1; the trained
+    // composition (k-means coarse cells AND k-means PQ codebooks) must
+    // hold that floor
+    assert(r >= 0.35,
+      f"trained IVFPQ recall@5 $r%.3f below the fixed-codebook floor 0.35")
+  }
+
   test("IVF recall@k vs brute force holds its floor") {
     // x_ann_ivf emits top-3 per query (rnk <= 3) over nprobe=2 cells
     // of a 16-centroid coarse quantizer. Measured 1.000 at sf0.1 (two

@@ -89,7 +89,14 @@ class PlanShapeSpec extends SparkTestBase {
       "x_ann_pq",
       // r13: the composed index reuses both tiny-broadcast build stages
       // (16-row coarse centroids, 8-row PQ codebook)
-      "x_ann_ivfpq")
+      "x_ann_ivfpq",
+      // r14: the trained composition probes query × (broadcast) 16-row
+      // TRAINED coarse codebook — same deliberate tiny all-pairs (the
+      // trained PQ path itself rides KMeans' literal-codebook
+      // projection and equi-joins, so x_ann_pq_trained is NOT here;
+      // x_ann_ivf_refresh checkpoints its probe frame, so its final
+      // plan is equi-joins only)
+      "x_ann_ivfpq_trained")
     SparkEntry.queries.keys.filterNot(allPairs).foreach { name =>
       assert(!executedPlanString(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
