@@ -937,5 +937,82 @@ object Streams {
       },
       s"""WITH ${Text.minhashPairsCte}
          |SELECT a_id, b_id, jaccard FROM pairsj
-         |ORDER BY a_id, b_id""".stripMargin))
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // Streaming heavy hitters (streaming/StreamHeavyHitters): per
+    // 250-document window, managed state carries ONE Misra-Gries
+    // summary over the window's token bigrams — m-bounded state over an
+    // open key domain, folded forward micro-batch by micro-batch (the
+    // input is split into several files and replayed one file per
+    // trigger, so the state fold is exercised for real, not as one
+    // degenerate batch). The summary is order-dependent; the QUERY is
+    // not: the latest generation's candidates feed one exact
+    // candidate-filtered recount and the cnt·(m+1) > total claim filter
+    // keeps exactly the keys the MG bound proves un-missable under ANY
+    // batching — so the plain per-window GROUP BY / HAVING oracle gates
+    // a stream-maintained sketch (x_heavy_hitters' argument, streaming).
+    "t30_stream_heavy_hitters" -> Q(
+      (s, dir) => {
+        val m = 512 // < the ~961-pair domain (decrements exercised), claim set non-degenerate per window
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_shh").toString
+        val in = s"$base/in"
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(3)
+          .write.parquet(in)
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("w", expr("doc_id div 250"))
+          .withColumn("t", split(col("text"), " "))
+          .filter(size(col("t")) >= 2)
+          .select(col("w"), explode(expr(
+            """transform(sequence(1, size(t) - 1),
+              |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))""".stripMargin))
+            .as("pair"))
+        val name = s"t30_stream_heavy_hitters_${runSeq.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val src = s.readStream.schema(s.read.parquet(in).schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+          val q = graft.streaming.StreamHeavyHitters
+            .summaries(bigrams(src), m)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // the latest generation per window IS the maintained summary;
+        // one candidate-filtered exact recount + the claim filter close
+        // the loop (ops/HeavyHitters.exactGiven's shape, per window)
+        // latest generation per window via a partitioned window (a
+        // self-join of the memory sink trips conflicting-reference
+        // resolution; the window form reads the sink once)
+        val byW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+        val fin = s.table(name)
+          .withColumn("maxg", max(col("gen")).over(byW))
+          .filter(col("gen") === col("maxg")).drop("maxg")
+          .localCheckpoint(true)
+        rmrf(base)
+        val totals = fin.groupBy(col("w")).agg(max(col("total")).as("total"))
+        val cand = fin.filter(col("pair").isNotNull)
+          .select(col("w"), col("pair"))
+        bigrams(graft.Tables.documents(s, dir))
+          .join(broadcast(cand), Seq("w", "pair"))
+          .groupBy(col("w"), col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(broadcast(totals), Seq("w"))
+          .filter(col("cnt") * lit(m + 1L) > col("total"))
+          .select(col("w"), col("pair"), col("cnt"))
+          .orderBy(col("w"), col("cnt").desc, col("pair"))
+      },
+      """WITH d AS (SELECT doc_id // 250 AS w, string_split(text, ' ') AS t
+        |           FROM documents),
+        |bi AS (SELECT w, t[i] || ' ' || t[i + 1] AS pair
+        |       FROM (SELECT w, t, unnest(range(1, len(t))) AS i FROM d
+        |             WHERE len(t) >= 2)),
+        |tot AS (SELECT w, COUNT(*) AS n FROM bi GROUP BY 1),
+        |cnts AS (SELECT w, pair, COUNT(*) AS cnt FROM bi GROUP BY 1, 2)
+        |SELECT c.w, c.pair, c.cnt FROM cnts c JOIN tot t USING (w)
+        |WHERE c.cnt * 513 > t.n
+        |ORDER BY w, cnt DESC, pair""".stripMargin))
 }

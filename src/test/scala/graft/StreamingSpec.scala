@@ -805,4 +805,71 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("stream-maintained MG summaries + recount == batch heavy hitters under random batch splits") {
+    // StreamHeavyHitters' exactness argument, driven adversarially: a
+    // skewed key stream (hot keys + an open uniform tail) arrives in
+    // random order across random micro-batch splits; the per-window MG
+    // state folds across batches, and the candidate-filtered recount +
+    // claim filter must equal the direct batch computation EXACTLY —
+    // the MG guarantee is order- and batching-independent even though
+    // the summary contents are not. Fixed seed, like every randomized
+    // differential in this suite.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(20260816L)
+    val m = 16
+    for (trial <- 1 to 4) {
+      val pairs = (for {
+        w <- 0L to 1L
+        _ <- 1 to 400
+      } yield {
+        val key = if (rnd.nextInt(10) < 4) s"hot_${rnd.nextInt(3)}"
+                  else s"tail_${rnd.nextInt(200)}"
+        (w, key)
+      }).toVector
+      val arrival = rnd.shuffle(pairs)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = arrival.grouped(
+        math.max(1, arrival.size / nBatches + 1)).toSeq
+
+      val in = MemoryStream[(Long, String)]
+      val sink = s"shh_prop_$trial"
+      val q = graft.streaming.StreamHeavyHitters
+        .summaries(in.toDF().toDF("w", "pair"), m)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val emitted = spark.table(sink).localCheckpoint(true)
+        val byW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+        val fin = emitted
+          .withColumn("maxg", max(col("gen")).over(byW))
+          .filter(col("gen") === col("maxg")).drop("maxg")
+        val totals = fin.groupBy(col("w")).agg(max(col("total")).as("total"))
+        val cand = fin.filter(col("pair").isNotNull).select(col("w"), col("pair"))
+        val bi = pairs.toDF("w", "pair")
+        val streamed = bi.join(cand, Seq("w", "pair"))
+          .groupBy(col("w"), col("pair")).agg(count(lit(1)).as("cnt"))
+          .join(totals, Seq("w"))
+          .filter(col("cnt") * (m + 1L) > col("total"))
+          .select("w", "pair", "cnt")
+        val tot = bi.groupBy("w").agg(count(lit(1)).as("total"))
+        val direct = bi.groupBy(col("w"), col("pair")).agg(count(lit(1)).as("cnt"))
+          .join(tot, Seq("w"))
+          .filter(col("cnt") * (m + 1L) > col("total"))
+          .select("w", "pair", "cnt")
+        assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+          s"trial $trial: streamed heavy hitters diverge from batch")
+        // the per-window state stayed m-bounded: no generation ever
+        // carried more than m candidate rows
+        val maxCand = emitted.filter(col("pair").isNotNull)
+          .groupBy(col("w"), col("gen")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head().getLong(0)
+        assert(maxCand <= m, s"trial $trial: state exceeded m ($maxCand > $m)")
+        assert(direct.count() > 0, s"trial $trial: degenerate guarantee set")
+      } finally q.stop()
+    }
+  }
 }
