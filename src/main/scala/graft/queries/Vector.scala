@@ -1093,7 +1093,11 @@ object Vector {
         def qslice(v: String, j: Int) =
           expr(s"transform(slice($v, ${j * 16 + 1}, 16), x -> " +
             "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
-        val trained = (0 until 4).map { j =>
+        // the 4 subspace trainings are independent — overlap them on
+        // driver threads (guide §2.6) so one subspace's tiny update
+        // aggregates back-fill another's scheduling gaps; each fit is
+        // self-contained, so results are unchanged
+        val trained = inParallel(4) { j =>
           val sliced = e.select(col("vec_id"), qslice("embedding", j).as("v"))
           val (cb, asg) = graft.ops.KMeans.fit(sliced, "vec_id", "v",
             k = 8, iters = 2)
@@ -1165,19 +1169,25 @@ object Vector {
           "transform(embedding, x -> " +
             "CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS DOUBLE))")
           .as("v"))
-        // coarse quantizer: trained, not picked — 16 cells, 2 iterations
-        val (coarseCb, coarseAsg) = graft.ops.KMeans.fit(fullQ, "vec_id", "v",
-          k = 16, iters = 2)
-        val cells = coarseAsg.select(col("id").as("vec_id"), col("cell"))
-        // fine codebooks: x_ann_pq_trained's per-subspace training
-        val trained = (0 until 4).map { j =>
-          val sliced = e.select(col("vec_id"), qslice("embedding", j).as("v"))
-          val (cb, asg) = graft.ops.KMeans.fit(sliced, "vec_id", "v",
-            k = 8, iters = 2)
-          (cb.withColumn("j", lit(j)),
-            asg.select(col("id").as("vec_id"), col("cell").as("code"),
-              lit(j).as("j")))
+        // all 5 trainings (coarse + 4 fine subspaces) are independent —
+        // overlap them on driver threads (guide §2.6); each fit is
+        // self-contained, so results are unchanged
+        val fits = inParallel(5) {
+          case 4 => // coarse quantizer: trained, not picked — 16 cells
+            val (cb, asg) = graft.ops.KMeans.fit(fullQ, "vec_id", "v",
+              k = 16, iters = 2)
+            (cb, asg)
+          case j => // fine codebooks: x_ann_pq_trained's training
+            val sliced = e.select(col("vec_id"), qslice("embedding", j).as("v"))
+            val (cb, asg) = graft.ops.KMeans.fit(sliced, "vec_id", "v",
+              k = 8, iters = 2)
+            (cb.withColumn("j", lit(j)),
+              asg.select(col("id").as("vec_id"), col("cell").as("code"),
+                lit(j).as("j")))
         }
+        val (coarseCb, coarseAsg) = fits(4)
+        val cells = coarseAsg.select(col("id").as("vec_id"), col("cell"))
+        val trained = fits.take(4)
         val codebook = trained.map(_._1).reduce(_ unionByName _)
         val enc = trained.map(_._2).reduce(_ unionByName _)
         val q = fullQ.filter(col("vec_id") < 8)

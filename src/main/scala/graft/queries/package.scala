@@ -29,6 +29,29 @@ package object queries {
     go(new java.io.File(dir))
   }
 
+  /** Run n independent Spark-driving closures on n driver threads and
+    * return their results in index order (optimization guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — independent jobs submitted concurrently back-fill
+    * each other's stragglers/scheduling gaps). Each closure must be
+    * self-contained (no shared mutable state); results are
+    * deterministic because each closure's computation is. The first
+    * failure propagates after all threads finish. */
+  def inParallel[T](n: Int)(f: Int => T): IndexedSeq[T] = {
+    val out = new Array[Any](n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try out(i) = f(i)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    out.toIndexedSeq.map(_.asInstanceOf[T])
+  }
+
   /** Shared DuckDB oracle fragment: the events→fact star mapping
     * (mirrors graft.ops.GoldModel.fact — keep the two in lockstep).
     * Tehran wall-clock keying like the reference
