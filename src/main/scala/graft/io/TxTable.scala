@@ -6,6 +6,7 @@ import graft.ops.Merge
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The column(s) a [[TxTable]] is partitioned by. Real fact tables
   * partition by more than one column — (date_id, source_id), (date,
@@ -116,11 +117,15 @@ object PartitionSpec {
   *
   * A commit may carry a WIDENED schema (new columns): the merge aligns
   * both sides by nulling each side's missing columns (the
-  * ops/SchemaEvolution discipline applied across versions), and every
-  * multi-leaf read runs with parquet `mergeSchema`, so snapshots of
-  * old versions read the old shape, snapshots after the evolution read
-  * the union shape with pre-evolution rows nulled, and [[diff]] across
-  * the evolution commit aligns its two sides the same way.
+  * ops/SchemaEvolution discipline applied across versions). Every
+  * manifest body's header records the POST-commit table schema (the
+  * Delta/Iceberg schema-in-the-log move), so multi-leaf reads pass it
+  * to the parquet scan EXPLICITLY — pre-evolution leaves null-pad
+  * their missing columns with no footer-merge pass; snapshots of old
+  * versions read that version's recorded shape, and [[diff]] across
+  * the evolution commit aligns its two sides the same way. Chains
+  * written before the schema field fall back to parquet `mergeSchema`
+  * per read — old tables stay readable unchanged.
   */
 object TxTable {
 
@@ -215,10 +220,107 @@ object TxTable {
     lines.headOption.filter(_.startsWith(Header + "\t"))
       .map(_.split('\t')(1)).getOrElse("checkpoint")
 
-  private def render(kind: String, entries: Map[String, Entry]): Seq[String] =
-    s"$Header\t$kind" +: entries.toSeq.sortBy(_._1).map { case (k, e) =>
-      s"$k\t${e.leaf}" + e.vhex.fold("")(v => s"\t$v")
+  // ---- manifest-carried table schema ---------------------------------
+  // Every body's header carries the POST-commit table schema (third
+  // header field, hex-armored StructType JSON — the Delta/Iceberg
+  // schema-in-the-log move). Readers then pass the schema to the
+  // parquet scan EXPLICITLY instead of running a mergeSchema footer
+  // pass: on a 100 TB table that footer merge is a whole Spark job per
+  // snapshot/merge/diff read (and at bench scale it measured as one
+  // ~0.1s job per read, several per transactional query). Missing
+  // columns in pre-evolution leaves null-pad under an explicit schema
+  // exactly as they do under mergeSchema. Bodies written before this
+  // field (or by legacy tables whose chain predates it) read as
+  // schema-less and every read falls back to mergeSchema — old tables
+  // stay readable, new tables carry schema from their bootstrap commit.
+
+  /** Deep nullability widening: a stored schema must accept any leaf —
+    * including pre-evolution leaves where the column is wholly absent
+    * (null-padded at read) — so every field reads as optional. Values
+    * are unaffected; this only widens what the reader will accept. */
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableDeep(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def schemaHex(s: StructType): String =
+    s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+
+  private def schemaOfBody(lines: Seq[String]): Option[StructType] =
+    lines.headOption.filter(_.startsWith(Header + "\t")).flatMap { h =>
+      val f = h.split('\t')
+      if (f.length >= 3 && f(2).nonEmpty)
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
+          new String(f(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+          .toOption
+      else None
     }
+
+  /** The table schema in force at `version`: a body carrying the field
+    * IS the post-commit schema; a DELTA without it means "unchanged —
+    * walk to the predecessor" (deltas stay O(touched) bytes: the field
+    * is only written by commits that change the schema and by
+    * checkpoints); a CHECKPOINT without it roots a legacy chain (None).
+    * The walk is bounded by the checkpoint cadence, like resolveAt. */
+  private def schemaAt(
+      store: CommitStore, log: String, version: Long): Option[StructType] = {
+    var cur = version
+    while (cur >= 1) {
+      store.at(log, cur) match {
+        case None => return None // vacuumed below: unknowable
+        case Some(lines) =>
+          schemaOfBody(lines) match {
+            case some @ Some(_) => return some
+            case None =>
+              if (kindOf(lines) == "checkpoint") return None
+              cur -= 1
+          }
+      }
+    }
+    None
+  }
+
+  /** [[schemaAt]] seeded with the already-read tip body (saves the
+    * first body fetch on every commit-loop attempt). */
+  private def schemaAtSeeded(
+      store: CommitStore, log: String, v: Long,
+      tipLines: Seq[String]): Option[StructType] =
+    if (v <= 0) None
+    else schemaOfBody(tipLines).orElse(
+      if (kindOf(tipLines) == "checkpoint") None
+      else schemaAt(store, log, v - 1))
+
+  /** Post-commit table schema: previous fields keep their slot (and
+    * their type — the owning-side rule alignSchemas applies per read),
+    * staged-new fields append in commit order. Matches the union a
+    * mergeSchema read resolves over the same leaves. */
+  private def unionSchema(prev: StructType, staged: StructType): StructType = {
+    val have = prev.fieldNames.toSet
+    StructType(prev.fields ++ staged.fields.filterNot(f => have(f.name)))
+  }
+
+  /** The staged frame's table-schema contribution: the written files
+    * drop PKey (it becomes the leaf directory name), widened nullable
+    * so any leaf mix reads under it. */
+  private def stagedSchemaOf(df: DataFrame): StructType =
+    nullableDeep(StructType(df.schema.fields.filterNot(_.name == PKey)))
+      .asInstanceOf[StructType]
+
+  private def render(
+      kind: String, entries: Map[String, Entry],
+      schema: Option[StructType]): Seq[String] =
+    (s"$Header\t$kind" + schema.fold("")(s => s"\t${schemaHex(s)}")) +:
+      entries.toSeq.sortBy(_._1).map { case (k, e) =>
+        s"$k\t${e.leaf}" + e.vhex.fold("")(v => s"\t$v")
+      }
 
   /** Fold one delta over a base map: remapped keys overwrite,
     * tombstoned keys drop. */
@@ -280,8 +382,9 @@ object TxTable {
         if (next == 1 || next % checkpointInterval(spark) == 0)
           render("checkpoint", resolveAt(store, log, v).getOrElse(
             throw new IllegalStateException(
-              s"manifest chain for version $v is broken")))
-        else render("delta", Map.empty)
+              s"manifest chain for version $v is broken")),
+            schemaAt(store, log, v)) // checkpoint: schema rides over
+        else render("delta", Map.empty, None) // unchanged: walk-back finds it
       if (store.tryCommit(log, next, body)) return next
     }
     throw new IllegalStateException(
@@ -437,18 +540,23 @@ object TxTable {
     }
   }
 
-  private def latestEntries(spark: SparkSession, dir: String): (Long, Map[String, Entry]) = {
+  /** (tip version, resolved entries, tip body's recorded schema) — the
+    * schema rides out of the SAME tip body `latest` already read, so a
+    * schema-aware snapshot costs no extra I/O. */
+  private def latestEntries(
+      spark: SparkSession, dir: String): (Long, Map[String, Entry], Option[StructType]) = {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
-    val (v, _) = store.latest(log)
+    val (v, lines) = store.latest(log)
     (v, resolveAt(store, log, v).getOrElse(throw new IllegalStateException(
-      s"manifest chain for version $v is broken (concurrent unsafe vacuum?)")))
+      s"manifest chain for version $v is broken (concurrent unsafe vacuum?)")),
+      schemaAtSeeded(store, log, v, lines))
   }
 
   /** Latest committed (version, full partition → data dir map).
     * (0, empty) on a fresh table. */
   def latest(spark: SparkSession, dir: String): (Long, Map[String, String]) = {
-    val (v, entries) = latestEntries(spark, dir)
+    val (v, entries, _) = latestEntries(spark, dir)
     (v, entries.map { case (k, e) => k -> e.leaf })
   }
 
@@ -457,9 +565,9 @@ object TxTable {
   /** The table's current committed state as one consistent snapshot
     * (empty option on a never-committed table). */
   def snapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val (_, entries) = latestEntries(spark, dir)
+    val (_, entries, schema) = latestEntries(spark, dir)
     if (entries.isEmpty) None
-    else Some(read(spark, dir, entries))
+    else Some(read(spark, dir, entries, schema))
   }
 
   /** Partition-pruned snapshot: only the manifest entries whose
@@ -497,14 +605,14 @@ object TxTable {
             "a mismatched spec would double-key the table")
       }
     }
-    val (_, entries) = latestEntries(spark, dir)
+    val (_, entries, schema) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
     val keys = spark.range(1)
       .select(explode(array(values.map(keyExprVals): _*)).as("k"))
       .collect().map(_.getString(0)).toSet
     val hit = entries.filter { case (k, _) => keys(k) }
-    if (hit.nonEmpty) Some(read(spark, dir, hit))
-    else Some(emptyWithSnapshotSchema(spark, dir, entries))
+    if (hit.nonEmpty) Some(read(spark, dir, hit, schema))
+    else Some(emptyWithSnapshotSchema(spark, dir, entries, schema))
   }
 
   /** The live partition VALUE TUPLES at the current tip, decoded from
@@ -517,7 +625,7 @@ object TxTable {
     * and they upgrade as commits touch them. */
   def partitionValues(spark: SparkSession, dir: String): Seq[Seq[String]] = {
     val arity = readMeta(fsOf(spark, dir), dir).map(_.size)
-    val (_, entries) = latestEntries(spark, dir)
+    val (_, entries, _) = latestEntries(spark, dir)
     entries.values.toSeq
       .flatMap(_.vhex)
       .map(vhexSplit)
@@ -526,15 +634,14 @@ object TxTable {
   }
 
   /** Zero-row frame carrying the FULL snapshot schema: a no-hit pruned
-    * read must be union-shaped with a hit one. Anchoring on an
-    * arbitrary single leaf would make the schema nondeterministic
-    * after a widening commit (a pre-evolution leaf lacks the new
-    * columns) — the mergeSchema read over every live leaf is the same
-    * schema resolution a full snapshot performs, at footer-read cost,
-    * and only on the no-hit path. */
+    * read must be union-shaped with a hit one. With a manifest-carried
+    * schema this is free; on a legacy chain the mergeSchema read over
+    * every live leaf is the same schema resolution a full snapshot
+    * performs, at footer-read cost, and only on the no-hit path. */
   private def emptyWithSnapshotSchema(
-      spark: SparkSession, dir: String, entries: Map[String, Entry]): DataFrame =
-    read(spark, dir, entries).limit(0)
+      spark: SparkSession, dir: String, entries: Map[String, Entry],
+      schema: Option[StructType]): DataFrame =
+    read(spark, dir, entries, schema).limit(0)
 
   /** PREDICATE-pruned snapshot — the range-read the exact-value form
     * above can't serve when the value set isn't enumerable (date
@@ -568,11 +675,11 @@ object TxTable {
         s"TxTable $dir is partitioned by ${recorded.mkString("(", ", ", ")")} " +
           s"but this read passed ${partitionCol.cols.mkString("(", ", ", ")")} — " +
           "a mismatched spec would prune on the wrong identity"))
-    val (_, entries) = latestEntries(spark, dir)
+    val (_, entries, schema) = latestEntries(spark, dir)
     if (entries.isEmpty) return None
     val hit = entriesWhere(spark, entries, partitionCol, pred)
-    if (hit.nonEmpty) Some(read(spark, dir, hit))
-    else Some(emptyWithSnapshotSchema(spark, dir, entries))
+    if (hit.nonEmpty) Some(read(spark, dir, hit, schema))
+    else Some(emptyWithSnapshotSchema(spark, dir, entries, schema))
   }
 
   /** The manifest-level predicate pruning [[snapshotWhere]] reads
@@ -613,8 +720,10 @@ object TxTable {
   def snapshotAt(spark: SparkSession, dir: String, version: Long): Option[DataFrame] = {
     val log = s"$dir/$LogDir"
     val store = CommitStore.forPath(fsOf(spark, dir), log)
-    if (store.at(log, version).isEmpty) None
-    else resolveAt(store, log, version).map(read(spark, dir, _))
+    val body = store.at(log, version)
+    if (body.isEmpty) None
+    else resolveAt(store, log, version)
+      .map(read(spark, dir, _, body.flatMap(schemaOfBody)))
   }
 
   // mergeSchema: leaves written before a schema-widening commit lack
@@ -626,11 +735,27 @@ object TxTable {
   private def leafPath(dir: String, leaf: String): String =
     if (leaf.startsWith("/") || leaf.contains(":/")) leaf else s"$dir/$leaf"
 
+  /** Multi-leaf snapshot read. With a manifest-carried `schema` the
+    * scan takes it EXPLICITLY — no footer-merge job, and pre-evolution
+    * leaves null-pad their missing columns exactly as mergeSchema
+    * would; schema-less (legacy) chains keep the mergeSchema read. */
   private def read(
-      spark: SparkSession, dir: String, entries: Map[String, Entry]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(entries.values.map(_.leaf).toSeq.sorted
-        .map(leafPath(dir, _)): _*)
+      spark: SparkSession, dir: String, entries: Map[String, Entry],
+      schema: Option[StructType]): DataFrame =
+    leafRead(spark, dir, entries.values.map(_.leaf).toSeq, schema)
+
+  /** The one leaf-set scan every read shares: explicit manifest-carried
+    * schema when available (no footer-merge job), mergeSchema on legacy
+    * chains. */
+  private def leafRead(
+      spark: SparkSession, dir: String, leaves: Seq[String],
+      schema: Option[StructType]): DataFrame = {
+    val paths = leaves.distinct.sorted.map(leafPath(dir, _))
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
 
   /** Null-pad each frame with the columns only the other one has (type
     * taken from the owning side) — the cross-version face of
@@ -674,24 +799,33 @@ object TxTable {
         .map { case (k, e) => k -> e.leaf }
     val aE = entriesOf(fromVersion)
     val bE = entriesOf(toVersion)
+    // per-side recorded schema (the version's own body): reads of each
+    // side take it explicitly — no footer-merge job per diff side
+    val aS = schemaAt(store, log, fromVersion)
+    val bS = schemaAt(store, log, toVersion)
     val changedKeys = (aE.keySet ++ bE.keySet).filter(k => aE.get(k) != bE.get(k))
     def changedDirs(entries: Map[String, String]): Seq[String] =
       changedKeys.toSeq.flatMap(entries.get).distinct.sorted
     val aDirs = changedDirs(aE)
     val bDirs = changedDirs(bE)
     require(aE.nonEmpty || bE.nonEmpty, "diff between two empty versions")
-    def readDirs(dirs: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(leafPath(dir, _)): _*)
+    def readDirs(dirs: Seq[String], schema: Option[StructType]): DataFrame =
+      schema match {
+        case Some(s) => spark.read.schema(s).parquet(dirs.map(leafPath(dir, _)): _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(leafPath(dir, _)): _*)
+      }
     // schema anchor for a side with no changed (or no) leaves: one leaf
     // of that version, or the other side's — a column living only in
     // unchanged leaves cannot contribute a change row anyway, and
     // alignSchemas below squares up whatever remains
-    def side(dirs: Seq[String], own: Map[String, String]): DataFrame =
-      if (dirs.nonEmpty) readDirs(dirs)
-      else if (own.nonEmpty) readDirs(Seq(own.values.min)).limit(0)
-      else readDirs(Seq((bE ++ aE).values.min)).limit(0)
-    val (a, b) = alignSchemas(side(aDirs, aE), side(bDirs, bE))
+    def side(
+        dirs: Seq[String], own: Map[String, String],
+        schema: Option[StructType]): DataFrame =
+      if (dirs.nonEmpty) readDirs(dirs, schema)
+      else if (own.nonEmpty) readDirs(Seq(own.values.min), schema).limit(0)
+      else readDirs(Seq((bE ++ aE).values.min), schema.orElse(bS).orElse(aS)).limit(0)
+    val (a, b) = alignSchemas(side(aDirs, aE, aS), side(bDirs, bE, bS))
     val payload = b.columns.filterNot(_ == key).toSeq
     // the readout injects change_type; a payload column of that name
     // would be silently overwritten in the emitted rows — refuse loudly
@@ -814,7 +948,9 @@ object TxTable {
           }.toMap
       }
     beforeCommit()
-    if (!store.tryCommit(log, v + 1, render("checkpoint", staged))) {
+    // full replacement: the staged frame's schema IS the table schema
+    if (!store.tryCommit(log, v + 1,
+        render("checkpoint", staged, Some(stagedSchemaOf(batch))))) {
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
       throw new IllegalStateException(
         s"TxTable.replaceAll lost to a concurrent commit on $targetDir — " +
@@ -891,10 +1027,12 @@ object TxTable {
         throw new IllegalStateException(
           s"repartitionTable lost the commit race $maxRetries times on $dir " +
             "(the respec stays pending — rerun to complete)")
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
-      val batch = read(spark, dir, entries).withColumn(PKey, keyExpr(newSpec))
+      val batch = read(spark, dir, entries, prevSchema)
+        .withColumn(PKey, keyExpr(newSpec))
       val touched = touchedOf(batch, newSpec)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
@@ -907,7 +1045,10 @@ object TxTable {
           k -> Entry(s"$stageRel/$leaf", touched.get(k))
         }.toMap
       if (attempt == 1) beforeCommit()
-      if (store.tryCommit(log, v + 1, render("checkpoint", staged))) {
+      // rows-preserving rewrite: schema carries over (or starts, from
+      // the rewritten frame, on a legacy chain being fully rewritten)
+      if (store.tryCommit(log, v + 1, render("checkpoint", staged,
+          Some(prevSchema.getOrElse(stagedSchemaOf(batch)))))) {
         committed = true
         committedAt = v + 1
       } else fs.delete(new Path(s"$dir/$stageRel"), true): Unit
@@ -953,7 +1094,8 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       gate.ensure(upserting) // probe after the data-tip read
       // stale-spec retries refuse (the commitLoop discipline)
       if (attempt > 1) ensureSpec(fs, targetDir, partitionCol, Some(key))
@@ -966,8 +1108,7 @@ object TxTable {
       // when the partition is new
       val existing0 =
         if (existingDirs.nonEmpty)
-          spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
+          leafRead(spark, targetDir, existingDirs, prevSchema)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.drop(opCol, seqCol).limit(0)
@@ -999,7 +1140,8 @@ object TxTable {
         return
       }
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged)) return
+      if (tryPublish(spark, store, log, v, entries, staged,
+          prevSchema, Some(stagedSchemaOf(merged)))) return
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1035,16 +1177,16 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       // only partitions that EXIST participate; deleting from absent
       // partitions is vacuously done
       val hit = touchedKeys.filter(entries.contains)
       if (hit.isEmpty) return
-      val existing = spark.read.option("mergeSchema", "true")
-        .parquet(hit.flatMap(entries.get).map(_.leaf).distinct.sorted
-          .map(leafPath(targetDir, _)): _*)
+      val existing = leafRead(spark, targetDir,
+          hit.flatMap(entries.get).map(_.leaf), prevSchema)
         .withColumn(PKey, keyExpr(partitionCol))
         .filter(col(PKey).isInCollection(hit))
       val remaining = existing.join(
@@ -1066,7 +1208,9 @@ object TxTable {
         hit.filterNot(stagedLeaves.map(_._1).toSet)
           .map(_ -> Entry(Tombstone, None))
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged)) return
+      // deletes never change the table schema: carry the previous one
+      if (tryPublish(spark, store, log, v, entries, staged,
+          prevSchema, None)) return
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1156,8 +1300,9 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
       if (v == 0) return // empty table: vacuously done
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       ensureSpec(fs, targetDir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
@@ -1168,14 +1313,14 @@ object TxTable {
       // find pass: which candidate partitions actually hold a match —
       // the rewrite set must be matches-only, or a table-wide predicate
       // would rewrite every candidate leaf it MIGHT have matched
-      val scanned = read(spark, targetDir, candidates)
+      val scanned = read(spark, targetDir, candidates, prevSchema)
         .withColumn(PKey, keyExpr(partitionCol))
       val hit = scanned.filter(pred).select(PKey).distinct()
         .collect().map(_.getString(0)).toIndexedSeq
       if (hit.isEmpty) return // nothing matches: no version published
       val hitSet = hit.toSet
       val existing = read(spark, targetDir,
-          entries.filter { case (k, _) => hitSet(k) })
+          entries.filter { case (k, _) => hitSet(k) }, prevSchema)
         .withColumn(PKey, keyExpr(partitionCol))
         .filter(col(PKey).isInCollection(hit))
       val rewritten = transform(existing, pred)
@@ -1195,7 +1340,10 @@ object TxTable {
         hit.filterNot(stagedLeaves.map(_._1).toSet)
           .map(_ -> Entry(Tombstone, None))
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged)) return
+      // updateWhere can't add columns and deleteWhere drops rows only:
+      // the table schema is unchanged — carry the previous one
+      if (tryPublish(spark, store, log, v, entries, staged,
+          prevSchema, None)) return
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1258,7 +1406,8 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       // stale-spec retries refuse (the commitLoop discipline)
       if (attempt > 1) ensureSpec(fs, targetDir, partitionCol, Some(key))
       val entries = resolveAt(store, log, v).getOrElse(
@@ -1269,8 +1418,7 @@ object TxTable {
       // never a write-the-batch shortcut (clauses must filter it)
       val existing0 =
         if (existingDirs.nonEmpty)
-          spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
+          leafRead(spark, targetDir, existingDirs, prevSchema)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
         else batch.limit(0)
@@ -1317,7 +1465,8 @@ object TxTable {
         return
       }
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged)) return
+      if (tryPublish(spark, store, log, v, entries, staged,
+          prevSchema, Some(stagedSchemaOf(merged)))) return
       fs.delete(new Path(s"$targetDir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1419,19 +1568,23 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
       require(v >= 1,
         s"addColumns on $dir: an empty table has no storage schema to " +
           "widen — bootstrap it with a write carrying the columns")
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
       require(entries.nonEmpty,
         s"addColumns on $dir: the table holds no live partitions — " +
           "write data carrying the columns instead")
-      // re-check per attempt: a racing widening commit may have landed
-      val existing = read(spark, dir, entries).schema.fieldNames
-        .map(_.toLowerCase).toSet
+      // re-check per attempt: a racing widening commit may have landed.
+      // Schema-only probe: the manifest-carried schema answers without
+      // touching a footer; legacy chains resolve it the old way.
+      val existing = prevSchema
+        .getOrElse(read(spark, dir, entries, None).schema)
+        .fieldNames.map(_.toLowerCase).toSet
       val clash = cols.map(_.name).filter(c => existing(c.toLowerCase))
       require(clash.isEmpty,
         s"addColumns on $dir: column(s) already exist: ${clash.mkString(", ")}")
@@ -1448,7 +1601,8 @@ object TxTable {
       widened.write.parquet(s"$dir/$stageRel")
       if (attempt == 1) beforeCommit()
       if (tryPublish(spark, store, log, v, entries,
-          Map(k -> Entry(stageRel, entry.vhex)))) return
+          Map(k -> Entry(stageRel, entry.vhex)),
+          prevSchema, Some(stagedSchemaOf(widened)))) return
       fs.delete(new Path(s"$dir/$DataDir/$commitId"), true): Unit
     }
     throw new IllegalStateException(
@@ -1488,6 +1642,9 @@ object TxTable {
     val restored = resolveAt(store, log, version).getOrElse(
       throw new IllegalStateException(
         s"version $version of $dir is not restorable (vacuumed or never committed)"))
+    // the restored state's schema is the TARGET version's recorded one
+    // (columns added after `version` cease to exist at the new tip)
+    val restoredSchema = schemaAt(store, log, version)
     // constraint gate on the RESTORED state: restore is a row-writing
     // verb in effect (it republishes version n's rows as the tip), so a
     // table with an armed CHECK contract must not be able to resurrect
@@ -1495,12 +1652,14 @@ object TxTable {
     // pass, only when constraints exist; drop the constraint first to
     // deliberately restore a violating state.
     if (TxConstraints.of(spark, dir).nonEmpty && restored.nonEmpty)
-      TxConstraints.enforce(spark, dir, read(spark, dir, restored), "restore")
+      TxConstraints.enforce(spark, dir,
+        read(spark, dir, restored, restoredSchema), "restore")
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
       val (v, _) = store.latest(log)
-      if (store.tryCommit(log, v + 1, render("checkpoint", restored))) return
+      if (store.tryCommit(log, v + 1,
+          render("checkpoint", restored, restoredSchema))) return
     }
     throw new IllegalStateException(
       s"TxTable.restore lost the commit race $maxRetries times on $dir")
@@ -1566,7 +1725,8 @@ object TxTable {
     // the clone inherits the source's CHECK constraints: a branch of
     // the data is a branch of its quality contract
     TxConstraints.cloneInto(spark, sourceDir, targetDir)
-    require(store.tryCommit(log, 1L, render("checkpoint", absolute)),
+    require(store.tryCommit(log, 1L,
+        render("checkpoint", absolute, schemaAt(srcStore, srcLog, v))),
       s"cloneShallow lost a creation race on $targetDir")
   }
 
@@ -1587,8 +1747,9 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
       if (v == 0) return
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $v is broken"))
@@ -1596,7 +1757,7 @@ object TxTable {
         leafPath(dir, e.leaf) == e.leaf // absolute → not under this dir
       }
       if (foreign.isEmpty) return
-      val rows = read(spark, dir, foreign)
+      val rows = read(spark, dir, foreign, prevSchema)
         .withColumn(PKey, keyExpr(partitionCol))
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
@@ -1610,7 +1771,9 @@ object TxTable {
           k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
         }
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
+      // rows-preserving rewrite: schema unchanged
+      if (tryPublish(spark, store, log, v, entries, staged.toMap,
+          prevSchema, None)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1655,7 +1818,8 @@ object TxTable {
       if (attempt > maxRetries)
         throw new IllegalStateException(
           s"TxTable.$op lost the commit race $maxRetries times on $targetDir")
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       // probe AFTER the data-tip read the attempt will CAS against —
       // the ordering the barrier proof needs
       gate.ensure(batch)
@@ -1683,8 +1847,7 @@ object TxTable {
           // invariant anyway). Schemas align across an evolution commit:
           // a widened batch nulls old rows' new columns, a narrow batch
           // nulls its own missing ones.
-          val existing = spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs.sorted.map(leafPath(targetDir, _)): _*)
+          val existing = leafRead(spark, targetDir, existingDirs, prevSchema)
             .withColumn(PKey, keyExpr(partitionCol))
             .filter(col(PKey).isInCollection(touchedKeys))
           val (e2, b2) = alignSchemas(existing, batch)
@@ -1715,7 +1878,8 @@ object TxTable {
 
       if (attempt == 1) beforeCommit()
 
-      if (tryPublish(spark, store, log, v, entries, staged.toMap)) committed = true
+      if (tryPublish(spark, store, log, v, entries, staged.toMap,
+          prevSchema, Some(stagedSchemaOf(merged)))) committed = true
       else {
         // lost the race: discard our stale staging and re-merge against
         // the winner's snapshot
@@ -1753,16 +1917,33 @@ object TxTable {
     * or a multiple of the interval) where the full folded map is
     * written — so steady-state commit cost is O(touched partitions),
     * with the O(table) write amortized to 1/interval (and version 1
-    * trivially full). */
+    * trivially full).
+    *
+    * The header records the POST-commit table schema:
+    * union(predecessor's recorded schema, the staged frame's) on a
+    * schema-carrying chain; the bootstrap commit starts the chain from
+    * the staged schema alone. A legacy chain (predecessor carries no
+    * schema) keeps writing schema-less bodies — claiming a schema
+    * mid-history could under-describe columns living only in untouched
+    * pre-schema leaves. */
   private def tryPublish(
       spark: SparkSession, store: CommitStore, log: String,
       v: Long, baseEntries: Map[String, Entry],
-      staged: Map[String, Entry]): Boolean = {
+      staged: Map[String, Entry],
+      prevSchema: Option[StructType],
+      stagedSchema: Option[StructType]): Boolean = {
     val next = v + 1
+    val post =
+      if (v == 0) stagedSchema
+      else prevSchema.map(p => stagedSchema.fold(p)(s => unionSchema(p, s)))
+    val isCheckpoint = next == 1 || next % checkpointInterval(spark) == 0
+    // deltas stay O(touched) bytes: the schema field rides only on
+    // checkpoints and on the (rare) commits that actually change it —
+    // readers walk back to the nearest carrier (schemaAt)
+    val carried = if (isCheckpoint) post else post.filterNot(prevSchema.contains)
     val body =
-      if (next == 1 || next % checkpointInterval(spark) == 0)
-        render("checkpoint", applyDelta(baseEntries, staged))
-      else render("delta", staged)
+      if (isCheckpoint) render("checkpoint", applyDelta(baseEntries, staged), carried)
+      else render("delta", staged, carried)
     store.tryCommit(log, next, body)
   }
 
@@ -1870,8 +2051,9 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
       if (v == 0) return
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       // AFTER the emptiness guard: maintenance on a never-committed
       // path must stay a pure no-op — recording a (possibly typo'd)
       // spec here would lock out the table's real first writer
@@ -1883,9 +2065,7 @@ object TxTable {
       // re-stages more than the predicate's leaves
       val scope = where.fold(entries)(entriesWhere(spark, entries, partitionCol, _))
       if (scope.isEmpty) return
-      val all = spark.read.option("mergeSchema", "true")
-        .parquet(scope.values.map(_.leaf).toSeq.sorted
-        .map(leafPath(dir, _)): _*)
+      val all = leafRead(spark, dir, scope.values.map(_.leaf).toSeq, prevSchema)
         .withColumn(PKey, keyExpr(partitionCol))
       val statCols = cols.flatMap(c => Seq(
         min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -1923,7 +2103,9 @@ object TxTable {
           k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
         }
       if (attempt == 1) beforeCommit()
-      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
+      // rows-preserving rewrite: schema unchanged
+      if (tryPublish(spark, store, log, v, entries, staged.toMap,
+          prevSchema, None)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -1945,8 +2127,9 @@ object TxTable {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val (v, _) = store.latest(log)
+      val (v, tipLines) = store.latest(log)
       if (v == 0) return
+      val prevSchema = schemaAtSeeded(store, log, v, tipLines)
       // after the emptiness guard — see optimizeZOrder
       ensureSpec(fs, dir, partitionCol)
       val entries = resolveAt(store, log, v).getOrElse(
@@ -1960,9 +2143,7 @@ object TxTable {
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
       writeLaidOut(
-        spark.read.option("mergeSchema", "true")
-          .parquet(needy.values.map(_.leaf).toSeq.sorted
-          .map(leafPath(dir, _)): _*)
+        leafRead(spark, dir, needy.values.map(_.leaf).toSeq, prevSchema)
           .withColumn(PKey, keyExpr(partitionCol))
           .repartition(needy.size, col(PKey)),
         layout, s"$dir/$stageRel")
@@ -1974,7 +2155,9 @@ object TxTable {
           // rows-preserving rewrite: the partition value rides over
           k -> Entry(s"$stageRel/$leaf", entries.get(k).flatMap(_.vhex))
         }
-      if (tryPublish(spark, store, log, v, entries, staged.toMap)) return
+      // rows-preserving fold: schema unchanged
+      if (tryPublish(spark, store, log, v, entries, staged.toMap,
+          prevSchema, None)) return
       fs.delete(new Path(s"$dir/$stageRel"), true): Unit
     }
     throw new IllegalStateException(
@@ -2017,7 +2200,8 @@ object TxTable {
         s"vacuum lost the checkpoint race 50 times on $dir")
       val full = resolveAt(store, log, tip).getOrElse(
         throw new IllegalStateException(s"manifest chain for version $tip is broken"))
-      if (!store.tryCommit(log, tip + 1, render("checkpoint", full))) {
+      if (!store.tryCommit(log, tip + 1,
+          render("checkpoint", full, schemaAtSeeded(store, log, tip, tipLines)))) {
         // a live writer took the slot; fall through and re-read
       }
       val t = store.latest(log)
