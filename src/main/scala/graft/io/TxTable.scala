@@ -938,7 +938,7 @@ object TxTable {
     val staged: Map[String, Entry] =
       if (touched.isEmpty) Map.empty // truncate: an empty checkpoint
       else {
-        writeLaidOut(batch, layout, s"$targetDir/$stageRel")
+        writeLaidOut(batch, layout, s"$targetDir/$stageRel", touched.size)
         fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
           .map(_.getPath.getName)
           .filter(_.startsWith(PKey + "="))
@@ -1036,7 +1036,7 @@ object TxTable {
       val touched = touchedOf(batch, newSpec)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(batch, layout, s"$dir/$stageRel")
+      writeLaidOut(batch, layout, s"$dir/$stageRel", touched.size)
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1121,7 +1121,7 @@ object TxTable {
       val merged = Merge.applyCdc(e2, b2, key, opCol, seqCol)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel", touchedKeys.size)
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1193,7 +1193,7 @@ object TxTable {
         batch.select(col(key)).distinct(), Seq(key), "left_anti")
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(remaining, layout, s"$targetDir/$stageRel")
+      writeLaidOut(remaining, layout, s"$targetDir/$stageRel", hit.size)
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1326,7 +1326,7 @@ object TxTable {
       val rewritten = transform(existing, pred)
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(rewritten, layout, s"$targetDir/$stageRel")
+      writeLaidOut(rewritten, layout, s"$targetDir/$stageRel", hit.size)
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1445,7 +1445,7 @@ object TxTable {
       TxConstraints.enforce(spark, targetDir, merged, "merge")
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel", touchedKeys.size)
       val stagedLeaves = fs.listStatus(new Path(s"$targetDir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1761,7 +1761,7 @@ object TxTable {
         .withColumn(PKey, keyExpr(partitionCol))
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(rows, layout, s"$dir/$stageRel")
+      writeLaidOut(rows, layout, s"$dir/$stageRel", foreign.size)
       val staged = fs.listStatus(new Path(s"$dir/$stageRel")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(PKey + "="))
@@ -1864,7 +1864,7 @@ object TxTable {
       // column fans the write out per partition without a driver loop.
       val commitId = UUID.randomUUID().toString
       val stageRel = s"$DataDir/$commitId"
-      writeLaidOut(merged, layout, s"$targetDir/$stageRel")
+      writeLaidOut(merged, layout, s"$targetDir/$stageRel", touchedKeys.size)
       // the written leaves ARE the staged manifest entries (key = leaf
       // name minus the column prefix; hive escaping is the identity on
       // the hex/NULL key alphabet); each carries its partition value
@@ -1895,12 +1895,48 @@ object TxTable {
     * uniformly and can never be silently discarded by one path. The
     * leading PKey sort satisfies FileFormatWriter's required ordering,
     * so the secondary layout sort survives into the files (the
-    * MergeWriter.laidOut discipline). */
-  private def writeLaidOut(df: DataFrame, layout: Layout, path: String): Unit = {
+    * MergeWriter.laidOut discipline).
+    *
+    * @param widenTo the commit's touched-partition count (0/1 =
+    *   caller placed the rows itself — never widen). A SMALL commit
+    *   spanning many partitions otherwise lands in ~one task (AQE
+    *   coalesces its tiny merge shuffle to one partition) which then
+    *   creates every leaf's file SERIALLY — measured ~2 s for a
+    *   124-leaf bootstrap on idle 32 cores. When the merged output's
+    *   estimated size fits ONE advisory shuffle partition (i.e. the
+    *   extra exchange moves less than AQE's own coalescing unit), the
+    *   write is re-placed as an EXPLICIT repartition(min(cores,
+    *   touched), PKey): file creation parallelizes across the cores
+    *   and each leaf gets exactly one file (each key hashes wholly
+    *   into one task). Large commits — anything whose estimate
+    *   exceeds the advisory unit, or with no usable estimate — keep
+    *   the exchange-free path untouched; sessions that pin
+    *   coalescing off (fragmentation-sensitive tooling) opt out the
+    *   same way they already opt out of AQE's reshaping. */
+  private def writeLaidOut(
+      df: DataFrame, layout: Layout, path: String, widenTo: Int = 0): Unit = {
+    val spark = df.sparkSession
+    def advisoryBytes: Long = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")))
+      .getOrElse(64L * 1024 * 1024)
+    def coalescingOn: Boolean =
+      spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    def smallWideCommit: Boolean = widenTo > 1 && coalescingOn && {
+      val est = scala.util.Try(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .getOrElse(BigInt(Long.MaxValue))
+      est <= advisoryBytes
+    }
     // optimizeWrite: co-locate each partition's rows in one task before
     // the write — one file per leaf per commit instead of
     // (tasks × leaves); one extra exchange, the wide-commit trade
-    val placed = if (layout.optimizeWrite) df.repartition(col(PKey)) else df
+    val placed =
+      if (layout.optimizeWrite) df.repartition(col(PKey))
+      else if (smallWideCommit)
+        df.repartition(
+          math.min(spark.sparkContext.defaultParallelism, widenTo), col(PKey))
+      else df
     val sorted =
       if (layout.sortCols.isEmpty) placed
       else placed.sortWithinPartitions((PKey +: layout.sortCols).map(col): _*)

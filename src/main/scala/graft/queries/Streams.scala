@@ -449,7 +449,12 @@ object Streams {
             .select(col("event_id"), col("event_type")),
           "event_id", "event_type")
 
-        graft.streaming.TxChangeFeedStream.spool(s, tbl, "event_id", spoolDir)
+        // a 4-commit backlog is the catch-up shape: drain it as ONE
+        // append (each row still stamped with its own _commit_version —
+        // spool's documented commitsPerAppend path) instead of one
+        // write job per commit; the streamed rows are identical
+        graft.streaming.TxChangeFeedStream.spool(s, tbl, "event_id", spoolDir,
+          commitsPerAppend = 4)
         val name = s"t21_stream_feed_window_${runSeq.incrementAndGet()}"
         withStatePartitions(s, 8) {
           val q = graft.streaming.TxChangeFeedStream.source(s, spoolDir)
