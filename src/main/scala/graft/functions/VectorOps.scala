@@ -62,9 +62,51 @@ object VectorOps {
     sig
   }
 
+  /** Argmin squared-L2 cell assignment over a codebook — the k-means
+    * inner loop as compiled code. The interpreted spelling
+    * (`transform(_cents, c -> aggregate(...))` + an argmin fold) runs
+    * k×dim lambda dispatches per row with no codegen; this keeps the
+    * identical arithmetic (per-centroid sum of (v[j]−c[j])² in
+    * ascending j, strict-< argmin so ties keep the smaller cell id —
+    * bit-identical distances, same winner) in one static JVM loop.
+    * The KMeans failure contract is preserved verbatim: a NaN vector
+    * never wins a `<` and raises, a vector whose length differs from
+    * the codebook dimension raises before any distance is used. */
+  def codebookArgminCell(v: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    val n = v.numElements()
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      if (cent.numElements() != n)
+        throw new RuntimeException(
+          "KMeans: vector length differs from the codebook dimension")
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val t = v.getDouble(j) - cent.getDouble(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    if (best < 0)
+      throw new RuntimeException(
+        "KMeans: vector with NaN has no comparable centroid distance")
+    best
+  }
+
   /** Column API: cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column =
     bridge.column(CosineSimExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API: argmin-L2 codebook cell of a double-array column
+    * against an array<array<double>> codebook column. */
+  def codebookArgmin(v: Column, cents: Column): Column =
+    bridge.column(CodebookArgminExpr(bridge.expression(v), bridge.expression(cents)))
 
   /** Column API: `bits`-bit hyperplane LSH signature of a float array. */
   def sig(e: Column, bits: Int = 8): Column =
@@ -84,6 +126,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"
+}
+
+case class CodebookArgminExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    VectorOps.codebookArgminCell(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.VectorOps.codebookArgminCell($v, $c)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodebookArgminExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "codebook_argmin"
 }
 
 case class HyperplaneSigExpr(child: Expression, bits: Int)

@@ -44,10 +44,8 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  private val BadVectorMsg =
-    "KMeans: vector with NaN has no comparable centroid distance"
-  private val BadDimMsg =
-    "KMeans: vector length differs from the codebook dimension"
+  // the NaN / dimension-mismatch failure messages live with the
+  // assignment kernel: graft.functions.VectorOps.codebookArgminCell
 
   /** @param data   (id, vector) rows; vector = array<float|double>
     * @param k      codebook size (used when `init` is empty)
@@ -120,31 +118,20 @@ object KMeans {
 
     // Per-row argmin squared-L2 over the `_cents` column, ties to the
     // smaller cell id — shared by both codebook-attachment spellings.
+    // The loop is the NATIVE codegen expression
+    // [[graft.functions.VectorOps.codebookArgmin]] (identical
+    // arithmetic and failure contract — NaN raises BadVectorMsg, a
+    // dimension mismatch BadDimMsg): the previous higher-order-function
+    // spelling ran k×dim interpreted lambda dispatches per row, the
+    // dominant cost of every Lloyd pass (optimization guide §4:
+    // keep the hot loop in compiled code).
     def withCell(withCents: DataFrame): DataFrame =
       withCents
-        // the dimension check guards the distance computation itself:
-        // a shorter vector would otherwise get a silent prefix
-        // distance, a longer one a bounds error deep in element_at
-        .withColumn("_dists", expr(
-          s"""CASE WHEN size(v) != $dim THEN raise_error('$BadDimMsg')
-             |ELSE transform(_cents, c ->
-             |  aggregate(sequence(1, size(v)), CAST(0 AS DOUBLE),
-             |    (s, j) -> s + (element_at(v, j) - element_at(c, j))
-             |                * (element_at(v, j) - element_at(c, j))))
-             |END""".stripMargin))
-        // …then a linear argmin fold (strict <: ties keep the smaller
-        // id). A NaN distance never wins a `<`, so a NaN vector leaves
-        // the seed -1; a length mismatch is rejected outright.
-        .withColumn("_best", expr(
-          """aggregate(sequence(0, size(_dists) - 1),
-            |  named_struct('best', -1, 'd', CAST('Infinity' AS DOUBLE)),
-            |  (acc, i) -> IF(element_at(_dists, i + 1) < acc.d,
-            |                 named_struct('best', i, 'd', element_at(_dists, i + 1)),
-            |                 acc),
-            |  acc -> acc.best)""".stripMargin))
-        .withColumn("cell", expr(
-          s"IF(_best < 0, raise_error('$BadVectorMsg'), _best)"))
-        .drop("_cents", "_dists", "_best")
+        .withColumn("cell",
+          graft.functions.VectorOps.codebookArgmin(
+            org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.col("_cents")))
+        .drop("_cents")
 
     def assigned(): DataFrame =
       if (centroids.length.toLong * dim <= literalMaxCells)
